@@ -1,0 +1,72 @@
+"""Table loaders + temp-view registry over the test corpus.
+
+All ten corpus tables (FIXTURES.md) load through here so every gotcha shim
+lives in exactly one place:
+
+- G1: ``events.ts`` is parquet INT64 TIMESTAMP(NANOS); with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark reads it as LongType
+  nanos, which we convert to a real timestamp via ``timestamp_micros``.
+  DuckDB reads the same column natively (truncating ns→µs on compare), so
+  both engines see identical µs-precision timestamps.
+
+At 100 TB the same loader shape holds: explicit per-table load fn, schema
+asserted, no inference, partition-discovery friendly paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scopus_spark.session import configure
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are always broadcast-safe in star joins at any scale
+# (region/nation are fixed-cardinality; supplier/part/customer bounded at the
+# test tiers — at 100 TB only the fixed-cardinality ones stay in this set).
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table with gotcha shims applied."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # G1 shim: nanos-as-long → microsecond timestamp.
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+# Tracks which sf_dir each live session currently has registered, so repeated
+# queries() calls against the same dir skip re-registration.
+_REGISTERED: dict[int, str] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register all corpus tables as temp views named exactly as in FIXTURES.md."""
+    configure(spark)  # driver-provided sessions lack C4 confs until now
+    key = id(spark)
+    if not force and _REGISTERED.get(key) == sf_dir:
+        return
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _REGISTERED[key] = sf_dir
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Convenience: register views for sf_dir and return one table."""
+    register_views(spark, sf_dir)
+    return spark.table(name)
