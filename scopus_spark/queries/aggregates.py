@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scopus_spark.catalog import table
+from scopus_spark.queries import _fp
 from scopus_spark.registry import register
 
 
@@ -24,7 +25,8 @@ from scopus_spark.registry import register
 @register(
     "d1",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -38,7 +40,8 @@ def d1_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Physical plan: parquet scan with pushed predicates -> partial agg per
     partition -> single-row final agg. No wide shuffle; at 100 TB the only
-    cross-node traffic is one partial-agg row per task.
+    cross-node traffic is one partial-agg row per task. Money sums use
+    exact-decimal accumulation (_fp.py) so the value is partition-order-free.
     """
     li = table(spark, sf_dir, "lineitem")
     return (
@@ -48,9 +51,7 @@ def d1_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            ),
+            _fp.dsum(_fp.m("l_extendedprice") * _fp.s("l_discount"), "revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -63,14 +64,17 @@ Q1_CUTOFF = "1998-09-02"
     "d2",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                            AS sum_qty,
-           round(sum(l_extendedprice), 4)                                       AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                    AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)      AS sum_charge,
-           round(avg(l_quantity), 4)                                            AS avg_qty,
-           round(avg(l_extendedprice), 4)                                       AS avg_price,
-           round(avg(l_discount), 4)                                            AS avg_disc,
-           count(*)                                                             AS count_order
+           CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)        AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)   AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)      AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4)      AS avg_disc,
+           count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
     GROUP BY l_returnflag, l_linestatus
@@ -82,22 +86,25 @@ def d2_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engine's flagship query (entry()). Catalyst plans this as
     scan -> partial hash agg -> shuffle(2 keys, tiny) -> final hash agg,
     all inside whole-stage codegen; the shuffle carries only
-    |groups| x |partitions| rows regardless of input size.
+    |groups| x |partitions| rows regardless of input size. Money sums are
+    exact-decimal (_fp.py); averages are exact-sum / count rounded at 4dp.
     """
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty, price, disc = _fp.m("l_quantity"), _fp.m("l_extendedprice"), _fp.s("l_discount")
+    disc_price = price * (1 - disc)
+    charge = disc_price * (1 + _fp.s("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            _fp.dsum(qty, "sum_qty"),
+            _fp.dsum(price, "sum_base_price"),
+            _fp.dsum(disc_price, "sum_disc_price"),
+            _fp.dsum(charge, "sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )

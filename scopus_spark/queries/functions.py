@@ -1,1 +1,220 @@
-"""SURVEY §2 queries — placeholder, filled in build phases."""
+"""SURVEY §2.H — scalar function families (h1–h10).
+
+Every function used here was cross-verified Spark↔DuckDB in the survey
+session (convention C6); dialect gaps are handled exactly as C6 prescribes
+(manual initcap, explicit regex group index, 'g' flag on DuckDB
+regexp_replace, explicit casts where return types differ).
+
+All map-side: no shuffle, whole-stage-codegen'd, scale-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scopus_spark.catalog import table
+from scopus_spark.registry import register
+
+
+# --- h1: string basics -------------------------------------------------------
+@register(
+    "h1",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                        AS name_upper,
+           lower(p_brand)                                       AS brand_lower,
+           CAST(length(p_name) AS INT)                          AS name_len,
+           trim('  ' || p_name || '  ')                         AS name_trim,
+           ltrim('xx' || p_name, 'x')                           AS name_ltrim,
+           rtrim(p_name || 'yy', 'y')                           AS name_rtrim,
+           substring(p_name, 1, 5)                              AS name_sub,
+           concat(p_brand, ':', p_type)                         AS brand_type,
+           concat_ws('-', p_brand, p_type, CAST(p_size AS VARCHAR)) AS brand_type_size,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')                AS size_lpad,
+           rpad(p_brand, 12, '.')                               AS brand_rpad,
+           repeat('ab', 3)                                      AS rep_ab,
+           reverse(p_name)                                      AS name_rev,
+           replace(p_name, ' ', '_')                            AS name_snake,
+           split_part(p_name, ' ', 1)                           AS first_word,
+           translate(p_name, 'aeiou', 'AEIOU')                  AS name_vowels,
+           concat(upper(substring(split_part(p_name,' ',1),1,1)),
+                  lower(substring(split_part(p_name,' ',1),2)))  AS first_word_initcap
+    FROM part
+    """,
+)
+def h1_string_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    first_word = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trim"
+        ),
+        F.ltrim(F.concat(F.lit("xx"), F.col("p_name")), F.lit("x")).alias("name_ltrim"),
+        F.rtrim(F.concat(F.col("p_name"), F.lit("yy")), F.lit("y")).alias("name_rtrim"),
+        F.substring("p_name", 1, 5).alias("name_sub"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.concat_ws(
+            "-", F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")
+        ).alias("brand_type_size"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.repeat(F.lit("ab"), 3).alias("rep_ab"),
+        F.reverse("p_name").alias("name_rev"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        first_word.alias("first_word"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("name_vowels"),
+        # manual initcap (C6: DuckDB 1.0 lacks initcap)
+        F.concat(
+            F.upper(F.substring(first_word, 1, 1)),
+            F.lower(F.substring(first_word, 2, 1000)),
+        ).alias("first_word_initcap"),
+    )
+
+
+# --- h3: regex family --------------------------------------------------------
+@register(
+    "h3",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1)   AS adj,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2)   AS noun,
+           regexp_replace(p_name, '[aeiou]', '*', 'g')      AS name_starred,
+           regexp_matches(p_type, '^[A-Z]+$')               AS type_allcaps
+    FROM part
+    """,
+)
+def h3_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 1).alias("adj"),
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("noun"),
+        # Spark replaces all matches by default; DuckDB needs the 'g' flag (C6)
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_starred"),
+        F.col("p_type").rlike("^[A-Z]+$").alias("type_allcaps"),
+    )
+
+
+# --- h4: date/time extraction -------------------------------------------------
+@register(
+    "h4",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                      AS o_year,
+           CAST(month(o_orderdate) AS INT)                     AS o_month,
+           CAST(day(o_orderdate) AS INT)                       AS o_day,
+           CAST(quarter(o_orderdate) AS INT)                   AS o_quarter,
+           CAST(date_trunc('day',   o_orderdate) AS TIMESTAMP) AS trunc_day,
+           CAST(date_trunc('week',  o_orderdate) AS TIMESTAMP) AS trunc_week,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS trunc_month
+    FROM orders
+    """,
+)
+def h4_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.date_trunc("day", "o_orderdate").alias("trunc_day"),
+        F.date_trunc("week", "o_orderdate").alias("trunc_week"),
+        F.date_trunc("month", "o_orderdate").alias("trunc_month"),
+    )
+
+
+# --- h5: date/time arithmetic --------------------------------------------------
+@register(
+    "h5",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)                  AS plus3m,
+           last_day(CAST(o_orderdate AS DATE))                           AS month_end,
+           CAST(o_orderdate AS DATE)                                     AS as_date,
+           CAST(epoch(o_orderdate) AS BIGINT)                            AS epoch_s,
+           CAST(to_timestamp(epoch(o_orderdate)) AS TIMESTAMP)           AS from_epoch
+    FROM orders
+    """,
+)
+def h5_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.to_date("o_orderdate").alias("as_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("from_epoch"),
+    )
+
+
+# --- h6: math ------------------------------------------------------------------
+@register(
+    "h6",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 2)                      AS price_r2,
+           abs(l_extendedprice - 30000)                   AS abs_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT)          AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)         AS price_floor,
+           sqrt(l_quantity)                               AS qty_sqrt,
+           round(pow(l_discount + 1, 2), 4)               AS disc_sq,
+           round(ln(l_extendedprice), 4)                  AS price_ln,
+           round(log10(l_extendedprice), 4)               AS price_log10,
+           fmod(l_quantity, 7.0)                          AS qty_mod7,
+           CAST(sign(l_extendedprice - 30000) AS DOUBLE)  AS dev_sign,
+           round(exp(l_discount), 4)                      AS disc_exp
+    FROM lineitem
+    """,
+)
+def h6_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price_r2"),
+        F.abs(F.col("l_extendedprice") - 30000).alias("abs_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 4).alias("disc_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        # l_quantity >= 0 so pmod == fmod here (C6)
+        F.pmod(F.col("l_quantity"), F.lit(7.0)).alias("qty_mod7"),
+        F.signum(F.col("l_extendedprice") - 30000).alias("dev_sign"),
+        F.round(F.exp("l_discount"), 4).alias("disc_exp"),
+    )
+
+
+# --- h10: hash/crypto ------------------------------------------------------------
+@register(
+    "h10",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS text_sha256,
+           md5(text)    AS text_md5,
+           sha256(concat(lang, '|', source)) AS meta_sha256
+    FROM documents
+    """,
+)
+def h10_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.col("text")).alias("text_md5"),
+        F.sha2(F.concat(F.col("lang"), F.lit("|"), F.col("source")), 256).alias(
+            "meta_sha256"
+        ),
+    )

@@ -1,0 +1,48 @@
+"""Plan-shape assertions (SURVEY §5.2.6): the optimizer must actually produce
+the physical plans the 100 TB design depends on — pushdown, broadcast,
+top-k without global sort, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scopus_spark import registry
+from scopus_spark.catalog import table
+
+QUERIES = registry.all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """Predicate + projection must reach the parquet scan (d1 shape)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") < 24
+    ).select("l_quantity", "l_discount")
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,24.0)" in plan, plan
+    # column pruning: scan schema must not contain unprojected columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["f2"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_is_whole_stage_codegen(spark, sf_dir):
+    df = QUERIES["d2"](spark, sf_dir)
+    df.collect()  # AQE: codegen spans only visible in the final plan
+    plan = _plan(df)
+    assert "*(" in plan, plan  # whole-stage-codegen stage markers
+    assert "HashAggregate" in plan, plan
+
+
+def test_partial_agg_before_shuffle(spark, sf_dir):
+    """d2 must plan partial (map-side) + final agg around one shuffle."""
+    plan = _plan(QUERIES["d2"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange hashpartitioning(l_returnflag" in plan, plan

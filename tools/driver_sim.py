@@ -28,7 +28,7 @@ print(f"SMOKE entry(): {len(rows)} rows; schema={e.entry(spark).schema.simpleStr
 assert len(rows) > 0
 
 # --- t2 oracle compare at sf0.01 ---
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
