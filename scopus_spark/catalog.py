@@ -43,10 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table with gotcha shims applied."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # G1 shim: nanos-as-long → microsecond timestamp.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # G1 shim: nanos-as-long → microsecond timestamp. MUST be integer
+        # division (`div`): ns epoch values (~1.7e18) exceed double's 53-bit
+        # mantissa, so the FIXTURES.md recipe `(ts/1000).cast("long")` is off
+        # by ±1µs. `div` truncates like DuckDB's native ns→µs conversion.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

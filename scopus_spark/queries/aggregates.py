@@ -108,3 +108,288 @@ def d2_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("count_order"),
         )
     )
+
+
+# --- d3: COUNT(DISTINCT) + multi-distinct ------------------------------------
+@register(
+    "d3",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS nd_parts,
+           count(DISTINCT l_suppkey) AS nd_supps,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d3_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation: Catalyst rewrites via Expand (one pass,
+    grouped by (keys, distinct-col) per distinct column) — no per-group
+    hash-set blowup at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- d4: approximate count-distinct (HLL) — no exact oracle ------------------
+@register("d4")
+def d4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (ROWS-only check; unit test asserts
+    within ±5%% of exact). The 100 TB path: constant memory per group vs
+    unbounded hash sets."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_nd_parts"),
+        F.countDistinct("l_partkey").alias("exact_nd_parts"),
+    )
+
+
+# --- d5: HAVING (post-aggregation filter) ------------------------------------
+@register(
+    "d5",
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS total_spend,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15 AND sum(CAST(o_totalprice AS DECIMAL(9,2))) > 2000000
+    """,
+)
+def d5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.sum(_fp.m("o_totalprice")).alias("_spend_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        agg.filter((F.col("n_orders") >= 15) & (F.col("_spend_dec") > 2000000))
+        .select(
+            "o_custkey",
+            F.col("_spend_dec").cast("double").alias("total_spend"),
+            "n_orders",
+        )
+    )
+
+
+# --- d6: statistical aggregates ----------------------------------------------
+# Small-magnitude columns keep cross-engine FP error orders of magnitude below
+# the round-4 grid (_fp.py rationale).
+@register(
+    "d6",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_discount), 4)        AS sd_disc,
+           round(var_samp(l_discount), 4)           AS var_disc,
+           round(stddev_pop(l_tax), 4)              AS sdp_tax,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 4)  AS cov_disc_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d6_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
+        F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
+        F.round(F.stddev_pop("l_tax"), 4).alias("sdp_tax"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("cov_disc_tax"),
+    )
+
+
+# --- d7: exact percentile + median (DOUBLE inputs only, C6) -------------------
+@register(
+    "d7",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(median(l_quantity), 4)                  AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d7_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+# --- d8: ordered collect (deterministic list aggregation, C5) -----------------
+@register(
+    "d8",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber))  AS line_numbers,
+           count(*)                       AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def d8_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- d9: ROLLUP hierarchy with grouping() markers ------------------------------
+@register(
+    "d9",
+    oracle="""
+    SELECT n.n_name, c.c_mktsegment,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(9,2))) AS DOUBLE) AS sum_bal,
+           count(*) AS n_cust,
+           CAST(grouping(n.n_name) AS INT)       AS g_nation,
+           CAST(grouping(c.c_mktsegment) AS INT) AS g_segment
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+)
+def d9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return joined.rollup("n_name", "c_mktsegment").agg(
+        F.sum(_fp.m("c_acctbal")).cast("double").alias("sum_bal"),
+        F.count(F.lit(1)).alias("n_cust"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+    )
+
+
+# --- d10: CUBE over 2 dims ------------------------------------------------------
+@register(
+    "d10",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price,
+           count(*) AS n_orders,
+           CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def d10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(_fp.m("o_totalprice")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+# --- d11: explicit GROUPING SETS (SQL entry point E2) ---------------------------
+@register(
+    "d11",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def d11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders")  # ensure view registered
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --- d12: min_by / max_by (argmin/argmax) ----------------------------------------
+# Tie-break: o_totalprice is 2dp so exact ties are possible within a customer;
+# adding o_orderkey/1e9 (IEEE-deterministic both sides) makes the ordering total.
+@register(
+    "d12",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice + o_orderkey / 1000000000.0) AS most_expensive_order,
+           min_by(o_orderkey, o_totalprice + o_orderkey / 1000000000.0) AS cheapest_order,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def d12_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rank_val = F.col("o_totalprice") + F.col("o_orderkey") / 1000000000.0
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", rank_val).alias("most_expensive_order"),
+        F.min_by("o_orderkey", rank_val).alias("cheapest_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- d13: conditional aggregation -------------------------------------------------
+@register(
+    "d13",
+    oracle="""
+    SELECT l_returnflag,
+           count_if(l_discount > 0.05) AS n_high_disc,
+           CAST(sum(CASE WHEN l_tax > 0.04
+                         THEN CAST(l_extendedprice AS DECIMAL(9,2))
+                         ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE) AS taxed_price,
+           count_if(l_linestatus = 'F') AS n_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.04, _fp.m("l_extendedprice")).otherwise(
+                F.lit(0).cast(_fp.MONEY)
+            )
+        )
+        .cast("double")
+        .alias("taxed_price"),
+        F.count_if(F.col("l_linestatus") == "F").alias("n_f"),
+    )
+
+
+# --- d14: pivot (segments x order-status matrix) ------------------------------------
+@register(
+    "d14",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'F'
+                    THEN CAST(o.o_totalprice AS DECIMAL(9,2)) END) AS DOUBLE) AS F,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'O'
+                    THEN CAST(o.o_totalprice AS DECIMAL(9,2)) END) AS DOUBLE) AS O,
+           CAST(sum(CASE WHEN o.o_orderstatus = 'P'
+                    THEN CAST(o.o_totalprice AS DECIMAL(9,2)) END) AS DOUBLE) AS P
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def d14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — at scale the value list must be
+    declared (implicit pivot collects distinct values to the driver)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(_fp.m("o_totalprice")).cast("double"))
+    )

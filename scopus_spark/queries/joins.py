@@ -1,1 +1,392 @@
-"""SURVEY §2 queries — placeholder, filled in build phases."""
+"""SURVEY §2.C — join operators (c1–c12) + bench star queries.
+
+Reference capability: the relational analysis tier joins the normalized
+bibliographic tables (publications ⋈ authors ⋈ affiliations; citation-edge
+self-joins) — SURVEY §1.1 [U]. Here every join is a Catalyst-planned
+DataFrame join; the physical strategy notes on each operator are the 100 TB
+contract:
+
+- Bounded dims are explicitly broadcast (`F.broadcast`) — fact-table scans
+  never shuffle for them.
+- Fact-fact joins (c12 self-join) shuffle on the join key; AQE skew
+  splitting stays on.
+- Non-equi joins (c9) are broadcast-nested-loop ONLY because one side is a
+  bounded dim; the docstring states the at-scale rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scopus_spark.catalog import table
+from scopus_spark.queries import _fp
+from scopus_spark.registry import register
+
+
+# --- c1: inner equi-join ------------------------------------------------------
+@register(
+    "c1",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def c1_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is bounded per-SF → broadcast-hash join, no shuffle of orders."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# --- c2: left outer join --------------------------------------------------------
+@register(
+    "c2",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def c2_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+# --- c3: right outer join --------------------------------------------------------
+@register(
+    "c3",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def c3_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+# --- c4: full outer join (sort-merge — no broadcast possible) ---------------------
+@register(
+    "c4",
+    oracle="""
+    SELECT f.o_custkey AS fk, f.n_f, o.o_custkey AS ok, o.n_o
+    FROM (SELECT o_custkey, count(*) AS n_f FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    FULL JOIN (SELECT o_custkey, count(*) AS n_o FROM orders
+               WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+      ON f.o_custkey = o.o_custkey
+    """,
+)
+def c4_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    f_side = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+        .alias("f")
+    )
+    o_side = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_o"))
+        .alias("o")
+    )
+    return f_side.join(
+        o_side, F.col("f.o_custkey") == F.col("o.o_custkey"), "full"
+    ).select(
+        F.col("f.o_custkey").alias("fk"),
+        "n_f",
+        F.col("o.o_custkey").alias("ok"),
+        "n_o",
+    )
+
+
+# --- c5: left semi join (EXISTS) ----------------------------------------------------
+@register(
+    "c5",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def c5_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- c6: left anti join (NOT EXISTS) --------------------------------------------------
+@register(
+    "c6",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def c6_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- c7: explicit cross join -----------------------------------------------------------
+@register(
+    "c7",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def c7_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join declared ONLY between fixed-cardinality dims (5x25); a
+    cross join with a fact table is never planned by this engine."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# --- c8: 6-table star join (TPC-H Q5 shape) ----------------------------------------------
+@register(
+    "c8",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def c8_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local-supplier revenue by nation.
+
+    Join order: lineitem (fact) survives one shuffle join against orders;
+    every dim (customer/supplier/nation/region) is broadcast. At 100 TB
+    orders⋈lineitem co-partitioning (bucketing on orderkey) removes the
+    remaining shuffle; here AQE handles it.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _fp.dsum(
+                _fp.m("l_extendedprice") * (1 - _fp.s("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+# --- q3: TPC-H Q3 shipping priority (bench headline; c8-lite shape) -----------------------
+@register(
+    "q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _fp.dsum(
+                _fp.m("l_extendedprice") * (1 - _fp.s("l_discount")), "revenue"
+            )
+        )
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .limit(10)
+    )
+
+
+# --- c9: theta/range join (non-equi) --------------------------------------------------------
+@register(
+    "c9",
+    oracle="""
+    SELECT b.bucket_lo, b.bucket_hi, count(*) AS n_parts,
+           CAST(sum(CAST(p.p_retailprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+    FROM (VALUES (900.0, 925.0), (925.0, 950.0), (950.0, 975.0), (975.0, 1000.0))
+         AS b(bucket_lo, bucket_hi)
+    JOIN part p ON p.p_retailprice >= b.bucket_lo AND p.p_retailprice < b.bucket_hi
+    GROUP BY b.bucket_lo, b.bucket_hi
+    """,
+)
+def c9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-containment join: part prices into price buckets.
+
+    Physical: broadcast-nested-loop with the 4-row bucket table broadcast —
+    the only sane plan for non-equi conditions. At scale the rule stands:
+    the banded side must be bounded/broadcastable, or the bands must be
+    discretized into equi-join keys first.
+    """
+    p = table(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [(900.0, 925.0), (925.0, 950.0), (950.0, 975.0), (975.0, 1000.0)],
+        "bucket_lo double, bucket_hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p.p_retailprice >= buckets.bucket_lo)
+            & (p.p_retailprice < buckets.bucket_hi),
+        )
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_fp.m("p_retailprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+# --- c10: as-of join (time-series) ------------------------------------------------------------
+@register(
+    "c10",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           e.ts AS event_ts, e.event_id
+    FROM (SELECT * FROM orders WHERE o_custkey <= 150) o
+    ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+                    FROM events) e
+      ON o.o_custkey = e.user_id
+     AND e.ts <= o.o_orderdate + INTERVAL 9000 DAY
+    """,
+)
+def c10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order matched to the customer's latest event at or
+    before (orderdate + 9000d) — the shift overlaps the 1995-2001 order dates
+    with the 2024 event timestamps so matches actually occur.
+
+    Spark 4 has no native ASOF JOIN. Engine strategy (SURVEY §4): range-join
+    + per-left-row max_by — one equi-shuffle on the key column, then a hash
+    aggregate keyed by the left row; no window over the full union needed.
+    Ties on ts broken by event_id (max_by on (ts, event_id) struct) to stay
+    deterministic (C5). At 100 TB both sides shuffle once on user_id;
+    per-key data is then local, and AQE splits skewed users.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 150)
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts"), "event_id"
+    )
+    cutoff = F.col("o_orderdate") + F.expr("INTERVAL 9000 DAY")
+    joined = o.join(
+        e, (o.o_custkey == e.user_id) & (e.ts <= cutoff), "left"
+    )
+    return joined.groupBy(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).agg(
+        F.max("ts").alias("event_ts"),
+        F.max_by("event_id", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "event_id"
+        ),
+    )
+
+
+# --- c11: broadcast-hint variant (plan-shape asserted in tests) ---------------------------------
+@register("c11")
+def c11_broadcast_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rows as c8 with explicit broadcast hints; tests/test_plans.py
+    asserts BroadcastHashJoin is actually chosen (UNIT row per SURVEY §2.C)."""
+    return c8_star_join(spark, sf_dir)
+
+
+# --- c12: self-join (events within 1h per user — citation-edge shape) ---------------------------
+@register(
+    "c12",
+    oracle="""
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id,
+           CAST(date_diff('second', CAST(a.ts AS TIMESTAMP),
+                          CAST(b.ts AS TIMESTAMP)) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def c12_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-pairs within 1h per user (the reference's citation-graph
+    self-join shape over its reference-edges table, re-keyed to events).
+
+    Equi-condition on user_id carries the shuffle; the range condition
+    filters inside each key group. Skewed users are the risk at scale —
+    AQE skew-join splitting is the mitigation.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("a.event_id").alias("eid_a"),
+        F.col("b.event_id").alias("eid_b"),
+        F.col("a.user_id").alias("user_id"),
+        (
+            F.unix_timestamp(F.col("b.ts")) - F.unix_timestamp(F.col("a.ts"))
+        ).alias("gap_s"),
+    )

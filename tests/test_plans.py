@@ -46,3 +46,15 @@ def test_partial_agg_before_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["d2"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange hashpartitioning(l_returnflag" in plan, plan
+
+
+def test_c11_broadcast_join_chosen(spark, sf_dir):
+    df = QUERIES["c11"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_d4_approx_distinct_within_5pct(spark, sf_dir):
+    for row in QUERIES["d4"](spark, sf_dir).collect():
+        assert abs(row.approx_nd_parts - row.exact_nd_parts) <= 0.05 * row.exact_nd_parts
