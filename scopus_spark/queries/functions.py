@@ -218,3 +218,113 @@ def h10_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "meta_sha256"
         ),
     )
+
+
+# --- h2: split + explode (word counts over documents.text) -------------------
+@register(
+    "h2",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def h2_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + explode + count — the canonical text fan-out. At 100 TB
+    the explode multiplies rows ~100x; the downstream agg is map-side
+    combined so the shuffle carries only distinct words per partition."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- h7: array / higher-order functions over embeddings ----------------------
+@register(
+    "h7",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT)                                   AS dim,
+           list_slice(CAST(embedding AS DOUBLE[]), 1, 3)                 AS first3,
+           round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x)), 'sum'), 4)  AS l1_norm,
+           list_max(CAST(embedding AS DOUBLE[]))                         AS max_comp,
+           list_min(CAST(embedding AS DOUBLE[]))                         AS min_comp,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_pos,
+           list_contains([1, 2, 3], label)                               AS label_in_123
+    FROM embeddings
+    """,
+)
+def h7_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.slice(emb, 1, 3).alias("first3"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.array_max(emb).alias("max_comp"),
+        F.array_min(emb).alias("min_comp"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.array_contains(F.array(F.lit(1), F.lit(2), F.lit(3)), F.col("label")).alias(
+            "label_in_123"
+        ),
+    )
+
+
+# --- h8: map construction/access (compared as exploded rows, C6/h8 note) ------
+@register(
+    "h8",
+    oracle="""
+    SELECT doc_id, 'lang' AS k, lang AS v, lang AS lang_val FROM documents
+    UNION ALL
+    SELECT doc_id, 'source' AS k, source AS v, lang AS lang_val FROM documents
+    """,
+)
+def h8_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type exercised Spark-side (create_map/element_at/explode); the
+    oracle produces the identical exploded (k,v) rows relationally — map
+    ordering never reaches the hash (SURVEY h8 strategy)."""
+    d = table(spark, sf_dir, "documents")
+    mp = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.explode(mp).alias("k", "v"),
+        F.element_at(mp, "lang").alias("lang_val"),
+    )
+
+
+# --- h9: JSON extraction (events.props) ----------------------------------------
+@register(
+    "h9",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_get,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY k_get
+    """,
+)
+def h9_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k_get = F.get_json_object("props", "$.k").cast("int").alias("k_get")
+    return (
+        e.select(k_get, "value", F.from_json("props", "k INT").alias("j"))
+        .withColumn("k_schema", F.col("j.k"))
+        .groupBy("k_get")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(9,2)")).cast("double").alias("sum_value"),
+        )
+    )

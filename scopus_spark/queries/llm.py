@@ -1,1 +1,392 @@
-"""SURVEY §2 queries — placeholder, filled in build phases."""
+"""SURVEY §2.J — LLM-data-pipeline operators (j1–j8).
+
+The north-star additions (BASELINE.json:6): dedup, similarity search,
+text/corpus analysis, embedding stats, multimodal binary columns — each as
+a declared query with a DuckDB oracle, each designed scale-first:
+
+- Exact dedup (j1) & keyed near-dup verification (j2): one shuffle on the
+  dedup key / shingle; candidate generation at 100 TB goes through
+  MinHash-LSH banding (scopus_spark.operators.dedup) with THIS exact
+  Jaccard as the re-verification contract.
+- Similarity search (j3/j4): brute-force exact top-k as correctness anchor;
+  the scale path (LSH/IVF partition pruning) lives in
+  scopus_spark.operators.similarity with exact re-rank.
+- All FP outputs follow _fp.py (similarities rounded at 6dp per FIXTURES).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scopus_spark.catalog import table
+from scopus_spark.queries import _fp
+from scopus_spark.registry import register
+
+
+# --- j1: exact dedup by content hash -----------------------------------------
+@register(
+    "j1",
+    oracle="""
+    SELECT sha256(text)  AS content_hash,
+           min(doc_id)   AS keep_doc_id,
+           count(*)      AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    """,
+)
+def j1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha256(text), keep the min-doc_id copy.
+
+    The 100 TB shape: hashing shrinks the shuffle key from full text to 32
+    bytes; one shuffle, map-side partial agg. (8 real duplicate texts exist
+    at sf0.1 — FIXTURES.md.)
+    """
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2(F.col("text"), 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- j2: near-duplicate pairs — exact Jaccard >= 0.8 on word 3-gram shingles ---
+_J2_SPARK_THRESHOLD = 0.8
+
+
+@register(
+    "j2",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM toks
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.n_inter / (sa.n_sh + sb.n_sh - p.n_inter), 6) AS jaccard
+    FROM pair_inter p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.n_inter / (sa.n_sh + sb.n_sh - p.n_inter) >= 0.8
+    """,
+)
+def j2_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: exact Jaccard >= 0.8 over word-3-gram shingle sets.
+
+    Plan: tokenize -> shingle (array expr, no UDF) -> explode distinct ->
+    self-join on shingle -> per-pair intersection counts -> Jaccard filter.
+    The shingle self-join is the scale risk (hot shingles explode); the
+    production path prunes candidates with MinHash-LSH banding
+    (operators/dedup.py) and re-verifies with exactly this Jaccard — the
+    declared semantics never change.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    shingle_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(-1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        )
+    )
+    shingles = d.select(
+        "doc_id", F.explode(shingle_arr).alias("shingle")
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _J2_SPARK_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _cosine(emb_a, emb_b):
+    """Cosine similarity of two double-array columns via higher-order fns
+    (JVM-side, no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(emb_a, emb_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda e: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return dot / (norm(emb_a) * norm(emb_b))
+
+
+def _emb_double(col="embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+# --- j3: exact top-10 cosine neighbors of vec_id=0 -----------------------------
+@register(
+    "j3",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def j3_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 (the correctness anchor for ANN).
+
+    Ranking happens on the ROUNDED similarity (6dp) + vec_id tie-break so
+    both engines order identically even when their fused dot products differ
+    in the last ulp. Scale path: operators/similarity.py prunes candidates
+    by LSH bucket / IVF cell, then re-ranks with this exact cosine.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        _emb_double().alias("qe")
+    )
+    cos = F.round(_cosine(_emb_double(), F.col("qe")), 6)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# --- j4: all-pairs 1-NN + label agreement ----------------------------------------
+@register(
+    "j4",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id, a.label AS label_a, b.vec_id AS nn_id, b.label AS label_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, nn_id, cos_sim,
+           (label_a = label_b) AS label_match
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j4_allpairs_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN for every vector (O(n^2) exact — the correctness anchor).
+
+    At 100 TB this is block-nested-loop over IVF cells (similarity.py);
+    declared semantics = exact argmax of rounded cosine with id tie-break.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(
+        _cosine(
+            F.transform(F.col("a.embedding"), lambda x: x.cast("double")),
+            F.transform(F.col("b.embedding"), lambda x: x.cast("double")),
+        ),
+        6,
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label_a"),
+        F.col("b.vec_id").alias("nn_id"),
+        F.col("b.label").alias("label_b"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "cos_sim",
+            (F.col("label_a") == F.col("label_b")).alias("label_match"),
+        )
+    )
+
+
+# --- j5: TF-IDF, top-5 terms per doc ------------------------------------------------
+@register(
+    "j5",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, word AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def j5_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF purely relationally: tokenize -> tf -> df join -> score ->
+    per-doc top-5. df table is tiny (vocab) -> broadcast; ranking on the
+    rounded score keeps cross-engine ordering identical."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar, known at plan time (cheap count on metadata)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+# --- j6: corpus text analysis ----------------------------------------------------------
+@register(
+    "j6",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT doc_id)                           AS n_docs,
+           count(*)                                         AS n_tokens,
+           count(DISTINCT word)                             AS vocab,
+           round(count(*) / count(DISTINCT doc_id), 4)      AS avg_tokens_per_doc,
+           round(avg(length(word)), 4)                      AS avg_word_len
+    FROM words
+    GROUP BY lang
+    """,
+)
+def j6_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    return words.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("word").alias("vocab"),
+        F.round(F.count(F.lit(1)) / F.countDistinct("doc_id"), 4).alias(
+            "avg_tokens_per_doc"
+        ),
+        F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
+    )
+
+
+# --- j7: embedding column statistics ------------------------------------------------------
+@register(
+    "j7",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x), 'sum')) AS l2,
+             embedding[1] AS c0, embedding[2] AS c1
+      FROM embeddings
+    )
+    SELECT label,
+           count(*)             AS n_vecs,
+           round(avg(l2), 4)    AS avg_norm,
+           round(avg(CAST(c0 AS DOUBLE)), 6) AS centroid_c0,
+           round(avg(CAST(c1 AS DOUBLE)), 6) AS centroid_c1
+    FROM norms
+    GROUP BY label
+    """,
+)
+def j7_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = _emb_double()
+    l2 = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        e.select(
+            "label",
+            l2.alias("l2"),
+            F.element_at(F.col("embedding"), 1).cast("double").alias("c0"),
+            F.element_at(F.col("embedding"), 2).cast("double").alias("c1"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("l2"), 4).alias("avg_norm"),
+            F.round(F.avg("c0"), 6).alias("centroid_c0"),
+            F.round(F.avg("c1"), 6).alias("centroid_c1"),
+        )
+    )
+
+
+# --- j8: multimodal binary column round-trip -------------------------------------------------
+@register(
+    "j8",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           sha256(text)                            AS payload_sha,
+           lang                                    AS meta_lang
+    FROM documents
+    """,
+)
+def j8_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload handling: text bytes stand in for image/audio
+    blobs (decode stubs live in operators/multimodal.py — the container has
+    no codec libs). Schema/partitioning/hash round-trip is the real,
+    tested part. Oracle note: DuckDB 1.0's sha256 only accepts VARCHAR, so
+    the oracle hashes the text directly — identical UTF-8 bytes either way."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("byte_len"),
+        F.sha2(payload, 256).alias("payload_sha"),
+        F.col("lang").alias("meta_lang"),
+    )

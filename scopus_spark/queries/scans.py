@@ -1,1 +1,264 @@
-"""SURVEY §2 queries — placeholder, filled in build phases."""
+"""SURVEY §2.A — scans, sources, sinks (a1–a7).
+
+Round-trip strategy: each staged-format query (CSV/JSON/XML/partitioned
+parquet) WRITES the corpus slice in that format, READS it back, and the
+oracle recomputes the same slice from the original parquet — so the hash
+check proves round-trip fidelity, not just that two readers agree on a
+staged file. Stage dir is per-sf under /tmp.
+
+The JDBC sink (a6) is implemented in scopus_spark/sources/jdbc.py and
+covered by unit tests only (no RDBMS driver jar in this container —
+SURVEY §2.A a6).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scopus_spark.catalog import load_table, table
+from scopus_spark.registry import register
+
+STAGE_ROOT = "/tmp/scopus_spark_stage"
+
+
+def _stage(sf_dir: str, name: str) -> str:
+    return os.path.join(STAGE_ROOT, os.path.basename(sf_dir.rstrip("/")), name)
+
+
+# --- a1: parquet scan with explicit schema + pushdown ---------------------------
+_LINEITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampType()),
+    ]
+)
+
+
+@register(
+    "a1",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def a1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema parquet scan; predicate + projection reach the scan
+    (asserted in tests/test_plans.py). Explicit schema = no footer-sampling
+    at 100 TB planning time."""
+    df = spark.read.schema(_LINEITEM_SCHEMA).parquet(f"{sf_dir}/lineitem.parquet")
+    assert df.schema == _LINEITEM_SCHEMA
+    return df.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+# --- a2: CSV round-trip ------------------------------------------------------------
+@register(
+    "a2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def a2_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem sample as CSV (header, ISO timestamps), read back
+    with an explicit schema; hash-compared against the ORIGINAL parquet
+    rows, proving lossless round-trip including timestamp parsing."""
+    path = _stage(sf_dir, "lineitem_csv")
+    sample = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            "l_shipdate",
+        )
+    )
+    sample.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+# --- a3: JSON-lines round-trip incl. nested struct -----------------------------------
+@register(
+    "a3",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_custkey AS cust_id,
+           o_orderpriority AS cust_priority
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+)
+def a3_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with a nested struct column, flattened after
+    re-read; hash vs the original rows."""
+    path = _stage(sf_dir, "orders_json")
+    sample = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.struct(
+                F.col("o_custkey").alias("id"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("cust"),
+        )
+    )
+    sample.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField(
+                "cust",
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType()),
+                        T.StructField("priority", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("cust.id").alias("cust_id"),
+        F.col("cust.priority").alias("cust_priority"),
+    )
+
+
+# --- a4: XML ingest (Scopus snapshot heritage) ------------------------------------------
+@register(
+    "a4",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, text
+    FROM documents
+    """,
+)
+def a4_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip: stage an XML rendering of `documents` (one <doc>
+    record per row — the reference's ZIP-of-XML snapshot shape [U],
+    SURVEY §1.1), read it with Spark 4's built-in XML source, hash vs the
+    original table. Upgraded from the survey's ROWS-only plan: recomputing
+    the oracle from parquet needs no DuckDB XML reader."""
+    path = _stage(sf_dir, "documents_xml")
+    d = table(spark, sf_dir, "documents")
+    d.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).format("xml").option("rowTag", "doc").option("rootTag", "docs").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "doc").schema(schema).load(path)
+    )
+    return back.select("doc_id", "lang", "source", "n_chars", "text")
+
+
+# --- a5: partitioned parquet sink + partition-pruned re-scan -------------------------------
+@register(
+    "a5",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def a5_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink on l_returnflag; the re-scan filter prunes to
+    one partition directory (asserted in tests/test_plans.py). This is the
+    engine's idempotent batch-sink shape (SURVEY §7.2): partition columns
+    carry the predicate at 100 TB."""
+    path = _stage(sf_dir, "lineitem_part")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    # partition column comes back typed as read; normalize column order
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )
+
+
+# --- a7: in-memory source ---------------------------------------------------------------------
+@register(
+    "a7",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alpha', 1.5, TIMESTAMP '2024-01-01 00:00:00'),
+      (2, 'beta',  2.5, TIMESTAMP '2024-01-02 12:30:00'),
+      (3, NULL,    NULL, NULL)
+    ) AS t(id, name, score, created_at)
+    """,
+)
+def a7_inmemory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """createDataFrame with explicit schema incl. NULLs — the test-fixture
+    source every unit test builds on (upgraded to HASH via a VALUES oracle)."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("created_at", T.TimestampType()),
+        ]
+    )
+    rows = [
+        (1, "alpha", 1.5, dt.datetime(2024, 1, 1)),
+        (2, "beta", 2.5, dt.datetime(2024, 1, 2, 12, 30)),
+        (3, None, None, None),
+    ]
+    return spark.createDataFrame(rows, schema)

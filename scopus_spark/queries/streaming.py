@@ -1,1 +1,212 @@
-"""SURVEY §2 queries — placeholder, filled in build phases."""
+"""SURVEY §2.I — streaming operators (i1–i7), declared as batch equivalents.
+
+Batch/stream unification (Spark SQL paper, PAPERS.md): each windowed /
+stateful streaming operator is ONE logical plan that runs identically over
+a bounded DataFrame (declared here, hash-checked vs DuckDB) and over
+readStream micro-batches (exercised in tests/test_streaming.py through
+scopus_spark/streaming/harness.py — same builder functions).
+
+Watermarks bound state at scale (i4): session/window state is dropped once
+the watermark passes, so a 100 TB/day stream holds only the open-window
+suffix in the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scopus_spark.catalog import table
+from scopus_spark.queries import _fp
+from scopus_spark.registry import register
+
+
+# Builder functions take an events-shaped DataFrame so the SAME logic runs
+# batch (below) and streaming (tests/test_streaming.py).
+
+def tumbling_1h(events: DataFrame) -> DataFrame:
+    w = F.window("ts", "1 hour")
+    return events.groupBy(w, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_fp.m("value")).cast("double").alias("sum_value"),
+    ).select(
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_1h_15m(events: DataFrame) -> DataFrame:
+    w = F.window("ts", "1 hour", "15 minutes")
+    return events.groupBy(w, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        F.col("window.start").alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+def session_30m(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_fp.m("value")).cast("double").alias("sum_value"),
+    ).select(
+        F.col("sw.start").alias("sess_start"),
+        F.col("sw.end").alias("sess_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    return events.join(
+        F.broadcast(customers), events.user_id == customers.c_custkey
+    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+
+
+# --- i1: tumbling window aggregate ---------------------------------------------
+@register(
+    "i1",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))                   AS win_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           count(*)                                        AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def i1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_1h(table(spark, sf_dir, "events"))
+
+
+# --- i2: sliding window (1h window / 15m slide) -----------------------------------
+@register(
+    "i2",
+    oracle="""
+    SELECT win_start, event_type, count(*) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - j * INTERVAL 15 MINUTE AS win_start,
+             event_type
+      FROM (SELECT ts, event_type, unnest([0, 1, 2, 3]) AS j FROM events)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def i2_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event belongs to 4 overlapping windows; the oracle generates the
+    same 4 window-starts per event via unnested offsets (SURVEY i2)."""
+    return sliding_1h_15m(table(spark, sf_dir, "events"))
+
+
+# --- i3: session window (30m inactivity gap) -----------------------------------------
+@register(
+    "i3",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT min(ts)                                     AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE                AS sess_end,
+           user_id,
+           count(*)                                    AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def i3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows; the oracle derives identical sessions via
+    gaps-and-islands (lag + cumulative new-session flags)."""
+    return session_30m(table(spark, sf_dir, "events"))
+
+
+# --- i4: watermark late-data drop (UNIT only — trigger-timing semantics) -------------
+@register("i4")
+def i4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch projection of the watermarked plan (rows-only). The real
+    late-drop semantics are asserted with scripted micro-batches in
+    tests/test_streaming.py::test_i4_watermark_drops_late_rows."""
+    ev = table(spark, sf_dir, "events")
+    return tumbling_1h(ev.withWatermark("ts", "10 minutes"))
+
+
+# --- i5: streaming dedup within watermark (UNIT only) ----------------------------------
+@register("i5")
+def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape: exact dedup on event_id. Streaming
+    dropDuplicatesWithinWatermark is asserted with scripted micro-batches
+    in tests/test_streaming.py::test_i5_dedup_within_watermark."""
+    ev = table(spark, sf_dir, "events")
+    return ev.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# --- i6: stream-static join ----------------------------------------------------------------
+@register(
+    "i6",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def i6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the static dim is broadcast to every
+    micro-batch; no state accumulates."""
+    return enrich_with_customers(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
+    )
+
+
+# --- i7: stateful per-key running aggregate ---------------------------------------------------
+@register(
+    "i7",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(9,2)))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def i7_stateful_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value sum. Batch = window; streaming = per-key state
+    via applyInPandasWithState (tests/test_streaming.py::test_i7) — the
+    state store holds one decimal per user, watermark-free because keys are
+    bounded."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_fp.m("value")).over(w).cast("double").alias("running_value"),
+    )

@@ -1,1 +1,179 @@
-"""SURVEY §2 queries — placeholder, filled in build phases."""
+"""SURVEY §2.K — Python UDF / pandas UDF / UDTF surface (k1–k6).
+
+The Python boundary is the engine's main perf cliff (SURVEY §3.2): k1 is
+row-at-a-time pickle (declared, but documented as the slow path); k2–k6 ride
+Arrow record batches (10-100x faster). None of these appear in the engine's
+relational hot paths — they exist for user extensibility, exactly like the
+reference's per-record Python extraction hooks [U].
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from scopus_spark.catalog import table
+from scopus_spark.registry import register
+
+
+# --- k1: scalar Python UDF (row-at-a-time) ------------------------------------
+@register(
+    "k1",
+    oracle="""
+    SELECT p_partkey,
+           replace(lower(p_name), ' ', '-') AS slug
+    FROM part
+    """,
+)
+def k1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (pickle boundary). Kept off hot paths —
+    declared here to cover the surface; k2 shows the vectorized way."""
+
+    @F.udf(StringType())
+    def slugify(name: str) -> str:
+        return name.lower().replace(" ", "-")
+
+    p = table(spark, sf_dir, "part")
+    return p.select("p_partkey", slugify("p_name").alias("slug"))
+
+
+# --- k2: vectorized pandas UDF, Series -> Series --------------------------------
+@register(
+    "k2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_extendedprice + 1), 4) AS log_price
+    FROM lineitem
+    """,
+)
+def k2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized Series->Series UDF (numpy log1p batch-at-a-time)."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def log1p_price(s: pd.Series) -> pd.Series:
+        return np.log1p(s)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(log1p_price("l_extendedprice"), 4).alias("log_price"),
+    )
+
+
+# --- k3: grouped-map applyInPandas (per-group z-score) ----------------------------
+@register(
+    "k3",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER seg)
+                 / stddev_samp(c_acctbal) OVER seg, 4) AS bal_z
+    FROM customer
+    WINDOW seg AS (PARTITION BY c_mktsegment)
+    """,
+)
+def k3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score via applyInPandas: each group arrives as one
+    pandas DataFrame (Arrow). pandas std() is ddof=1 == stddev_samp.
+    Scale note: a group must fit in one worker's memory — fine for bounded
+    segments; for unbounded keys use the window formulation (the oracle)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        pdf = pdf[["c_custkey", "c_mktsegment"]].copy()
+        pdf["bal_z"] = ((bal - bal.mean()) / bal.std(ddof=1)).round(4)
+        return pdf
+
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey long, c_mktsegment string, bal_z double"
+    )
+
+
+# --- k4: grouped-agg pandas UDAF (weighted mean) -------------------------------------
+@register(
+    "k4",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(o_totalprice * (o_orderkey % 7 + 1))
+                 / sum(o_orderkey % 7 + 1), 4) AS w_mean_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def k4_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    o = table(spark, sf_dir, "orders")
+    weight = (F.col("o_orderkey") % 7 + 1).cast("double")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(weighted_mean(F.col("o_totalprice"), weight), 4).alias(
+            "w_mean_price"
+        )
+    )
+
+
+# --- k5: mapInPandas batch-iterator transform ------------------------------------------
+@register(
+    "k5",
+    oracle="""
+    SELECT event_id, user_id, value * 2 AS dvalue
+    FROM events
+    WHERE value > 100
+    """,
+)
+def k5_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter+project in one Arrow-batch pass — the mapInPandas shape used
+    by the multimodal decode operators (operators/multimodal.py)."""
+    from collections.abc import Iterator
+
+    def flt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[pdf["value"] > 100]
+            yield pd.DataFrame(
+                {
+                    "event_id": out["event_id"],
+                    "user_id": out["user_id"],
+                    "dvalue": out["value"] * 2,
+                }
+            )
+
+    e = table(spark, sf_dir, "events")
+    return e.select("event_id", "user_id", "value").mapInPandas(
+        flt, "event_id long, user_id long, dvalue double"
+    )
+
+
+# --- k6: Python UDTF (one row in -> N rows out) --------------------------------------------
+@register(
+    "k6",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           unnest(range(1, least(len(w), 5) + 1))    AS word_no,
+           unnest(list_slice(w, 1, least(len(w), 5))) AS word
+    FROM t
+    """,
+)
+def k6_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF: explode each doc into its first 5 (word_no,
+    word) rows, invoked via LATERAL join in SQL (entry point E2)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_no bigint, word string")
+    class FirstWords:
+        def eval(self, text: str):
+            for i, word in enumerate(text.split(" ")[:5]):
+                yield i + 1, word
+
+    spark.udtf.register("first_words", FirstWords)
+    table(spark, sf_dir, "documents")  # ensure view
+    return spark.sql(
+        "SELECT d.doc_id, fw.word_no, fw.word "
+        "FROM documents d, LATERAL first_words(d.text) fw"
+    )

@@ -1,0 +1,106 @@
+"""Structured Streaming test harness (SURVEY §5.2.4).
+
+Runs the SAME logical plan builders from scopus_spark.queries.streaming
+over a file-source stream (readStream + availableNow trigger + foreachBatch
+accumulation) so tests can assert batch/stream equivalence, and supports
+SCRIPTED MICRO-BATCHES (drop file A, run; drop file B, run with the same
+checkpoint) for watermark late-drop and streaming-dedup semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+class StreamRig:
+    """A file-source streaming rig: an input dir files are dropped into, a
+    checkpoint dir carrying watermark/state across runs, and a collector."""
+
+    def __init__(self, spark: SparkSession, schema: T.StructType = EVENTS_STREAM_SCHEMA):
+        self.spark = spark
+        self.schema = schema
+        root = tempfile.mkdtemp(prefix="scopus_stream_")
+        self.input_dir = os.path.join(root, "in")
+        self.checkpoint_dir = os.path.join(root, "ckpt")
+        os.makedirs(self.input_dir)
+        self._root = root
+        self._file_no = 0
+
+    def drop_file(self, df: DataFrame) -> None:
+        """Write one parquet file into the source dir (one scripted batch)."""
+        staging = os.path.join(self._root, f"stage_{self._file_no}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        shutil.move(
+            os.path.join(staging, part),
+            os.path.join(self.input_dir, f"batch_{self._file_no:04d}.parquet"),
+        )
+        self._file_no += 1
+
+    def run(
+        self,
+        build: Callable[[DataFrame], DataFrame],
+        output_mode: str = "update",
+    ) -> list:
+        """One availableNow pass over files not yet seen by the checkpoint;
+        returns all rows emitted this pass."""
+        stream = self.spark.readStream.schema(self.schema).parquet(self.input_dir)
+        out = build(stream)
+        collected: list = []
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            collected.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(sink)
+            .queryName(f"rig_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination()
+        return collected
+
+    def cleanup(self) -> None:
+        shutil.rmtree(self._root, ignore_errors=True)
+
+
+def stream_events_equivalent(
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[DataFrame], DataFrame],
+    output_mode: str = "complete",
+) -> list:
+    """Run a builder over the events table as a one-shot file stream and
+    return the final emitted rows (for complete mode, the last snapshot)."""
+    from scopus_spark.catalog import load_table
+
+    rig = StreamRig(spark)
+    try:
+        rig.drop_file(load_table(spark, sf_dir, "events"))
+        rows = rig.run(build, output_mode=output_mode)
+        return rows
+    finally:
+        rig.cleanup()

@@ -1,0 +1,192 @@
+"""Streaming-semantics tests (SURVEY §5.2.4): batch/stream equivalence for
+i1–i3/i6, scripted-micro-batch watermark + dedup semantics for i4/i5, and
+applyInPandasWithState for i7.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scopus_spark import registry
+from scopus_spark.catalog import load_table, table
+from scopus_spark.queries import streaming as sq
+from scopus_spark.streaming.harness import EVENTS_STREAM_SCHEMA, StreamRig
+from tests.conftest import SMOKE_SF_DIR
+
+QUERIES = registry.all_queries()
+
+
+def _rows_set(rows, cols):
+    return sorted(tuple(r[c] for c in cols) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "builder,key,cols",
+    [
+        (sq.tumbling_1h, "i1", ["win_start", "event_type", "n_events", "sum_value"]),
+        (sq.sliding_1h_15m, "i2", ["win_start", "event_type", "n_events"]),
+        (sq.session_30m, "i3", ["sess_start", "sess_end", "user_id", "n_events"]),
+    ],
+)
+def test_stream_batch_equivalence(spark, builder, key, cols):
+    """The same plan over readStream(availableNow, complete mode) must equal
+    the batch result on sf0.001 events."""
+    rig = StreamRig(spark)
+    try:
+        rig.drop_file(load_table(spark, SMOKE_SF_DIR, "events"))
+        streamed = rig.run(builder, output_mode="complete")
+    finally:
+        rig.cleanup()
+    batch = builder(load_table(spark, SMOKE_SF_DIR, "events")).collect()
+    assert _rows_set(streamed, cols) == _rows_set(batch, cols)
+
+
+def test_i6_stream_static_join_equivalence(spark):
+    customers = table(spark, SMOKE_SF_DIR, "customer")
+    rig = StreamRig(spark)
+    try:
+        rig.drop_file(load_table(spark, SMOKE_SF_DIR, "events"))
+        streamed = rig.run(
+            lambda s: sq.enrich_with_customers(s, customers), output_mode="append"
+        )
+    finally:
+        rig.cleanup()
+    batch = QUERIES["i6"](spark, SMOKE_SF_DIR).collect()
+    cols = ["event_id", "user_id", "c_name", "c_mktsegment", "value"]
+    assert _rows_set(streamed, cols) == _rows_set(batch, cols)
+
+
+def _mk_events(spark, rows):
+    """rows: list of (event_id, ts_str, user_id, type, value)."""
+    data = [
+        (eid, dt.datetime.fromisoformat(ts), uid, et, val, '{"k": 1}')
+        for eid, ts, uid, et, val in rows
+    ]
+    return spark.createDataFrame(data, EVENTS_STREAM_SCHEMA)
+
+
+def test_i4_watermark_drops_late_rows(spark):
+    """Scripted micro-batches: batch 1 sets the watermark; a batch-2 row
+    older than (max_ts - 10m) must be dropped from its window's count."""
+    rig = StreamRig(spark)
+    build = lambda s: sq.tumbling_1h(s.withWatermark("ts", "10 minutes"))  # noqa: E731
+    try:
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+                    (2, "2024-01-01 12:00:00", 1, "click", 1.0),  # advances WM to 11:50
+                ],
+            )
+        )
+        rig.run(build, output_mode="update")
+        # batch 2: one late row (10:30 < WM 11:50 → dropped), one on-time row
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [
+                    (3, "2024-01-01 10:30:00", 1, "click", 1.0),  # LATE — dropped
+                    (4, "2024-01-01 12:10:00", 1, "click", 1.0),  # on time
+                ],
+            )
+        )
+        out2 = rig.run(build, output_mode="update")
+    finally:
+        rig.cleanup()
+    by_window = {
+        (r.win_start, r.event_type): r.n_events for r in out2
+    }
+    ten = dt.datetime(2024, 1, 1, 10)
+    twelve = dt.datetime(2024, 1, 1, 12)
+    # the 10:00 window must NOT be re-emitted/updated by the late row
+    assert (ten, "click") not in by_window, out2
+    # the 12:00 window grew to 2 (event 2 from batch1 + event 4)
+    assert by_window.get((twelve, "click")) == 2, out2
+
+
+def test_i5_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: a duplicate event_id arriving within
+    the watermark window is suppressed."""
+    rig = StreamRig(spark)
+    build = lambda s: (  # noqa: E731
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    try:
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+                    (2, "2024-01-01 10:01:00", 1, "view", 1.0),
+                ],
+            )
+        )
+        out1 = rig.run(build, output_mode="append")
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:02:00", 1, "click", 1.0),  # dup — dropped
+                    (3, "2024-01-01 10:03:00", 1, "purchase", 1.0),
+                ],
+            )
+        )
+        out2 = rig.run(build, output_mode="append")
+    finally:
+        rig.cleanup()
+    assert sorted(r.event_id for r in out1) == [1, 2]
+    assert sorted(r.event_id for r in out2) == [3]
+
+
+def test_i7_stateful_running_sum_stream(spark):
+    """applyInPandasWithState running sum must equal the batch window
+    running sum after processing scripted batches in order."""
+    out_schema = "user_id long, event_id long, running_value double"
+    state_schema = "total double"
+
+    def running(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0.0
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                total = round(total + float(r["value"]), 2)
+                rows.append((key[0], int(r["event_id"]), total))
+        state.update((total,))
+        yield pd.DataFrame(rows, columns=["user_id", "event_id", "running_value"])
+
+    def build(s):
+        return s.groupBy("user_id").applyInPandasWithState(
+            running, out_schema, state_schema, "update",
+            "NoTimeout",
+        )
+
+    rig = StreamRig(spark)
+    try:
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:00:00", 1, "click", 1.5),
+                    (2, "2024-01-01 10:05:00", 1, "click", 2.25),
+                    (3, "2024-01-01 10:06:00", 2, "view", 4.0),
+                ],
+            )
+        )
+        out1 = rig.run(build, output_mode="update")
+        rig.drop_file(
+            _mk_events(spark, [(4, "2024-01-01 11:00:00", 1, "click", 1.0)])
+        )
+        out2 = rig.run(build, output_mode="update")
+    finally:
+        rig.cleanup()
+    got = {r.event_id: r.running_value for r in out1 + out2}
+    assert got == {1: 1.5, 2: 3.75, 3: 4.0, 4: 4.75}
