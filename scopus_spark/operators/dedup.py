@@ -1,0 +1,165 @@
+"""Deduplication operators for the training-data pipeline (SURVEY §2.L).
+
+Four tiers, all DataFrame-native:
+
+1. Exact (j1/g6):       sha256 hash-groupBy — one shuffle on a 32-byte key.
+2. MinHash + LSH (j9):  map-side signatures + banding; ONE shuffle on
+                        (band_no, band_hash); candidates re-verified with
+                        exact Jaccard (j2 semantics) so declared results
+                        are always exact.
+3. SimHash (j10/j11):   64-bit-ish fingerprint, map-side; hamming-near
+                        pairs via band-equality join + bit_count verify.
+4. Embedding cosine (queries/llm.py j12): near-dup by vector similarity.
+
+Determinism contract: every hash derives from md5 of the content (never
+murmur/xxhash, which differ across engines), so DuckDB oracles reproduce
+signatures bit-for-bit.
+
+100 TB notes: signatures/fingerprints are map-side only (no shuffle until
+the candidate join); banding bounds join fan-out (a pair must share a full
+band); AQE skew splitting handles hot bands (e.g. boilerplate docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scopus_spark.operators.text import hash60, word_shingles
+
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SIMHASH_BITS = 60
+
+
+def minhash_signature(text: str | Column, n_hashes: int = N_HASHES) -> Column:
+    """MinHash signature as array<string>: element s = min over shingles of
+    md5(s || ':' || shingle). Entirely map-side (nested higher-order fns,
+    no explode/shuffle)."""
+    sh = word_shingles(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                sh, lambda g: F.md5(F.concat(s.cast("string"), F.lit(":"), g))
+            )
+        ),
+    )
+
+
+def band_hashes(signature: Column, n_bands: int = N_BANDS,
+                rows_per_band: int = ROWS_PER_BAND) -> Column:
+    """LSH band digests: md5 over each contiguous signature slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(
+            F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "|")
+        ),
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band.
+
+    Returns (doc_a, doc_b, n_shared_bands). The caller re-verifies with
+    exact Jaccard (queries/llm.py j2) — LSH only prunes."""
+    banded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(band_hashes(minhash_signature(text_col))).alias(
+            "band_no", "band_hash"
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(text: str | Column, n_bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint over whitespace tokens.
+
+    bit i = 1 iff sum over tokens of (+1 if bit i of hash60(token) else -1)
+    is positive. Map-side: n_bits nested folds over the token array."""
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    hashes = F.transform(toks, lambda t: hash60(t))
+
+    def bit_balance(i: Column) -> Column:
+        mask = F.pow(F.lit(2.0), i).cast("long")
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(bit_balance(i) > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def simhash_bands(fp: Column, n_bands: int = 4, bits: int = SIMHASH_BITS) -> Column:
+    """Split a simhash into n_bands bit-slices for hamming-LSH joins.
+
+    Band value = the masked (unshifted) bit-slice — band_no is part of the
+    join key, so no shift is needed, keeping everything in exact long
+    bitwise ops (powers of two are exactly representable doubles -> long).
+    """
+    per = bits // n_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: fp.bitwiseAND(
+            (F.pow(F.lit(2.0), (b + 1) * per) - F.pow(F.lit(2.0), b * per)).cast(
+                "long"
+            )
+        ),
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    LSH on 15-bit bands (a pair within hamming 3 of 60 bits must agree on
+    >=1 band; wider hamming uses more bands/permutations at scale); each
+    band match is verified with an exact bit_count(xor)."""
+    withfp = docs.select(
+        F.col(id_col).alias("doc_id"), simhash(text_col).alias("fp")
+    )
+    banded = withfp.select(
+        "doc_id", "fp", F.posexplode(simhash_bands(F.col("fp"))).alias("band_no", "band_val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,366 @@
+"""SURVEY §2.L (added during build, round 1) — training-data pipeline
+operators beyond the reference surface: MinHash-LSH & SimHash dedup,
+embedding near-dup, language-ID, quality scoring, token counting, document
+fingerprinting, multimodal feature extraction.
+
+Every hash in these operators derives from md5 (never murmur/xxhash) so
+the DuckDB oracles reproduce signatures bit-for-bit — LSH candidate sets
+are HASH-checked, not just spot-checked. Scale notes live on the operator
+implementations in scopus_spark/operators/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scopus_spark.catalog import table
+from scopus_spark.operators import dedup, multimodal, similarity
+from scopus_spark.operators.text import LANG_MARKERS, char_shingles, lang_score, tokens
+from scopus_spark.registry import register
+
+
+# --- j9: MinHash-LSH candidate pairs ------------------------------------------
+@register(
+    "j9",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 12),
+               s -> list_min(list_transform(shingles,
+                      g -> md5(CAST(s AS VARCHAR) || ':' || g)))) AS sig
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id,
+             unnest(range(0, 4)) AS band_no,
+             unnest(list_transform(range(0, 4),
+               b -> md5(array_to_string(list_slice(sig, b*3 + 1, b*3 + 3), '|'))))
+               AS band_hash
+      FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def j9_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12 hashes) + LSH(4 bands x 3 rows) candidate pairs.
+
+    Signatures and band digests are map-side array expressions (no shuffle
+    until the band join — operators/dedup.py). Candidates feed the exact
+    Jaccard verifier (j2) in the production dedup pipeline.
+    """
+    return dedup.lsh_candidate_pairs(table(spark, sf_dir, "documents"))
+
+
+# --- j10: SimHash fingerprints ---------------------------------------------------
+_SIMHASH_ORACLE_CORE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h & CAST(pow(2.0, i) AS BIGINT)) != 0
+                      THEN 1 ELSE -1 END) AS bal
+      FROM th, (SELECT unnest(range(0, 60)) AS i) g
+      GROUP BY doc_id, i
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bal > 0 THEN CAST(pow(2.0, i) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "j10",
+    oracle=_SIMHASH_ORACLE_CORE + "SELECT doc_id, fp AS simhash FROM fps",
+)
+def j10_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (operators/dedup.py) — map-side nested
+    folds, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash("text").alias("simhash"))
+
+
+# --- j11: SimHash hamming-near pairs ------------------------------------------------
+@register(
+    "j11",
+    oracle=_SIMHASH_ORACLE_CORE
+    + """,
+    bands AS (
+      SELECT doc_id, fp,
+             unnest(range(0, 4)) AS band_no,
+             unnest(list_transform(range(0, 4),
+               b -> fp & CAST(pow(2.0, (b+1)*15) - pow(2.0, b*15) AS BIGINT)))
+               AS band_val
+      FROM fps
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_no = b.band_no AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 8
+    """,
+)
+def j11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=8 SimHash pairs via 15-bit band LSH + exact bit_count
+    verification (operators/dedup.py)."""
+    return dedup.simhash_near_pairs(table(spark, sf_dir, "documents"))
+
+
+# --- j12: embedding-cosine near-duplicate pairs ----------------------------------------
+@register(
+    "j12",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label_a, b.label AS label_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+)
+def j12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45, calibrated: the
+    synthetic corpus's max pair cosine is ~0.51). At 100 TB the pair space
+    is pruned by IVF cells (operators/similarity.py) before this exact
+    filter."""
+    e = table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        similarity.cosine(
+            similarity.as_double(F.col("a.embedding")),
+            similarity.as_double(F.col("b.embedding")),
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+# --- j13: language identification (n-gram/marker heuristic) ------------------------------
+def _lang_ladder_sql() -> str:
+    scores = {
+        lang: (
+            "len(list_filter(string_split(text,' '), t -> list_contains(["
+            + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+            + "], t))) / len(string_split(text,' '))"
+        )
+        for lang in sorted(LANG_MARKERS)
+    }
+    sel = ",\n           ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    langs = sorted(LANG_MARKERS)
+    ladder = "CASE "
+    for lang in langs:
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        ladder += f"WHEN {conds} THEN '{lang}' "
+    ladder += "END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {sel}
+      FROM documents
+    )
+    SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+           {ladder} AS pred_lang,
+           ({ladder} = lang) AS agrees_with_metadata
+    FROM scored
+    """
+
+
+@register("j13", oracle=_lang_ladder_sql())
+def j13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-word hit ratio per language, argmax
+    with an alphabetical-first tie-break (identical CASE ladder both
+    engines). The contract is the argmax semantics — the corpus is
+    synthetic bag-of-words, so linguistic accuracy is not asserted."""
+    d = table(spark, sf_dir, "documents")
+    langs = sorted(LANG_MARKERS)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[lang_score("text", lang).alias(f"s_{lang}") for lang in langs],
+    )
+    pred = None
+    for lang in langs:
+        cond = None
+        for o in langs:
+            if o == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        "doc_id",
+        *[f"s_{lang}" for lang in langs],
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("agrees_with_metadata"),
+    )
+
+
+# --- j14: quality scoring -----------------------------------------------------------------
+@register(
+    "j14",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT)                       AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT)       AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS BIGINT)     AS n_letter_chars,
+             len(list_filter(string_split(text,' '),
+                 t -> list_contains(['the','and','of','to','in','is','row','table'], t)))
+               / len(string_split(text,' '))                    AS stopword_ratio,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / length(text)                                   AS digit_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           n_letter_chars / n_tokens AS avg_token_len,
+           stopword_ratio, digit_ratio,
+           0.4 * stopword_ratio
+             + 0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.2 * (1.0 - digit_ratio) AS quality_score
+    FROM base
+    """,
+)
+def j14_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc quality features (length / stopword / digit ratios) + a weighted
+    composite — the filter stage of a training-data pipeline. All exact
+    integer ratios and IEEE arithmetic: no rounding needed (_fp.py)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(toks).cast("long")
+    stop = lang_score("text", "en")
+    digit = F.length(F.regexp_replace("text", "[^0-9]", "")) / F.length("text")
+    base = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_letter_chars"
+        ),
+        stop.alias("stopword_ratio"),
+        digit.alias("digit_ratio"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_letter_chars") / F.col("n_tokens")).alias("avg_token_len"),
+        "stopword_ratio",
+        "digit_ratio",
+        (
+            0.4 * F.col("stopword_ratio")
+            + 0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.2 * (1.0 - F.col("digit_ratio"))
+        ).alias("quality_score"),
+    )
+
+
+# --- j15: token counting (whitespace + BPE-ish regex) ----------------------------------------
+@register(
+    "j15",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT)                          AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT)                           AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def j15_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces, and the
+    chars/4 budget heuristic — the cost-estimation stage of a pipeline."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+        ).alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("approx_bpe_tokens"),
+    )
+
+
+# --- j16: document fingerprint (min-hash of char 5-grams) --------------------------------------
+@register(
+    "j16",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                                   i -> md5(substr(text, CAST(i AS INT), 5)))) AS fingerprint
+    FROM documents
+    """,
+)
+def j16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite content fingerprint: minimum md5 over character
+    5-gram shingles — one stable 32-hex-char id per document, map-side."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_min(
+            F.transform(char_shingles("text", 5), lambda s: F.md5(s))
+        ).alias("fingerprint"),
+    )
+
+
+# --- j17: IVF-pruned approximate nearest neighbors (ROWS + recall unit test) --------------------
+@register("j17")
+def j17_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-10 for vec_id=0 probing 4 of 16 cells — the 100 TB
+    similarity-search path (operators/similarity.py). Approximate by
+    design -> rows-only check here; tests/test_operators.py asserts
+    recall vs the exact j3 results and exactness at full probe."""
+    return similarity.ann_topk(
+        table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, n_cells=16, n_probe=4
+    )
+
+
+# --- j18: multimodal feature extraction over binary payloads ------------------------------------
+@register(
+    "j18",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           ascii(substr(text, 1, 1))                  AS first_byte,
+           ascii(substr(text, length(text), 1))       AS last_byte,
+           sha256(text)                               AS payload_sha
+    FROM documents
+    """,
+)
+def j18_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over opaque binary payloads via
+    mapInPandas (operators/multimodal.py). The oracle recomputes the
+    deterministic features from the source text (corpus is ASCII, so byte
+    values == ascii codes)."""
+    media = multimodal.attach_payload(table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "scopus_spark.queries.functions",
     "scopus_spark.queries.streaming",
     "scopus_spark.queries.llm",
+    "scopus_spark.queries.pipeline",
     "scopus_spark.queries.udfs",
 )
 
