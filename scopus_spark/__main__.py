@@ -1,0 +1,39 @@
+"""CLI for the snapshot-extraction pipeline (mirrors the reference's UX).
+
+    python -m scopus_spark render-snapshot --sf-dir /root/testdata/sf0.001 --output /tmp/snap
+    python -m scopus_spark extract --input /tmp/snap --output /tmp/extracted
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from scopus_spark import etl
+from scopus_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="scopus_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render-snapshot", help="render documents as an XML snapshot")
+    r.add_argument("--sf-dir", required=True)
+    r.add_argument("--output", required=True)
+
+    e = sub.add_parser("extract", help="XML snapshot -> normalized parquet tables")
+    e.add_argument("--input", required=True)
+    e.add_argument("--output", required=True)
+
+    args = ap.parse_args()
+    spark = get_spark(app_name=f"scopus_spark_{args.cmd}")
+    if args.cmd == "render-snapshot":
+        etl.render_snapshot(spark, args.sf_dir, args.output)
+        print(f"snapshot written to {args.output}")
+    else:
+        tables = etl.extract_snapshot(spark, args.input, args.output)
+        for name, df in tables.items():
+            print(f"{name}: {df.count()} rows -> {args.output}/{name}")
+
+
+if __name__ == "__main__":
+    main()
