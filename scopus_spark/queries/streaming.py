@@ -210,3 +210,44 @@ def i7_stateful_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(_fp.m("value")).over(w).cast("double").alias("running_value"),
     )
+
+
+def purchase_error_pairs(events: DataFrame) -> DataFrame:
+    """Stream-stream join shape: purchases joined to the same user's errors
+    within the following hour. Batch and streaming share this builder; the
+    streaming variant adds watermarks on BOTH sides (state eviction)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "e_id", F.col("p_user").alias("user_id"))
+
+
+# --- i8: stream-stream interval join (ADDED §2.L-era; batch equiv HASH) ---------
+@register(
+    "i8",
+    oracle="""
+    SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts > p.ts
+     AND e.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases ⋈ same-user errors within 1h. Streaming variant (both
+    sides watermarked, interval condition bounds the state) exercised in
+    tests/test_streaming.py::test_i8_stream_stream_join."""
+    return purchase_error_pairs(table(spark, sf_dir, "events"))

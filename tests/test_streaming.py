@@ -190,3 +190,63 @@ def test_i7_stateful_running_sum_stream(spark):
         rig.cleanup()
     got = {r.event_id: r.running_value for r in out1 + out2}
     assert got == {1: 1.5, 2: 3.75, 3: 4.0, 4: 4.75}
+
+
+def test_i8_stream_stream_join(spark):
+    """Stream-stream interval join with watermarks on both sides must match
+    the batch join over the same scripted input."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 1.0),
+        (2, "2024-01-01 10:20:00", 1, "error", 1.0),    # within 1h of 1
+        (3, "2024-01-01 12:00:00", 1, "error", 1.0),    # outside
+        (4, "2024-01-01 10:30:00", 2, "purchase", 1.0),
+        (5, "2024-01-01 10:40:00", 2, "error", 1.0),    # within 1h of 4
+        (6, "2024-01-01 13:00:00", 9, "view", 1.0),     # advances watermark
+    ]
+
+    def build(s):
+        s = s.withWatermark("ts", "10 minutes")
+        return sq.purchase_error_pairs(s)
+
+    rig = StreamRig(spark)
+    try:
+        rig.drop_file(_mk_events(spark, rows))
+        streamed = rig.run(build, output_mode="append")
+    finally:
+        rig.cleanup()
+    batch = sq.purchase_error_pairs(_mk_events(spark, rows)).collect()
+    cols = ["p_id", "e_id", "user_id"]
+    assert _rows_set(streamed, cols) == _rows_set(batch, cols)
+    assert _rows_set(batch, cols) == [(1, 2, 1), (4, 5, 2)]
+
+
+def test_streaming_file_sink_roundtrip(spark):
+    """writeStream -> parquet file sink -> batch re-read: the streaming
+    OUTPUT side (exactly-once file sink with checkpoint manifest)."""
+    import tempfile
+
+    from scopus_spark.catalog import load_table
+
+    out = tempfile.mkdtemp(prefix="scopus_sink_")
+    rig = StreamRig(spark)
+    try:
+        rig.drop_file(load_table(spark, SMOKE_SF_DIR, "events"))
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(rig.input_dir)
+        q = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        written = spark.read.parquet(f"{out}/data")
+        src = load_table(spark, SMOKE_SF_DIR, "events")
+        assert written.count() == src.count()
+        assert set(written.columns) == {"event_id", "user_id", "value"}
+    finally:
+        rig.cleanup()
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
