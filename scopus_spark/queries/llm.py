@@ -220,15 +220,24 @@ def j4_allpairs_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared semantics = exact argmax of rounded cosine with id tie-break.
     """
     e = table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.round(
-        _cosine(
-            F.transform(F.col("a.embedding"), lambda x: x.cast("double")),
-            F.transform(F.col("b.embedding"), lambda x: x.cast("double")),
-        ),
-        6,
+    # Precompute each vector's norm ONCE (n rows) instead of inside every
+    # pair (n^2 rows): drops per-pair array work from 4 traversals to 2.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(_emb_double(), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
+    en = e.select("vec_id", "label", _emb_double().alias("emb"), norm.alias("nrm"))
+    a = en.alias("a")
+    b = en.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("a.label").alias("label_a"),

@@ -145,14 +145,21 @@ def j12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pruned by IVF cells (operators/similarity.py) before this exact
     filter."""
     e = table(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        similarity.cosine(
-            similarity.as_double(F.col("a.embedding")),
-            similarity.as_double(F.col("b.embedding")),
-        ),
-        6,
+    # per-vector norm precomputed once (see j4) — halves per-pair array work
+    emb = similarity.as_double()
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(emb, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
     )
+    en = e.select("vec_id", "label", emb.alias("emb"), norm.alias("nrm"))
+    a, b = en.alias("a"), en.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
