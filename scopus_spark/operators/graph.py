@@ -1,0 +1,139 @@
+"""Graph operators over relational edge tables (SURVEY §2.N).
+
+The reference's citation graph is an edge table queried relationally [U —
+SURVEY §1.1]; these operators cover the graph analytics a dedup/citation
+pipeline needs without a graph framework: degree statistics, connected
+components (dedup clustering), and triangle counting — all as DataFrame
+transformations.
+
+Connected components is the one genuinely iterative operator in the
+engine. The implementation is min-label propagation with pointer jumping
+(path halving), the DataFrame rendering of the classic MapReduce CC
+algorithms (Hash-to-Min family — see PAPERS.md; "Connected Components in
+MapReduce and Beyond" is the canonical reference):
+
+    comp(v) <- min(comp(v), min_{u in N(v)} comp(u))   # neighbor step
+    comp(v) <- comp(comp(v))                           # pointer jump
+
+The pointer-jump step halves label-chain lengths, so convergence is
+O(log diameter) iterations instead of O(diameter) — on a 1000-executor
+cluster against a 100 TB edge set that is the difference between ~6 and
+~hundreds of shuffle rounds. Each iteration is two shuffles (one on node,
+one on label); labels are localCheckpoint()ed each round to cut lineage
+(without it the plan doubles per iteration and planning time explodes).
+
+All of it is driver-side *control flow* only — every data operation is a
+distributed DataFrame op; the only driver materialization is the O(1)
+convergence counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Symmetrize an edge list: every edge emitted in both directions, deduped."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.union(rev).distinct()
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, degree) over the undirected rendering of the edge list.
+
+    One symmetrize + one hash aggregate — a single shuffle on node.
+    """
+    und = undirected(edges, src, dst)
+    return und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(node, comp_id) where comp_id = min node id reachable from node.
+
+    Deterministic (min-label), independent of partitioning. Nodes are those
+    that appear in at least one edge; callers join back to the entity table
+    to label isolated rows (comp = self).
+    """
+    und = undirected(edges, src, dst).persist()
+    try:
+        # comp starts as each node's min direct neighbor (or itself).
+        labels = (
+            und.groupBy(F.col("src").alias("node"))
+            .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iterations):
+            # neighbor step: comp(v) <- min over neighbors' comps (and own).
+            nbr = (
+                und.join(labels, und.src == labels.node)
+                .select(F.col("dst").alias("node"), "comp")
+            )
+            stepped = (
+                labels.union(nbr)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # pointer jump: comp(v) <- comp(comp(v)). comp ids are nodes, so
+            # a self-join on the labels resolves one level of indirection.
+            parent = stepped.select(
+                F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+            )
+            jumped = (
+                stepped.join(parent, stepped.comp == parent.p_node, "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("p_comp"), F.col("comp")).alias("comp"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                return labels.select("node", F.col("comp").alias("comp_id"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    finally:
+        und.unpersist()
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count as a one-row DataFrame (n_triangles).
+
+    Classic relational rendering: orient every edge low->high, then count
+    paths a<b<c where (a,b), (b,c), (a,c) all exist — each triangle counted
+    exactly once. Two joins, both on edge endpoints; at scale the first
+    join's fan-out is bounded by orienting edges at the high-degree node
+    (low->high orientation caps per-node out-degree for power-law graphs).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

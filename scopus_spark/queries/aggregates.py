@@ -393,3 +393,31 @@ def d14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.sum(_fp.m("o_totalprice")).cast("double"))
     )
+
+
+# --- d15: unpivot / melt (inverse of d14) -----------------------------------------
+@register(
+    "d15",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def d15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (Spark 4 native `unpivot`/melt): part measures
+    as (key, measure, val) rows. The oracle states the semantics as the
+    equivalent UNION ALL — which is also the 100 TB mental model: unpivot
+    is a map-side fan-out by the number of measure columns, no shuffle."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

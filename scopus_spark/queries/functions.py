@@ -328,3 +328,63 @@ def h9_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(9,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# --- h11: bitwise function family ------------------------------------------------
+@register(
+    "h11",
+    oracle="""
+    SELECT event_id,
+           user_id & 255                       AS and_mask,
+           user_id | 4096                      AS or_mask,
+           xor(user_id, 1365)                  AS xor_mask,
+           user_id << 3                        AS shifted_left,
+           user_id >> 2                        AS shifted_right,
+           CAST(bit_count(user_id) AS INTEGER) AS n_bits
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+)
+def h11_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR masks, shifts, popcount — the primitive
+    layer under the SimHash/banding operators (§2.L), exercised directly.
+    Two's-complement int64 semantics agree across engines on these
+    non-negative ids; all map-side codegen."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    u = F.col("user_id")
+    return e.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("and_mask"),
+        u.bitwiseOR(F.lit(4096)).alias("or_mask"),
+        u.bitwiseXOR(F.lit(1365)).alias("xor_mask"),
+        F.shiftleft(u, 3).alias("shifted_left"),
+        F.shiftright(u, 2).alias("shifted_right"),
+        F.bit_count(u).alias("n_bits"),
+    )
+
+
+# --- h12: temporal series generation (sequence + explode) --------------------------
+@register(
+    "h12",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(generate_series(o_orderdate,
+                                  o_orderdate + INTERVAL 4 DAY,
+                                  INTERVAL 1 DAY)) AS day
+    FROM orders
+    WHERE o_orderkey % 200 = 0
+    """,
+)
+def h12_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row temporal series fan-out: each order expanded to its 5-day
+    window (sequence + explode) — the calendar-densification primitive
+    (gap filling, SCD snapshots). Inclusive endpoints verified equal to
+    DuckDB generate_series. Map-side fan-out; at scale the explosion
+    factor is the constant 5, not data-dependent."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    series = F.sequence(
+        F.col("o_orderdate"),
+        F.col("o_orderdate") + F.expr("INTERVAL 4 DAY"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    return o.select("o_orderkey", F.explode(series).alias("day"))

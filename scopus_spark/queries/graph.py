@@ -1,0 +1,149 @@
+"""SURVEY §2.N (added during build, round 1) — graph operators over the
+multi-signal duplicate graph (n1–n3).
+
+The edge set is the union of the two LSH candidate signals the dedup
+pipeline produces over `documents`:
+
+- MinHash-LSH candidate pairs (j9: word-3-gram shingles, 12 hashes,
+  4 bands x 3 rows), and
+- SimHash hamming<=8 pairs (j11: 60-bit fingerprints, 15-bit band LSH).
+
+Clustering this graph is the last stage of real near-dedup: pairs alone
+over-remove (A~B, B~C but A!~C must still land in one keep-group), so the
+pipeline needs connected components. DuckDB oracles reproduce the exact
+same edges (the j9/j11 SQL constants are shared, so the two declarations
+can never drift) and derive components with a recursive CTE — the one
+place the oracle tier exercises recursive SQL.
+
+Spark-side components come from operators/graph.py: min-label propagation
+with pointer jumping, O(log diameter) shuffle rounds — the 100 TB path.
+The recursive-CTE transitive closure the oracle uses is O(V*E) and only
+viable at oracle scale; that asymmetry is the point (same semantics, scale
+-appropriate physical plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scopus_spark.catalog import table
+from scopus_spark.operators import dedup, graph
+from scopus_spark.queries.pipeline import J9_PAIRS_SQL, J11_PAIRS_SQL
+from scopus_spark.registry import register
+
+# Shared oracle CTE: the dup-graph edge set (a<b orientation, deduped).
+# MATERIALIZED so DuckDB computes the two LSH pipelines once even when the
+# consuming query references `pairs` several times.
+_PAIRS_CTE = f"""
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({J9_PAIRS_SQL}) j9
+      UNION
+      SELECT doc_a, doc_b FROM ({J11_PAIRS_SQL}) j11
+    )
+"""
+
+
+# The edge pipeline (MinHash signatures + 60 nested SimHash folds per doc)
+# dominates each n-key's cost; n1-n3 share one persisted copy per
+# (session, sf_dir) — the realized edge list is tiny (pairs, not docs).
+_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of j9 + j11 pair signals as an (doc_a, doc_b) edge list."""
+    key = (id(spark), sf_dir)
+    if key not in _EDGE_CACHE:
+        d = table(spark, sf_dir, "documents")
+        lsh = dedup.lsh_candidate_pairs(d).select("doc_a", "doc_b")
+        sim = dedup.simhash_near_pairs(d).select("doc_a", "doc_b")
+        _EDGE_CACHE[key] = lsh.union(sim).distinct().persist()
+    return _EDGE_CACHE[key]
+
+
+# --- n1: dup-graph degree histogram ------------------------------------------------
+@register(
+    "n1",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    und AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM und GROUP BY node
+    )
+    SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+    """,
+)
+def n1_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the dup graph — the skew diagnostic a dedup run
+    reads first (a boilerplate-heavy corpus shows up as a fat tail here
+    long before the CC join melts). Symmetrize + two hash aggregates."""
+    deg = graph.degrees(_dup_edges(spark, sf_dir), "doc_a", "doc_b")
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- n2: dedup clusters via connected components ---------------------------------
+@register(
+    "n2",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (
+      SELECT node, min(src) AS comp_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           coalesce(c.comp_id, d.doc_id) AS cluster_id,
+           (c.comp_id IS NULL OR c.comp_id = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def n2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: every document labeled with its connected
+    component in the dup graph (cluster id = min doc_id reachable);
+    singletons cluster with themselves. `is_canonical` marks the one row
+    per cluster a dedup job would keep."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    comp = graph.connected_components(_dup_edges(spark, sf_dir), "doc_a", "doc_b")
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("comp_id"), F.col("doc_id")).alias("cluster_id"),
+        (F.col("comp_id").isNull() | (F.col("comp_id") == F.col("doc_id"))).alias(
+            "is_canonical"
+        ),
+    )
+
+
+# --- n3: triangle count ----------------------------------------------------------
+@register(
+    "n3",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    e AS MATERIALIZED (
+      SELECT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+      FROM pairs
+      WHERE doc_a != doc_b
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_triangles
+    FROM e ab
+    JOIN e bc ON ab.hi = bc.lo
+    JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    """,
+)
+def n3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the dup graph (transitivity mass — how
+    clique-like the near-dup signal is). Low->high edge orientation counts
+    each triangle once and bounds join fan-out on power-law graphs."""
+    return graph.triangle_count(_dup_edges(spark, sf_dir), "doc_a", "doc_b")

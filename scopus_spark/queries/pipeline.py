@@ -21,9 +21,9 @@ from scopus_spark.registry import register
 
 
 # --- j9: MinHash-LSH candidate pairs ------------------------------------------
-@register(
-    "j9",
-    oracle="""
+# Exposed as a constant so the graph queries (queries/graph.py) can reuse the
+# exact same candidate-pair SQL as an edge-set CTE.
+J9_PAIRS_SQL = """
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -53,8 +53,10 @@ from scopus_spark.registry import register
       ON a.band_no = b.band_no AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("j9", oracle=J9_PAIRS_SQL)
 def j9_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12 hashes) + LSH(4 bands x 3 rows) candidate pairs.
 
@@ -101,10 +103,8 @@ def j10_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- j11: SimHash hamming-near pairs ------------------------------------------------
-@register(
-    "j11",
-    oracle=_SIMHASH_ORACLE_CORE
-    + """,
+# Reused by queries/graph.py as the second edge signal of the dup graph.
+J11_PAIRS_SQL = _SIMHASH_ORACLE_CORE + """,
     bands AS (
       SELECT doc_id, fp,
              unnest(range(0, 4)) AS band_no,
@@ -119,8 +119,10 @@ def j10_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.band_no = b.band_no AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fp, b.fp)) <= 8
-    """,
-)
+    """
+
+
+@register("j11", oracle=J11_PAIRS_SQL)
 def j11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming<=8 SimHash pairs via 15-bit band LSH + exact bit_count
     verification (operators/dedup.py)."""

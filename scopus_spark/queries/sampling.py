@@ -1,0 +1,154 @@
+"""SURVEY §2.O (added during build, round 1) — dataset sampling & splitting
+(m1–m4): the train/val/test plumbing of a training-data pipeline.
+
+Everything HASH-checked is *content-hash* driven (md5 of the stable row
+key), never RNG driven: at 100 TB a split must be (a) reproducible across
+runs/engines, (b) stable under repartitioning, and (c) assignable map-side
+with zero shuffle — properties seeded RNG sampling does not give you
+(Spark's sample() is per-partition-seeded, so the sampled *set* changes
+with the file split layout even for a fixed seed). The seeded variant is
+still part of the surface (m3) with rows-level checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scopus_spark.catalog import table
+from scopus_spark.registry import register
+
+# Deterministic bucket in [0, 100): top 60 bits of md5 of the key, mod 100.
+# DuckDB equivalent: ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 100
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+def _bucket(key: Column) -> Column:
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 100
+
+
+# --- m1: deterministic hash split ----------------------------------------------------
+@register(
+    "m1",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           count(DISTINCT doc_id) AS n_distinct
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def m1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by content hash of the stable key.
+    Assignment is a map-side expression — no shuffle, no RNG state; a doc
+    lands in the same split on every engine, every run, any partitioning.
+    """
+    d = table(spark, sf_dir, "documents")
+    split = (
+        F.when(_bucket(F.col("doc_id")) < 80, "train")
+        .when(_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+        )
+    )
+
+
+# --- m2: stratified exact-fraction sample -------------------------------------------
+@register(
+    "m2",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= ceil(n * 0.1)
+    """,
+)
+def m2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ceil(10%) of each language stratum, chosen by hash order —
+    a deterministic stratified sample (per-stratum quotas are exact, unlike
+    Bernoulli sampling). One window shuffle on the stratum key; at scale
+    skewed strata are handled by AQE since the window partitions by lang
+    only."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.filter(F.col("rn") <= F.ceil(F.col("n") * 0.1)).select(
+        "doc_id", "lang"
+    )
+
+
+# --- m3: seeded Bernoulli sample (rows-level check) ---------------------------------
+@register("m3")  # no oracle: RNG streams are engine-specific by design
+def m3_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native seeded Bernoulli sample (sample(fraction, seed)) —
+    declared for API surface; the set it draws is a function of the seed
+    AND the partition layout, which is exactly why the HASH-checked splits
+    (m1/m2) are the production path. Unit tests assert the fraction lands
+    in a tolerance band and that a fixed layout + seed reproduces itself."""
+    d = table(spark, sf_dir, "documents")
+    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang")
+
+
+# --- m4: deterministic class rebalance ----------------------------------------------
+@register(
+    "m4",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    mx AS (SELECT max(n) AS m FROM counts)
+    SELECT lang,
+           n AS n_before,
+           CAST(floor(m / n) AS BIGINT) AS rep_factor,
+           n * CAST(floor(m / n) AS BIGINT) AS n_after
+    FROM counts, mx
+    """,
+)
+def m4_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minority-class oversampling by whole-copy replication: each language
+    is replicated floor(max_class/n) times toward balance. The Spark side
+    actually MATERIALIZES the replicas (explode over a sequence — map-side
+    fan-out, no shuffle until the audit count) and reports the audited
+    per-class row counts; the oracle computes the same audit arithmetically.
+    Deterministic, unlike RNG oversampling."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    mx = counts.agg(F.max("n_before").alias("m"))
+    plan = counts.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_before",
+        F.floor(F.col("m") / F.col("n_before")).cast("long").alias("rep_factor"),
+    )
+    replicated = d.select("doc_id", "lang").join(
+        F.broadcast(plan), "lang"
+    ).select(
+        "lang",
+        "n_before",
+        "rep_factor",
+        F.explode(F.sequence(F.lit(1), F.col("rep_factor"))).alias("copy_no"),
+    )
+    return replicated.groupBy("lang", "n_before", "rep_factor").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )

@@ -262,3 +262,30 @@ def a7_inmemory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3, None, None, None),
     ]
     return spark.createDataFrame(rows, schema)
+
+
+# --- a8: ORC round-trip ----------------------------------------------------------
+@register(
+    "a8",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderkey % 40 = 0
+    """,
+)
+def a8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write an orders sample as ORC (Spark's built-in
+    columnar alternative to parquet), read it back, hash vs the ORIGINAL
+    parquet rows — proving lossless columnar re-encode incl. timestamps.
+    DuckDB has no ORC reader, so the oracle reads the source parquet; the
+    hash check is therefore end-to-end write+read fidelity."""
+    path = _stage(sf_dir, "orders_orc")
+    sample = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+    )
+    sample.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

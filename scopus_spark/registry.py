@@ -38,6 +38,10 @@ _QUERY_MODULES = (
     "scopus_spark.queries.llm",
     "scopus_spark.queries.pipeline",
     "scopus_spark.queries.udfs",
+    "scopus_spark.queries.subqueries",
+    "scopus_spark.queries.graph",
+    "scopus_spark.queries.sampling",
+    "scopus_spark.queries.composite",
 )
 
 _LOADED = False

@@ -1,0 +1,70 @@
+"""Unit tests for graph operators (SURVEY §2.N): degrees, connected
+components (pointer-jumping min-label propagation), triangle counting.
+
+Hand-built fixtures with known answers — the oracle tier (n1-n3) checks the
+full pipeline over the corpus; these pin the operator semantics themselves,
+including CC convergence on adversarial shapes (long path = worst-case
+diameter; pointer jumping must converge in O(log n), not O(n))."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scopus_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _cc_dict(df):
+    return {r["node"]: r["comp_id"] for r in df.collect()}
+
+
+def test_degrees_undirected_and_deduped(spark):
+    # duplicate + reversed edges must not double-count
+    e = _edges(spark, [(1, 2), (2, 1), (1, 2), (2, 3)])
+    deg = {r["node"]: r["degree"] for r in graph.degrees(e).collect()}
+    assert deg == {1: 1, 2: 2, 3: 1}
+
+
+def test_cc_two_components_and_determinism(spark):
+    e = _edges(spark, [(4, 2), (2, 7), (10, 11), (11, 10)])
+    got = _cc_dict(graph.connected_components(e))
+    assert got == {2: 2, 4: 2, 7: 2, 10: 10, 11: 10}
+
+
+def test_cc_long_path_converges_logarithmically(spark):
+    # path 0-1-2-...-40: diameter 40 >> max_iterations=12 proves pointer
+    # jumping converges in O(log diameter), not O(diameter)
+    e = _edges(spark, [(i, i + 1) for i in range(40)])
+    got = _cc_dict(graph.connected_components(e, max_iterations=12))
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_cc_raises_if_not_converged(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(40)])
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(e, max_iterations=1)
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; plus a dangling edge adding none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = _edges(spark, k4 + [(3, 9)])
+    assert graph.triangle_count(e).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_orientation_independent(spark):
+    # same triangle given with mixed edge directions and dups counts once
+    e = _edges(spark, [(1, 2), (3, 2), (1, 3), (2, 1)])
+    assert graph.triangle_count(e).collect()[0]["n_triangles"] == 1
+
+
+def test_cc_partitioning_invariance(spark):
+    # comp labels must not depend on physical partitioning (C5-style)
+    pairs = [(i, i + 1) for i in range(0, 30, 2)]  # 15 disjoint 2-chains
+    one = graph.connected_components(_edges(spark, pairs).repartition(1))
+    many = graph.connected_components(_edges(spark, pairs).repartition(16))
+    assert _cc_dict(one) == _cc_dict(many)

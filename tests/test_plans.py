@@ -58,3 +58,25 @@ def test_c11_broadcast_join_chosen(spark, sf_dir):
 def test_d4_approx_distinct_within_5pct(spark, sf_dir):
     for row in QUERIES["d4"](spark, sf_dir).collect():
         assert abs(row.approx_nd_parts - row.exact_nd_parts) <= 0.05 * row.exact_nd_parts
+
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """The §2.M surface must never plan per-row subquery execution: Catalyst
+    rewrites IN->semi, NOT IN->null-aware anti, correlated scalar->agg+join,
+    LATERAL+LIMIT->partitioned window/limit — all join/agg shapes."""
+    p = _plan(QUERIES["l3"](spark, sf_dir))
+    assert "LeftSemi" in p, p
+    p = _plan(QUERIES["l5"](spark, sf_dir))
+    assert "LeftAnti" in p, p
+    p = _plan(QUERIES["l2"](spark, sf_dir))
+    assert "HashAggregate" in p and "Join" in p, p
+    # uncorrelated scalar subqueries execute once, as subquery stages
+    p = _plan(QUERIES["l1"](spark, sf_dir))
+    assert "Subquery" in p or "scalar-subquery" in p, p
+
+
+def test_hash_split_is_map_side(spark, sf_dir):
+    """m1's split assignment happens before the only exchange (no extra
+    shuffle to assign buckets)."""
+    p = _plan(QUERIES["m1"](spark, sf_dir))
+    assert p.count("Exchange") <= 2, p  # partial agg -> final agg (+ AQE read)

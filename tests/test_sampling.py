@@ -1,0 +1,67 @@
+"""Unit tests for sampling/splitting (SURVEY §2.O) and subquery keys'
+engine-side invariants that the oracle hash can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scopus_spark.catalog import table
+from scopus_spark.queries import sampling
+from scopus_spark.registry import all_queries
+
+Q = all_queries()
+
+
+def test_m1_split_partitions_the_corpus(spark, sf_dir):
+    """train/val/test is a disjoint cover: split counts sum to the corpus."""
+    total = table(spark, sf_dir, "documents").count()
+    split_rows = Q["m1"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in split_rows) == total
+    # hash-split is measure-preserving-ish: train is the large bucket
+    by_split = {}
+    for r in split_rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert by_split["train"] > by_split.get("val", 0)
+    assert by_split["train"] > by_split.get("test", 0)
+
+
+def test_m1_assignment_stable_under_repartitioning(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    def assign(df):
+        return {
+            r["doc_id"]: r["b"]
+            for r in df.select(
+                "doc_id", sampling._bucket(F.col("doc_id")).alias("b")
+            ).collect()
+        }
+    assert assign(d.repartition(1)) == assign(d.repartition(16))
+
+
+def test_m2_exact_stratum_quotas(spark, sf_dir):
+    import math
+
+    strata = {
+        r["lang"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in Q["m2"](spark, sf_dir).collect():
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert got == {lang: math.ceil(n * 0.1) for lang, n in strata.items()}
+
+
+def test_m3_seeded_sample_reproducible_and_in_band(spark, sf_dir):
+    a = sorted(r["doc_id"] for r in Q["m3"](spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in Q["m3"](spark, sf_dir).collect())
+    assert a == b  # same layout + seed => same draw
+    total = table(spark, sf_dir, "documents").count()
+    assert 0.1 * total <= len(a) <= 0.3 * total  # fraction=0.2 tolerance band
+
+
+def test_m4_materialized_replicas_match_audit(spark, sf_dir):
+    for r in Q["m4"](spark, sf_dir).collect():
+        assert r["n_after"] == r["n_before"] * r["rep_factor"]
+        assert r["rep_factor"] >= 1

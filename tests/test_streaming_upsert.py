@@ -1,0 +1,106 @@
+"""Streaming -> keyed-upsert sink integration (SURVEY §2.I + upsert op):
+scripted micro-batches MERGEd into a partitioned parquet table via
+foreachBatch; the table must hold the latest version per key after every
+batch, and replaying a batch must be a no-op (idempotent sink contract)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+from scopus_spark.streaming.harness import StreamRig
+from scopus_spark.streaming.sinks import foreach_batch_upsert, latest_per_key
+
+
+def _mk_events(spark, rows):
+    # (event_id, ts, user_id, event_type, value, props)
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, s), u, et, v, "{}")
+            for (i, s, u, et, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _state(spark, path):
+    return {
+        (r["user_id"], r["event_type"]): r["value"]
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_latest_per_key_picks_max_order(spark):
+    df = _mk_events(spark, [(1, 1, 10, "a", 1.0), (2, 5, 10, "a", 2.0), (3, 3, 10, "a", 9.0)])
+    out = latest_per_key(df, ["user_id", "event_type"], "ts").collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0  # ts=5 wins, not max value
+
+
+def test_stream_upsert_two_batches(spark):
+    target = os.path.join(tempfile.mkdtemp(prefix="scopus_upsert_"), "tbl")
+    rig = StreamRig(spark)
+    sink = foreach_batch_upsert(
+        target, key_cols=["user_id", "event_type"],
+        partition_col="event_type", order_col="ts",
+    )
+    try:
+        # batch 1: users 1,2 in partition "click"; user 3 in "view"
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [(1, 1, 1, "click", 1.0), (2, 2, 2, "click", 2.0), (3, 3, 3, "view", 3.0)],
+            )
+        )
+        stream = spark.readStream.schema(rig.schema).parquet(rig.input_dir)
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", rig.checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+        assert _state(spark, target) == {
+            (1, "click"): 1.0, (2, "click"): 2.0, (3, "view"): 3.0,
+        }
+
+        # batch 2: update user 2, insert user 4 (click); "view" untouched
+        rig.drop_file(
+            _mk_events(spark, [(4, 9, 2, "click", 20.0), (5, 8, 4, "click", 4.0)])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", rig.checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+        assert _state(spark, target) == {
+            (1, "click"): 1.0, (2, "click"): 20.0,
+            (3, "view"): 3.0, (4, "click"): 4.0,
+        }
+    finally:
+        rig.cleanup()
+        shutil.rmtree(os.path.dirname(target), ignore_errors=True)
+
+
+def test_upsert_sink_idempotent_on_replay(spark):
+    """foreachBatch may replay a batch on failure recovery — the sink must
+    converge to the same table state."""
+    target = os.path.join(tempfile.mkdtemp(prefix="scopus_upsert_"), "tbl")
+    sink = foreach_batch_upsert(
+        target, key_cols=["user_id", "event_type"],
+        partition_col="event_type", order_col="ts",
+    )
+    batch = _mk_events(spark, [(1, 1, 1, "click", 1.0), (2, 2, 2, "view", 5.0)])
+    try:
+        sink(batch, 0)
+        first = _state(spark, target)
+        sink(batch, 0)  # replay
+        assert _state(spark, target) == first
+    finally:
+        shutil.rmtree(os.path.dirname(target), ignore_errors=True)
