@@ -24,15 +24,25 @@ def main() -> None:
     e.add_argument("--input", required=True)
     e.add_argument("--output", required=True)
 
+    m = sub.add_parser(
+        "merge", help="MERGE a delta XML snapshot into extracted tables"
+    )
+    m.add_argument("--input", required=True)
+    m.add_argument("--target", required=True)
+
     args = ap.parse_args()
     spark = get_spark(app_name=f"scopus_spark_{args.cmd}")
     if args.cmd == "render-snapshot":
         etl.render_snapshot(spark, args.sf_dir, args.output)
         print(f"snapshot written to {args.output}")
-    else:
+    elif args.cmd == "extract":
         tables = etl.extract_snapshot(spark, args.input, args.output)
         for name, df in tables.items():
             print(f"{name}: {df.count()} rows -> {args.output}/{name}")
+    else:
+        tables = etl.merge_snapshot(spark, args.input, args.target)
+        for name, df in tables.items():
+            print(f"{name}: merged {df.count()} delta rows -> {args.target}/{name}")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,11 @@ def upsert_partitioned(
 
     Rows whose key exists are replaced; new keys are inserted. Only
     partitions present in the delta are rewritten.
+
+    CONTRACT: partition_col must be a pure function of key_cols (e.g. a
+    hash bucket of the key). If a key's partition value could change
+    between versions, its old row would sit in a partition this merge
+    never reads, surviving as a duplicate.
     """
     spark = delta.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

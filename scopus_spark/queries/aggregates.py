@@ -421,3 +421,35 @@ def d15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+# --- d16: width_bucket histogram ---------------------------------------------------
+@register(
+    "d16",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 21
+                ELSE CAST(floor(o_totalprice / ((500000 - 0) / 20)) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def d16_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (DuckDB 1.0 lacks the
+    function, so the oracle spells out the identical IEEE arithmetic —
+    floor(v / ((max-min)/n)) + 1 with under/overflow buckets; bucket edges
+    here are exact doubles so the floor is engine-identical). The
+    histogram itself is one map-side bucket expr + hash agg."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20))
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )

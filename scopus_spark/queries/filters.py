@@ -153,3 +153,34 @@ def b6_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_150k"),
         F.least("o_totalprice", F.lit(150000.0)).alias("cap_150k"),
     )
+
+
+# --- b7: safe-evaluation family (try_cast / try_divide) -----------------------------
+@register(
+    "b7",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER)
+             AS priority_num,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS safe_ratio
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def b7_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-evaluation surface: TRY_CAST of a numeric prefix (parses) and
+    of a status letter (NULL, never an ANSI error), try_divide with a
+    sometimes-zero divisor (NULL, not DivideByZero). Under Spark 4's
+    default ANSI mode these are THE dirty-data ETL idioms — the plain
+    cast/div would throw. DuckDB has no try_divide; the oracle's CASE
+    states the identical semantics."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(1))
+            .try_cast("int").alias("priority_num"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("safe_ratio"),
+    )

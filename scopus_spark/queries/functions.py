@@ -388,3 +388,70 @@ def h12_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("INTERVAL 1 DAY"),
     )
     return o.select("o_orderkey", F.explode(series).alias("day"))
+
+
+# --- h13: null-preserving fan-out (explode_outer) ----------------------------------
+@register(
+    "h13",
+    oracle="""
+    SELECT d.doc_id, u.word
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w LIKE 'b%'))
+               AS word
+      FROM documents
+    ) u ON d.doc_id = u.doc_id
+    """,
+)
+def h13_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: fan out each doc's b-words but KEEP docs with none as
+    a (doc_id, NULL) row — the left-join-preserving explode a feature
+    pipeline needs so sparse features don't silently drop documents. The
+    oracle states the same semantics as an actual LEFT JOIN on the
+    unnested rows."""
+    d = table(spark, sf_dir, "documents")
+    bwords = F.filter(F.split("text", " "), lambda w: w.startswith("b"))
+    return d.select("doc_id", F.explode_outer(bwords).alias("word"))
+
+
+# --- h15: array set-operations family ----------------------------------------------
+@register(
+    "h15",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_slice(string_split(text, ' '), 1, 6) AS a,
+             list_slice(string_split(text, ' '), 4, 9) AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_intersect(a, b)))   AS a_intersect_b,
+           list_sort(list_distinct(a || b))                 AS a_union_b,
+           list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))) AS a_except_b,
+           flatten([a, b])                                  AS a_concat_b,
+           len(a)                                           AS n_a
+    FROM t
+    """,
+)
+def h15_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect/union/except/flatten) over overlapping
+    token slices. Set-valued outputs are sort_array-wrapped on both sides
+    (C5: Spark preserves first-argument order, DuckDB doesn't — only the
+    set is the contract). All map-side higher-order expressions."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        F.slice(toks, 1, 6).alias("a"),
+        F.slice(toks, 4, 6).alias("b"),
+    )
+    return t.select(
+        "doc_id",
+        F.sort_array(F.array_intersect("a", "b")).alias("a_intersect_b"),
+        F.sort_array(F.array_union("a", "b")).alias("a_union_b"),
+        F.sort_array(F.array_except("a", "b")).alias("a_except_b"),
+        F.flatten(F.array("a", "b")).alias("a_concat_b"),
+        F.size("a").alias("n_a"),
+    )

@@ -1,0 +1,162 @@
+"""SURVEY §2.Q (added during build, round 1) — time-series operators over
+the events stream (o1–o2): grid resampling with forward fill, and
+OHLC-style bucket rollups. The hypertable primitives a metrics/feature
+store needs that plain windowed aggregation (§2.E/§2.I) doesn't give you:
+o1 emits rows at times where NO event exists (gap filling), carrying the
+last observation forward.
+
+Determinism: events are pre-collapsed to one row per (user_id, µs
+timestamp) with an event_id tie-break — the oracle's raw ns timestamps
+truncate to the same µs values the G1 loader shim produces, so both
+engines fill from an identical series.
+
+Spark strategy for as-of forward fill: union the grid points with the
+event rows and take `last(value, ignoreNulls)` over a per-user
+time-ordered window — one shuffle on user_id, no join explosion; the
+DuckDB oracle spells the same semantics as a native ASOF LEFT JOIN
+(cross-verified in the survey, §2.C c10). At 100 TB the window shuffle
+partitions by entity key and AQE splits hot entities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scopus_spark.catalog import table
+from scopus_spark.registry import register
+
+# One row per (user, µs ts): latest event_id wins. The oracle mirrors the
+# G1 ns->µs truncation explicitly (make_timestamp(epoch_us(...))).
+_EV_CTE = """
+    ev AS (
+      SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+             arg_max(value, event_id) AS value
+      FROM events
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _events_dedup_from(events: DataFrame) -> DataFrame:
+    """One row per (user_id, ts): the highest event_id's value wins."""
+    return events.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+
+
+def _events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events_dedup_from(table(spark, sf_dir, "events"))
+
+
+def forward_fill(ev: DataFrame, grid: DataFrame) -> DataFrame:
+    """As-of forward fill: for each (user_id, bucket_ts) grid row, the
+    value and timestamp of the latest event at-or-before that instant
+    (NULL before the first observation).
+
+    Union + one per-user time-ordered window — no join explosion; the
+    sort key (t, is_grid) makes an event at the exact grid instant sort
+    first, so inclusion matches ASOF's >= semantics.
+    """
+    ev_rows = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_grid"),
+        "value",
+        F.col("ts").alias("event_ts"),
+    )
+    grid_rows = grid.select(
+        "user_id",
+        F.col("bucket_ts").alias("t"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = ev_rows.unionByName(grid_rows).select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(w).alias("last_value"),
+        F.last("event_ts", ignorenulls=True).over(w).alias("last_event_ts"),
+    )
+    return filled.filter(F.col("is_grid") == 1).select(
+        "user_id", F.col("t").alias("bucket_ts"), "last_value", "last_event_ts"
+    )
+
+
+# --- o1: grid resample + forward fill -----------------------------------------------
+@register(
+    "o1",
+    oracle=f"""
+    WITH {_EV_CTE},
+    bounds AS (
+      SELECT user_id, CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             max(ts) AS hi
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket_ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.bucket_ts, e.value AS last_value, e.ts AS last_event_ts
+    FROM grid g ASOF LEFT JOIN ev e
+      ON g.user_id = e.user_id AND g.bucket_ts >= e.ts
+    """,
+)
+def o1_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event series onto a 6-hour grid, carrying the
+    last observation (and its timestamp) forward; grid points before the
+    first event stay NULL. Spark plan: per-user grid fan-out (explode over
+    sequence — bounded by the time span), union with events, one
+    per-user-ordered window with last(ignoreNulls). The oracle is the
+    same series as a native ASOF LEFT JOIN."""
+    ev = _events_dedup(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 6 HOUR"))
+        ).alias("bucket_ts"),
+    )
+    return forward_fill(ev, grid)
+
+
+# --- o2: OHLC bucket rollup ---------------------------------------------------------
+@register(
+    "o2",
+    oracle=f"""
+    WITH {_EV_CTE}
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+           arg_min(value, ts)     AS open,
+           max(value)             AS high,
+           min(value)             AS low,
+           arg_max(value, ts)     AS close,
+           count(*)               AS n_events
+    FROM ev
+    GROUP BY 1, 2
+    """,
+)
+def o2_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC-style daily rollup per user: first/last (by time) plus
+    min/max/count — the continuous-aggregate shape a hypertable
+    maintains. One hash aggregate on (user, day); first/last are
+    min_by/max_by on the deduped series, so they're deterministic (C5)."""
+    ev = _events_dedup(spark, sf_dir)
+    return ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket_ts")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "scopus_spark.queries.graph",
     "scopus_spark.queries.sampling",
     "scopus_spark.queries.composite",
+    "scopus_spark.queries.timeseries",
 )
 
 _LOADED = False

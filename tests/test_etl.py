@@ -55,3 +55,54 @@ def test_extract_roundtrip_reconstructs_documents(spark):
             .count()
         )
         assert mismatches == 0
+
+
+def test_merge_snapshot_incremental_load(spark):
+    """Delta snapshot MERGE: changed docs replace (including SHRINKING
+    term lists — no stale tails), new docs insert, untouched docs survive
+    byte-identical; replay is a no-op."""
+    import datetime as _dt
+
+    with tempfile.TemporaryDirectory(prefix="scopus_etl_merge_") as tmp:
+        snap, out, delta_sf, delta_snap = (
+            f"{tmp}/snap", f"{tmp}/out", f"{tmp}/delta_sf", f"{tmp}/delta_snap",
+        )
+        etl.render_snapshot(spark, SMOKE_SF_DIR, snap)
+        etl.extract_snapshot(spark, snap, out)
+        docs = table(spark, SMOKE_SF_DIR, "documents")
+        n0 = docs.count()
+
+        # delta: doc 0 re-delivered with a SHORTER text + changed lang,
+        # plus one brand-new doc
+        new_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        delta_docs = spark.createDataFrame(
+            [(0, "tiny text", "zz", "delta", 9), (new_id, "brand new doc", "en", "delta", 13)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        delta_docs.write.parquet(f"{delta_sf}/documents.parquet")
+        etl.render_snapshot(spark, delta_sf, delta_snap)
+        etl.merge_snapshot(spark, delta_snap, out)
+
+        records = spark.read.parquet(f"{out}/records")
+        terms = spark.read.parquet(f"{out}/record_terms")
+        assert records.count() == n0 + 1
+        doc0 = records.filter(F.col("doc_id") == 0).collect()[0]
+        assert doc0["lang"] == "zz" and doc0["source"] == "delta"
+        # term list replaced wholesale: exactly the 2 new tokens, no tails
+        t0 = sorted(
+            (r["pos"], r["term"])
+            for r in terms.filter(F.col("doc_id") == 0).collect()
+        )
+        assert t0 == [(0, "tiny"), (1, "text")]
+        assert terms.filter(F.col("doc_id") == new_id).count() == 3
+        # untouched doc intact
+        before = docs.filter(F.col("doc_id") == 1).collect()[0]
+        after = records.filter(F.col("doc_id") == 1).collect()[0]
+        assert before["lang"] == after["lang"] and before["n_chars"] == after["n_chars"]
+
+        # replay idempotence (fresh reads: the rewrite invalidates any
+        # DataFrame whose file listing predates it)
+        n_terms = terms.count()
+        etl.merge_snapshot(spark, delta_snap, out)
+        assert spark.read.parquet(f"{out}/records").count() == n0 + 1
+        assert spark.read.parquet(f"{out}/record_terms").count() == n_terms
