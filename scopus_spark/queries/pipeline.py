@@ -373,3 +373,70 @@ def j18_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     values == ascii codes)."""
     media = multimodal.attach_payload(table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+# --- j19: PII scrubbing ------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@register(
+    "j19",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com call +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g') AS clean_text,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(raw, '{_IP_RE}'))    AS n_ips
+    FROM aug
+    """,
+)
+def j19_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before a corpus ships: email/phone/IPv4 patterns replaced with
+    typed placeholders, plus per-doc redaction counts for audit. The
+    corpus is synthetic bag-of-words, so deterministic PII is injected
+    from doc_id first (making the scrub verifiably non-trivial), then
+    removed. Patterns stay in the RE2-and-Java-compatible subset (C6);
+    DuckDB side uses the 'g' flag (Spark replaces all by default).
+    Map-side only — scales as a pure scan transform."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(raw, F.lit(_IP_RE)).cast("long").alias("n_ips"),
+    )

@@ -289,3 +289,30 @@ def a8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+# --- a9: custom Python data source (Spark 4 DataSource API) -------------------------
+@register(
+    "a9",
+    oracle="""
+    SELECT range AS id,
+           md5(CAST(range AS VARCHAR)) AS content_hash,
+           range % 16 AS bucket
+    FROM range(0, 1000)
+    """,
+)
+def a9_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (sources/pydatasource.py): schema
+    declaration, partition planning (4 InputPartitions), per-partition row
+    generation on executors. Hash-checked against a range()+md5 oracle, so
+    the custom source's exact output — not just its row count — is
+    verified."""
+    from scopus_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    return (
+        spark.read.format("synthcorpus")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )

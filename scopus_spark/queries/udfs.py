@@ -177,3 +177,47 @@ def k6_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, fw.word_no, fw.word "
         "FROM documents d, LATERAL first_words(d.text) fw"
     )
+
+
+# --- k7: mapInArrow (Arrow-native batch transform) ----------------------------------
+@register(
+    "k7",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def k7_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy tier of the Python boundary — batches
+    arrive as pyarrow RecordBatches (no pandas conversion, no pickling).
+    The arithmetic runs in Arrow compute kernels, whose float64 ops are
+    IEEE-identical to both engines' (C3: emitted raw). The filter is
+    applied Spark-side BEFORE the Python boundary so the scan still
+    prunes/pushes down."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def charge_batches(batches):
+        for b in batches:
+            price = b.column("l_extendedprice")
+            disc = b.column("l_discount")
+            tax = b.column("l_tax")
+            charge = pc.multiply(
+                pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                pc.add(pa.scalar(1.0), tax),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_orderkey"), b.column("l_linenumber"), charge],
+                ["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+    )
+    return li.mapInArrow(
+        charge_batches, "l_orderkey long, l_linenumber int, charge double"
+    )
