@@ -108,3 +108,35 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_no", "frame"),
     )
+
+
+RESIZED_SCHEMA = "media_id long, payload binary, width int, height int"
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: Arrow-batched payload transform to the target
+    dimensions. The resample kernel is a deterministic stand-in (cycle/
+    truncate the bytes to width*height — a real deployment plugs
+    Pillow's resize into the same per-batch loop; see decode_image for
+    why it's stubbed). Batch shape, binary round-trip, and the
+    (payload, dims) output contract are the real thing."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            def fake_resample(b) -> bytes:
+                raw = bytes(b) if b is not None else b""
+                if not raw:
+                    return bytes(target)
+                return (raw * (target // len(raw) + 1))[:target]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(fake_resample),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(rs, RESIZED_SCHEMA)

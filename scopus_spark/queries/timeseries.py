@@ -40,9 +40,19 @@ _EV_CTE = """
 
 
 def _events_dedup_from(events: DataFrame) -> DataFrame:
-    """One row per (user_id, ts): the highest event_id's value wins."""
-    return events.groupBy("user_id", "ts").agg(
-        F.max_by("value", "event_id").alias("value")
+    """One row per (user_id, ts): the highest event_id's value wins.
+
+    Expressed as a lead() filter over the user-partitioned time order
+    (keep the last row of each equal-ts run) rather than a
+    groupBy(user, ts) aggregate: the window partitions by user_id ONLY,
+    the same partitioning every downstream consumer (bounds agg, fill
+    window) needs — so the dedup costs no extra exchange of the event
+    stream. Equivalent to max_by(value, event_id) per (user, ts)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("_nxt_ts", F.lead("ts").over(w))
+        .filter(F.col("_nxt_ts").isNull() | (F.col("_nxt_ts") != F.col("ts")))
+        .select("user_id", "ts", "value")
     )
 
 

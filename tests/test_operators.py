@@ -92,3 +92,21 @@ def test_minhash_signature_shape(spark, sf_dir):
     for r in sigs:
         assert len(r.sig) == dedup.N_HASHES
         assert all(len(h) == 32 for h in r.sig)  # md5 hex
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    """resize_media: every payload resampled to exactly width*height bytes
+    through the Arrow batch path, dims stamped, deterministic."""
+    from scopus_spark.catalog import table
+    from scopus_spark.operators import multimodal
+
+    media = multimodal.attach_payload(
+        table(spark, sf_dir, "documents").limit(50)
+    )
+    out = multimodal.resize_media(media, 8, 4).collect()
+    assert len(out) == 50
+    for r in out:
+        assert len(r["payload"]) == 32
+        assert (r["width"], r["height"]) == (8, 4)
+    again = {r["media_id"]: bytes(r["payload"]) for r in multimodal.resize_media(media, 8, 4).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)

@@ -80,3 +80,11 @@ def test_hash_split_is_map_side(spark, sf_dir):
     shuffle to assign buckets)."""
     p = _plan(QUERIES["m1"](spark, sf_dir))
     assert p.count("Exchange") <= 2, p  # partial agg -> final agg (+ AQE read)
+
+
+def test_resample_ffill_two_exchanges(spark, sf_dir):
+    """o1 must cost exactly 2 exchanges of the event stream: one shared
+    user-partitioned window (dedup via lead-filter + fill) and the bounds
+    aggregate — the lead-based dedup must NOT add a (user, ts) shuffle."""
+    p = _plan(QUERIES["o1"](spark, sf_dir))
+    assert p.count("Exchange") <= 2, p
