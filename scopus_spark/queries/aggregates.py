@@ -453,3 +453,87 @@ def d16_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
     )
+
+
+# --- d17: count-min sketch as a DataFrame composition -------------------------------
+@register(
+    "d17",
+    oracle="""
+    SELECT g.r AS hash_row,
+           ('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':'
+                           || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 256
+             AS bucket,
+           count(*) AS cell_count
+    FROM lineitem, (SELECT unnest(range(0, 4)) AS r) g
+    GROUP BY 1, 2
+    """,
+)
+def d17_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 hash rows x 256 buckets) over the l_partkey
+    stream, built as a pure DataFrame composition: map-side 4x fan-out +
+    ONE hash aggregate whose output is the fixed 1024-cell sketch — the
+    shape that lets 1000 executors partial-aggregate locally and merge
+    counters associatively (a CMS merge IS counter addition). md5-derived
+    bucket hashes keep it engine-reproducible (unlike Spark's built-in
+    binary count_min_sketch, whose estimates only unit tests could see).
+    Point-estimate semantics (min over rows of the keyed cell) are
+    asserted in unit tests: estimates never undercount."""
+    from scopus_spark.operators.text import hash60
+
+    li = table(spark, sf_dir, "lineitem")
+    fan = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("hash_row"), "l_partkey"
+    )
+    bucket = (
+        hash60(
+            F.concat(
+                F.col("hash_row").cast("string"),
+                F.lit(":"),
+                F.col("l_partkey").cast("string"),
+            )
+        )
+        % 256
+    )
+    return (
+        fan.select("hash_row", bucket.alias("bucket"))
+        .groupBy("hash_row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+# --- d18: Bloom-filter bit set as a DataFrame composition ---------------------------
+@register(
+    "d18",
+    oracle="""
+    SELECT DISTINCT
+           ('0x' || substr(md5(CAST(g.k AS VARCHAR) || ':'
+                           || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 2048
+             AS bit_pos
+    FROM orders, (SELECT unnest(range(0, 3)) AS k) g
+    """,
+)
+def d18_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (3 hashes, 2048 bits) over the set of customers with
+    orders, materialized as its set-bit positions: 3x map-side fan-out +
+    one distinct — the bit-OR merge is associative, so partial filters
+    union for free across executors. The classic 100 TB use is shipping
+    this instead of a broadcast join key set (semi-join pre-filter with
+    bounded size and a known false-positive rate). No-false-negative
+    membership is asserted in unit tests."""
+    from scopus_spark.operators.text import hash60
+
+    o = table(spark, sf_dir, "orders")
+    fan = o.select(
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"), "o_custkey"
+    )
+    bit = (
+        hash60(
+            F.concat(
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("o_custkey").cast("string"),
+            )
+        )
+        % 2048
+    )
+    return fan.select(bit.alias("bit_pos")).distinct()

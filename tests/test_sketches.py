@@ -1,0 +1,70 @@
+"""Sketch-operator semantics (d17 CMS, d18 Bloom): the properties the
+hash check can't express — point estimates never undercount (CMS), and
+membership has no false negatives (Bloom)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scopus_spark.catalog import table
+from scopus_spark.operators.text import hash60
+from scopus_spark.registry import all_queries
+
+Q = all_queries()
+
+
+def test_cms_point_estimates_never_undercount(spark, sf_dir):
+    cells = {
+        (r["hash_row"], r["bucket"]): r["cell_count"]
+        for r in Q["d17"](spark, sf_dir).collect()
+    }
+    truth = {
+        r["l_partkey"]: r["n"]
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(50)
+        .collect()
+    }
+    # recompute the same md5 buckets driver-side for the sampled keys
+    import hashlib
+
+    def bucket(row: int, key: int) -> int:
+        h = hashlib.md5(f"{row}:{key}".encode()).hexdigest()[:15]
+        return int(h, 16) % 256
+
+    n_stream = sum(
+        c for (r, _b), c in cells.items() if r == 0
+    )  # row 0 counters sum to the stream size
+    overs = []
+    for key, true_n in truth.items():
+        est = min(cells.get((r, bucket(r, key)), 0) for r in range(4))
+        assert est >= true_n, (key, est, true_n)
+        overs.append(est - true_n)
+    # CMS error bound is ~e/width per row; with 4 rows the min-estimate
+    # should stay well under a loose 5%-of-stream slack for every key
+    assert max(overs) <= 0.05 * n_stream
+
+
+def test_bloom_no_false_negatives_and_plausible_fpr(spark, sf_dir):
+    bits = {r["bit_pos"] for r in Q["d18"](spark, sf_dir).collect()}
+    import hashlib
+
+    def positions(key: int):
+        return [
+            int(hashlib.md5(f"{k}:{key}".encode()).hexdigest()[:15], 16) % 2048
+            for k in range(3)
+        ]
+
+    members = [
+        r["o_custkey"]
+        for r in table(spark, sf_dir, "orders").select("o_custkey").distinct().limit(100).collect()
+    ]
+    for key in members:
+        assert all(p in bits for p in positions(key)), key  # no false negatives
+
+    # non-members: false positives allowed but must not be ~100%
+    fp = sum(
+        1 for key in range(10_000_000, 10_000_200) if all(p in bits for p in positions(key))
+    )
+    assert fp < 150
