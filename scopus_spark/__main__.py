@@ -7,6 +7,7 @@
 from __future__ import annotations
 
 import argparse
+import sys
 
 from scopus_spark import etl
 from scopus_spark.session import get_spark
@@ -30,6 +31,16 @@ def main() -> None:
     m.add_argument("--input", required=True)
     m.add_argument("--target", required=True)
 
+    x = sub.add_parser(
+        "explain", help="print the physical plan of a declared query key"
+    )
+    x.add_argument("key", help="SURVEY §2 key, e.g. d2, c8, o1")
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    x.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+
     args = ap.parse_args()
     spark = get_spark(app_name=f"scopus_spark_{args.cmd}")
     if args.cmd == "render-snapshot":
@@ -39,10 +50,17 @@ def main() -> None:
         tables = etl.extract_snapshot(spark, args.input, args.output)
         for name, df in tables.items():
             print(f"{name}: {df.count()} rows -> {args.output}/{name}")
-    else:
+    elif args.cmd == "merge":
         tables = etl.merge_snapshot(spark, args.input, args.target)
         for name, df in tables.items():
             print(f"{name}: merged {df.count()} delta rows -> {args.target}/{name}")
+    else:
+        from scopus_spark import registry
+
+        queries = registry.all_queries()
+        if args.key not in queries:
+            sys.exit(f"unknown key {args.key!r}; declared: {' '.join(sorted(queries))}")
+        queries[args.key](spark, args.sf_dir).explain(mode=args.mode)
 
 
 if __name__ == "__main__":

@@ -137,3 +137,43 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(ac, ["a", "c"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seed,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(node, hops) — minimum hop count from `seed` to every reachable
+    node, by iterative frontier expansion (the reachability walk a
+    citation graph runs from a seed paper).
+
+    Each round: join the current frontier to the edge list, keep nodes not
+    yet visited, localCheckpoint. Rounds = eccentricity of the seed; each
+    is one shuffle-join on node. Deterministic — hop counts don't depend
+    on partitioning or visit order.
+    """
+    und = undirected(edges, src, dst).persist()
+    try:
+        spark = edges.sparkSession
+        visited = spark.createDataFrame([(seed, 0)], "node long, hops long")
+        frontier = visited
+        for hop in range(1, max_iterations + 1):
+            neighbors = (
+                und.join(frontier.select("node"), und.src == F.col("node"))
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            frontier = (
+                neighbors.join(visited.select("node"), "node", "left_anti")
+                .select("node", F.lit(hop).cast("long").alias("hops"))
+                .localCheckpoint()
+            )
+            if frontier.limit(1).count() == 0:
+                return visited
+            visited = visited.union(frontier).localCheckpoint()
+        raise RuntimeError(f"bfs_hops exceeded {max_iterations} iterations")
+    finally:
+        und.unpersist()

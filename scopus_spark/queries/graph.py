@@ -147,3 +147,37 @@ def n3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     clique-like the near-dup signal is). Low->high edge orientation counts
     each triangle once and bounds join fan-out on power-law graphs."""
     return graph.triangle_count(_dup_edges(spark, sf_dir), "doc_a", "doc_b")
+
+
+# --- n4: BFS hop distance from the first connected doc ---------------------------
+@register(
+    "n4",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    seed AS (SELECT min(a) AS s FROM edges),
+    walk(node, hops) AS (
+      SELECT s, CAST(0 AS BIGINT) FROM seed
+      UNION
+      SELECT e.b, w.hops + 1
+      FROM walk w JOIN edges e ON w.node = e.a
+      WHERE w.hops < 30
+    )
+    SELECT node, min(hops) AS hops FROM walk GROUP BY node
+    """,
+)
+def n4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop count from the first connected document to everything
+    reachable in the dup graph — the citation-graph reachability walk
+    (reference heritage: reference-edge traversal from a seed paper [U]).
+    Spark side: iterative frontier expansion, one shuffle-join per hop
+    level (operators/graph.py); the oracle's recursive CTE explores
+    (node, hops) pairs and min-reduces — same answer, oracle-scale
+    algorithm."""
+    edges = _dup_edges(spark, sf_dir)
+    seed = edges.agg(F.min(F.least("doc_a", "doc_b"))).collect()[0][0]
+    return graph.bfs_hops(edges, seed, "doc_a", "doc_b")

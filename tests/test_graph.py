@@ -68,3 +68,17 @@ def test_cc_partitioning_invariance(spark):
     one = graph.connected_components(_edges(spark, pairs).repartition(1))
     many = graph.connected_components(_edges(spark, pairs).repartition(16))
     assert _cc_dict(one) == _cc_dict(many)
+
+
+def test_bfs_hops_path_graph(spark):
+    # path 0-1-2-3-4 plus disconnected 10-11: hops from 0
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {r["node"]: r["hops"] for r in graph.bfs_hops(e, 0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_hops_shortest_wins(spark):
+    # triangle + tail: node 3 reachable in 1 hop directly, not 2 via 1
+    e = _edges(spark, [(0, 1), (1, 3), (0, 3), (3, 4)])
+    got = {r["node"]: r["hops"] for r in graph.bfs_hops(e, 0).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 4: 2}
