@@ -42,6 +42,15 @@ def main() -> None:
     )
 
     args = ap.parse_args()
+    if args.cmd == "explain":
+        # validate before paying SparkSession startup
+        from scopus_spark import registry
+
+        if args.key not in registry.all_queries():
+            sys.exit(
+                f"unknown key {args.key!r}; declared: "
+                + " ".join(sorted(registry.all_queries()))
+            )
     spark = get_spark(app_name=f"scopus_spark_{args.cmd}")
     if args.cmd == "render-snapshot":
         etl.render_snapshot(spark, args.sf_dir, args.output)

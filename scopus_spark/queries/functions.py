@@ -455,3 +455,54 @@ def h15_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.flatten(F.array("a", "b")).alias("a_concat_b"),
         F.size("a").alias("n_a"),
     )
+
+
+# --- h16: URL parsing family (web-corpus analysis) ----------------------------------
+@register(
+    "h16",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || lang
+             || '?id=' || CAST(doc_id AS VARCHAR) || '&ref=corpus' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1)          AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1)    AS path,
+           regexp_extract(url, '\\?(.*)$', 1)                  AS query,
+           regexp_extract(url, '[?&]id=([^&]*)', 1)            AS id_param,
+           regexp_extract(url,
+             'https?://(?:[^/.]+\\.)?([^/.]+\\.[^/.]+)(?:/|$)', 1)
+                                                               AS reg_domain
+    FROM u
+    """,
+)
+def h16_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL analysis — the first pass over any web corpus (domain quality
+    filters, per-site caps, dedup by canonical URL). URLs are built
+    deterministically from row fields, then dissected with Spark's native
+    parse_url (HOST/PATH/QUERY/param) plus a registered-domain regex; the
+    oracle states identical semantics as RE2-compatible regexes. All
+    map-side."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("lang"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=corpus"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.regexp_extract(
+            "url", r"https?://(?:[^/.]+\.)?([^/.]+\.[^/.]+)(?:/|$)", 1
+        ).alias("reg_domain"),
+    )
