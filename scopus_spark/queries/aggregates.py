@@ -537,3 +537,27 @@ def d18_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2048
     )
     return fan.select(bit.alias("bit_pos")).distinct()
+
+
+# --- d19: boolean aggregate family --------------------------------------------------
+@register(
+    "d19",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice < 450000) AS all_under_450k,
+           bool_or(o_orderstatus = 'F')    AS any_finished,
+           count_if(o_orderstatus = 'O')   AS n_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def d19_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any as bool_and/bool_or) — assertion-style
+    data-quality checks expressed as one hash aggregate; partial aggregation
+    makes them map-side short-circuiting at scale."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") < 450000).alias("all_under_450k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )

@@ -110,3 +110,26 @@ def g6_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("source", "doc_id").alias("keep_source"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# --- g7: INTERSECT ALL (bag semantics) ---------------------------------------------
+@register(
+    "g7",
+    oracle=f"{_HI_SQL} INTERSECT ALL {_URGENT_SQL}",
+)
+def g7_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection: each row kept min(m, n) times across the two
+    multisets — distinct from g3's set semantics. Spark plans a shuffled
+    count-matching aggregate (no row explosion)."""
+    return _hi(spark, sf_dir).intersectAll(_urgent(spark, sf_dir))
+
+
+# --- g8: EXCEPT ALL (bag semantics) ------------------------------------------------
+@register(
+    "g8",
+    oracle=f"{_HI_SQL} EXCEPT ALL {_URGENT_SQL}",
+)
+def g8_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference: multiplicities subtract (max(m - n, 0)) instead of
+    g4's whole-row removal."""
+    return _hi(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))
