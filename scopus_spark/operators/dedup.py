@@ -87,6 +87,88 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def prefix_filter_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT near-dup pairs (Jaccard >= threshold) via prefix filtering.
+
+    AllPairs/PPJoin candidate generation (Bayardo et al., WWW'07): order each
+    document's shingle set by global document-frequency (rarest first), then
+    join only on each set's first ``n - ceil(t*n) + 1`` shingles. Two sets
+    with Jaccard >= t MUST share a prefix element under any common total
+    order (prefix-filter lemma), so — unlike MinHash banding — this prunes
+    with zero false negatives. A length filter (min >= t * max) drops
+    cross-size candidates before the verify step, which recomputes the exact
+    Jaccard from the full sorted shingle arrays map-side.
+
+    100 TB shape: the candidate join touches only the rarest ~(1-t) fraction
+    of each document's shingles; globally hot shingles (boilerplate) sort to
+    the back of every ordering and almost never enter a prefix, so the join
+    key distribution is anti-skewed by construction. Shuffles: shingle
+    explode+df count, df join, per-doc sort (one groupBy), prefix self-join,
+    two verify joins on doc id — all on bounded keys.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col)).alias("shingle")
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_counts, "shingle")
+    # Global order = (df asc, shingle asc): deterministic, rarity-first.
+    docsets = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+            lambda s: s.shingle,
+        ).alias("sh_sorted"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    pref = docsets.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice("sh_sorted", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t  =>  min(|A|,|B|) >= t * max(|A|,|B|)
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_a = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_sorted").alias("set_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sets_b = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_sorted").alias("set_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_inter / (F.col("na") + F.col("nb") - n_inter)
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def simhash(text: str | Column, n_bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint over whitespace tokens.
 

@@ -182,23 +182,29 @@ def d5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d6",
     oracle="""
     SELECT l_returnflag,
-           round(stddev_samp(l_discount), 4)        AS sd_disc,
-           round(var_samp(l_discount), 4)           AS var_disc,
-           round(stddev_pop(l_tax), 4)              AS sdp_tax,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_discount, l_tax), 4)  AS cov_disc_tax
+           round(stddev_samp(l_discount), 4) + 0.0        AS sd_disc,
+           round(var_samp(l_discount), 4) + 0.0           AS var_disc,
+           round(stddev_pop(l_tax), 4) + 0.0              AS sdp_tax,
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 4) + 0.0  AS cov_disc_tax
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def d6_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `+ 0.0` on BOTH engines after round(): IEEE -0.0 + 0.0 = +0.0, so a
+    # near-zero covariance that rounds to signed zero hashes identically.
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
-        F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
-        F.round(F.stddev_pop("l_tax"), 4).alias("sdp_tax"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_discount", "l_tax"), 4).alias("cov_disc_tax"),
+        (F.round(F.stddev_samp("l_discount"), 4) + F.lit(0.0)).alias("sd_disc"),
+        (F.round(F.var_samp("l_discount"), 4) + F.lit(0.0)).alias("var_disc"),
+        (F.round(F.stddev_pop("l_tax"), 4) + F.lit(0.0)).alias("sdp_tax"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 4) + F.lit(0.0)).alias(
+            "cov_disc_tax"
+        ),
     )
 
 
@@ -228,16 +234,21 @@ def d7_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber))  AS line_numbers,
-           count(*)                       AS n_lines
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+           count(*)                                            AS n_lines
     FROM lineitem
     GROUP BY l_orderkey
     """,
 )
 def d8_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Output is the CSV string of the sorted list, not the array itself:
+    # array-typed result columns are outside the harness's hashable surface
+    # (representation policy R1, tests/test_representation.py).
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+        ).alias("line_numbers"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -343,11 +354,11 @@ def d12_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d13",
     oracle="""
     SELECT l_returnflag,
-           count_if(l_discount > 0.05) AS n_high_disc,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_high_disc,
            CAST(sum(CASE WHEN l_tax > 0.04
                          THEN CAST(l_extendedprice AS DECIMAL(9,2))
                          ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE) AS taxed_price,
-           count_if(l_linestatus = 'F') AS n_f
+           CAST(count_if(l_linestatus = 'F') AS BIGINT) AS n_f
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -546,7 +557,7 @@ def d18_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            bool_and(o_totalprice < 450000) AS all_under_450k,
            bool_or(o_orderstatus = 'F')    AS any_finished,
-           count_if(o_orderstatus = 'O')   AS n_open
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open
     FROM orders
     GROUP BY o_orderpriority
     """,

@@ -135,9 +135,9 @@ def h4_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95,
-           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)                  AS plus3m,
-           last_day(CAST(o_orderdate AS DATE))                           AS month_end,
-           CAST(o_orderdate AS DATE)                                     AS as_date,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP)  AS plus3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)           AS month_end,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)                     AS as_date,
            CAST(epoch(o_orderdate) AS BIGINT)                            AS epoch_s,
            CAST(to_timestamp(epoch(o_orderdate)) AS TIMESTAMP)           AS from_epoch
     FROM orders
@@ -150,9 +150,12 @@ def h5_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_95"
         ),
-        F.add_months("o_orderdate", 3).alias("plus3m"),
-        F.last_day("o_orderdate").alias("month_end"),
-        F.to_date("o_orderdate").alias("as_date"),
+        # DATE results ship as midnight TIMESTAMPs (representation policy R1:
+        # Spark date -> pandas object(datetime.date) but DuckDB DATE ->
+        # datetime64 — a driver dtype-tag mismatch; timestamp agrees on both).
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.to_date("o_orderdate").cast("timestamp").alias("as_date"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("from_epoch"),
     )
@@ -247,7 +250,9 @@ def h2_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT)                                   AS dim,
-           list_slice(CAST(embedding AS DOUBLE[]), 1, 3)                 AS first3,
+           CAST(embedding[1] AS DOUBLE)                                  AS first_1,
+           CAST(embedding[2] AS DOUBLE)                                  AS first_2,
+           CAST(embedding[3] AS DOUBLE)                                  AS first_3,
            round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
                                                x -> abs(x)), 'sum'), 4)  AS l1_norm,
            list_max(CAST(embedding AS DOUBLE[]))                         AS max_comp,
@@ -258,12 +263,16 @@ def h2_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def h7_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The leading-slice probe is emitted as three scalar DOUBLE columns, not
+    # an array column (representation policy R1 — harness hashability).
     e = table(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.slice(emb, 1, 3).alias("first3"),
+        emb.getItem(0).alias("first_1"),
+        emb.getItem(1).alias("first_2"),
+        emb.getItem(2).alias("first_3"),
         F.round(
             F.aggregate(
                 F.transform(emb, lambda x: F.abs(x)),
@@ -426,11 +435,15 @@ def h13_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           list_sort(list_distinct(list_intersect(a, b)))   AS a_intersect_b,
-           list_sort(list_distinct(a || b))                 AS a_union_b,
-           list_sort(list_distinct(
-             list_filter(a, x -> NOT list_contains(b, x)))) AS a_except_b,
-           flatten([a, b])                                  AS a_concat_b,
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark array_join is ''
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))),
+                                    '|'), '')               AS a_intersect_b,
+           coalesce(array_to_string(list_sort(list_distinct(a || b)), '|'), '')
+                                                            AS a_union_b,
+           coalesce(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), '|'), '')
+                                                            AS a_except_b,
+           coalesce(array_to_string(flatten([a, b]), '|'), '') AS a_concat_b,
            len(a)                                           AS n_a
     FROM t
     """,
@@ -439,7 +452,8 @@ def h15_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra (intersect/union/except/flatten) over overlapping
     token slices. Set-valued outputs are sort_array-wrapped on both sides
     (C5: Spark preserves first-argument order, DuckDB doesn't — only the
-    set is the contract). All map-side higher-order expressions."""
+    set is the contract) and emitted as '|'-joined strings (representation
+    policy R1 — no array-typed result columns). All map-side expressions."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     t = d.select(
@@ -449,10 +463,12 @@ def h15_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.select(
         "doc_id",
-        F.sort_array(F.array_intersect("a", "b")).alias("a_intersect_b"),
-        F.sort_array(F.array_union("a", "b")).alias("a_union_b"),
-        F.sort_array(F.array_except("a", "b")).alias("a_except_b"),
-        F.flatten(F.array("a", "b")).alias("a_concat_b"),
+        F.array_join(F.sort_array(F.array_intersect("a", "b")), "|").alias(
+            "a_intersect_b"
+        ),
+        F.array_join(F.sort_array(F.array_union("a", "b")), "|").alias("a_union_b"),
+        F.array_join(F.sort_array(F.array_except("a", "b")), "|").alias("a_except_b"),
+        F.array_join(F.flatten(F.array("a", "b")), "|").alias("a_concat_b"),
         F.size("a").alias("n_a"),
     )
 

@@ -1,0 +1,98 @@
+"""Representation policy R1 — guard the harness-hashable output surface.
+
+The driver compares each declared query against its DuckDB oracle by
+canonicalizing both results through pandas (sort columns by name, sort rows,
+hash values + dtypes). Three representation classes broke that compare in
+rounds 1–2 without any value being wrong:
+
+  1. array/map-typed Spark result columns -> pandas object columns holding
+     numpy.ndarray -> ``TypeError: unhashable type`` in the driver (d8 r1/r2).
+  2. DuckDB ``count_if`` returns HUGEINT (int128) -> pandas float64/object,
+     while Spark emits BIGINT/int64 -> dtype-tag mismatch (d13/d19 r1/r2).
+  3. IEEE signed zero: ``round()`` emitting -0.0 on one engine only ->
+     value-hash mismatch although -0.0 == +0.0 (d6 r1/r2).
+
+These tests pin the whole registry to the safe surface so the class cannot
+recur: every declared query schema is scalar-only, and every oracle result is
+HUGEINT-free and signed-zero-free at the t2 scale factor.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from scopus_spark.registry import all_oracles, all_queries
+
+from .conftest import SMOKE_SF_DIR, TEST_SF_DIR
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Spark top-level result types the driver's pandas canonicalizer cannot hash
+# (array/map/struct), plus bare `date`: Spark dates become pandas
+# object(datetime.date) while DuckDB DATE becomes datetime64 — a dtype-tag
+# mismatch. Emit midnight timestamps instead.
+FORBIDDEN_SPARK_TYPES = ("array<", "map<", "struct<", "date")
+
+# DuckDB result types pandas maps to a dtype Spark never produces.
+FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "LIST", "STRUCT", "MAP")
+
+
+def _keys():
+    return sorted(all_queries())
+
+
+@pytest.mark.parametrize("key", _keys())
+def test_spark_output_is_scalar_only(spark, key):
+    """No declared query may emit array/map/struct result columns (R1.1)."""
+    df = all_queries()[key](spark, SMOKE_SF_DIR)
+    for field in df.schema.fields:
+        type_str = field.dataType.simpleString()
+        assert not type_str.startswith(FORBIDDEN_SPARK_TYPES), (
+            f"{key}.{field.name} has driver-unhashable type {type_str}; "
+            "stringify (array_join/concat_ws) or scalarize the column"
+        )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{TEST_SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", sorted(all_oracles()))
+def test_oracle_result_representation(duck, key):
+    """Oracle results: no HUGEINT/LIST dtype (R1.2), no -0.0 values (R1.3)."""
+    res = duck.execute(all_oracles()[key])
+    for name, type_code, *_ in res.description:
+        type_str = str(type_code).upper()
+        assert not any(bad in type_str for bad in FORBIDDEN_DUCK_TYPES), (
+            f"{key}.{name} oracle dtype {type_str} diverges from any Spark "
+            "dtype under pandas; add an explicit CAST in the oracle SQL"
+        )
+    for row in res.fetchall():
+        for name, v in zip([d[0] for d in res.description], row):
+            if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0:
+                pytest.fail(
+                    f"{key}.{name} oracle emits -0.0; normalize with "
+                    "`+ 0.0` after round() on BOTH engines"
+                )
