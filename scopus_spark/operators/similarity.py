@@ -33,29 +33,224 @@ def as_double(col: str | Column = "embedding") -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
-    """Assign every vector to its best coarse cell.
+def _centroid_row(embeddings: DataFrame, n_cells: int) -> DataFrame:
+    """ONE row holding array<struct<cell_id, centroid, cnrm>> for broadcast.
 
-    Returns embeddings + cell_id. Centroids = the n_cells lowest-vec_id
-    vectors (deterministic seed centroids), broadcast to every task — the
-    assignment itself is map-side only.
+    Centroids = the n_cells lowest-vec_id vectors (deterministic seed
+    centroids — no RNG, resumable). Packing them into a single array row
+    makes every per-vector cell computation a map-side array expression
+    after a 1-row broadcast nested-loop join (no shuffle, no groupBy).
     """
-    centroids = (
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(as_double(), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    return (
         embeddings.orderBy("vec_id")
         .limit(n_cells)
         .select(
             F.col("vec_id").alias("cell_id"),
             as_double().alias("centroid"),
+            nrm.alias("cnrm"),
+        )
+        .agg(F.collect_list(F.struct("cell_id", "centroid", "cnrm")).alias("cells"))
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Assign every vector to its best coarse cell — map-side only.
+
+    Round 3: the old plan cross-joined all vectors with the centroid table
+    and ran a groupBy argmax (one avoidable Exchange on vec_id). Now the
+    centroids travel as ONE broadcast row holding an array, and the argmax
+    is an array_max over per-cell structs — pure map work, zero shuffles.
+    Tie-break: highest sim, then lowest cell_id (struct compare on
+    (sim, -cell_id)), identical to the previous semantics.
+    """
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(as_double(), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
         )
     )
-    cands = embeddings.crossJoin(F.broadcast(centroids))
-    sim = F.round(cosine(as_double(), F.col("centroid")), 6)
-    best = (
-        cands.select("vec_id", "cell_id", sim.alias("sim"))
-        .groupBy("vec_id")
-        .agg(F.max_by("cell_id", F.struct(F.col("sim"), (-F.col("cell_id")).alias("tb"))).alias("cell_id"))
+    scored = embeddings.crossJoin(F.broadcast(_centroid_row(embeddings, n_cells)))
+    sims = F.transform(
+        F.col("cells"),
+        lambda c: F.struct(
+            F.round(_dot(as_double(), c["centroid"]) / (nrm * c["cnrm"]), 6).alias(
+                "sim"
+            ),
+            (-c["cell_id"]).alias("negid"),
+            c["cell_id"].alias("cell_id"),
+        ),
     )
-    return embeddings.join(best, "vec_id")
+    return scored.withColumn("cell_id", F.array_max(sims)["cell_id"]).drop("cells")
+
+
+def exact_1nn(embeddings: DataFrame, n_cells: int = 16, eps: float = 1e-6) -> DataFrame:
+    """EXACT all-pairs 1-NN without the O(n^2) cartesian self-join.
+
+    IVF with a triangle-inequality-style pruning bound that preserves
+    exactness (the FAISS IVFFlat idea, made exact): every vector is
+    assigned to its nearest of n_cells seed centroids (map-side, broadcast
+    array row); phase 1 finds each query's best match INSIDE its own cell
+    (equi-join on cell_id); phase 2 probes only cells that could still
+    win: for unit vectors, cos(q, p) <= cos(q, c_j) + ||p_hat - c_j_hat||,
+    so a cell whose centroid-similarity-plus-radius upper bound falls
+    beneath the phase-1 best (minus an epsilon absorbing the 6dp rounding
+    grid) cannot contain the true neighbor and is skipped. Every surviving
+    candidate is re-scored with the same rounded cosine as the brute-force
+    anchor, so output == brute force exactly, including tie-breaks.
+
+    100 TB shape: the only joins are equi-joins on cell_id (shuffle keys
+    bounded by n_cells; AQE skew-split handles fat cells) plus two 1-row
+    broadcast joins. Candidate volume ~= n^2 / n_cells + probe spill,
+    versus n^2 for the declared-anchor plan.
+
+    Returns (vec_id, nn_id, cos_sim, label_match).
+    """
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(as_double(), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    base = embeddings.select(
+        "vec_id", "label", as_double().alias("emb"), nrm.alias("nrm")
+    )
+    cent_row = (
+        base.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("emb").alias("centroid"),
+            F.col("nrm").alias("cnrm"),
+        )
+        .agg(F.collect_list(F.struct("cell_id", "centroid", "cnrm")).alias("cells"))
+    )
+    # map-side assignment; keep the UNROUNDED sim to the chosen centroid for
+    # the radius computation (any consistent assignment keeps exactness).
+    sims = F.transform(
+        F.col("cells"),
+        lambda c: F.struct(
+            (_dot(F.col("emb"), c["centroid"]) / (F.col("nrm") * c["cnrm"])).alias(
+                "sim"
+            ),
+            (-c["cell_id"]).alias("negid"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+    best_cell = F.array_max(sims)
+    assigned = (
+        base.crossJoin(F.broadcast(cent_row))
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            "nrm",
+            best_cell["cell_id"].alias("cell_id"),
+            best_cell["sim"].alias("cos_centroid"),
+        )
+    )
+    # per-cell radius in unit-sphere chord distance: ||p_hat - c_hat|| =
+    # sqrt(2 - 2 cos(p, c)); greatest() guards FP dips below zero.
+    slack = assigned.groupBy("cell_id").agg(
+        F.max(
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * F.col("cos_centroid")))
+        ).alias("slack")
+    )
+    cells_meta_row = (
+        base.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("emb").alias("centroid"),
+            F.col("nrm").alias("cnrm"),
+        )
+        .join(slack, "cell_id")
+        .agg(
+            F.collect_list(
+                F.struct("cell_id", "centroid", "cnrm", "slack")
+            ).alias("cells")
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    own_pairs = a.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label_a"),
+        F.col("b.vec_id").alias("nn_id"),
+        F.col("b.label").alias("label_b"),
+        pair_cos.alias("cos_sim"),
+    )
+    best1 = own_pairs.groupBy("vec_id").agg(F.max("cos_sim").alias("best1"))
+    probes = (
+        assigned.join(best1, "vec_id", "left")
+        # a singleton cell has no phase-1 candidate: -2.0 < min cosine, so
+        # every other cell stays probed and the result is still exact.
+        .withColumn("best1", F.coalesce("best1", F.lit(-2.0)))
+        .crossJoin(F.broadcast(cells_meta_row))
+        .select(
+            "vec_id",
+            F.col("label").alias("label_a"),
+            "emb",
+            "nrm",
+            F.col("cell_id").alias("own_cell"),
+            F.explode(
+                F.filter(
+                    F.col("cells"),
+                    lambda c: (c["cell_id"] != F.col("cell_id"))
+                    & (
+                        _dot(F.col("emb"), c["centroid"]) / (F.col("nrm") * c["cnrm"])
+                        + c["slack"]
+                        >= F.col("best1") - F.lit(eps)
+                    ),
+                )["cell_id"]
+            ).alias("probe_cell"),
+        )
+    )
+    p = probes.alias("p")
+    probe_cos = F.round(
+        _dot(F.col("p.emb"), F.col("b.emb")) / (F.col("p.nrm") * F.col("b.nrm")), 6
+    )
+    probe_pairs = p.join(
+        b,
+        (F.col("p.probe_cell") == F.col("b.cell_id"))
+        & (F.col("p.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("p.vec_id").alias("vec_id"),
+        F.col("p.label_a").alias("label_a"),
+        F.col("b.vec_id").alias("nn_id"),
+        F.col("b.label").alias("label_b"),
+        probe_cos.alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id").asc()
+    )
+    return (
+        own_pairs.unionByName(probe_pairs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            "cos_sim",
+            (F.col("label_a") == F.col("label_b")).alias("label_match"),
+        )
+    )
 
 
 def ann_topk(

@@ -188,50 +188,20 @@ def j3_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j4_allpairs_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-NN for every vector (O(n^2) exact — the correctness anchor).
+    """1-NN for every vector — exact, WITHOUT the O(n^2) cartesian.
 
-    At 100 TB this is block-nested-loop over IVF cells (similarity.py);
-    declared semantics = exact argmax of rounded cosine with id tie-break.
+    Round 3: routed through operators/similarity.exact_1nn — IVF cell
+    assignment (map-side, broadcast centroid row) + own-cell equi-join +
+    bound-pruned probes of other cells. The pruning bound (centroid
+    similarity + cell chord radius, minus the 6dp rounding epsilon) makes
+    the result provably identical to the brute-force anchor the oracle
+    computes, while the physical plan contains only cell_id equi-joins and
+    1-row broadcasts — no CartesianProduct at any scale.
     """
+    from scopus_spark.operators.similarity import exact_1nn
+
     e = table(spark, sf_dir, "embeddings")
-    # Precompute each vector's norm ONCE (n rows) instead of inside every
-    # pair (n^2 rows): drops per-pair array work from 4 traversals to 2.
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(_emb_double(), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    en = e.select("vec_id", "label", _emb_double().alias("emb"), norm.alias("nrm"))
-    a = en.alias("a")
-    b = en.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("a.label").alias("label_a"),
-        F.col("b.vec_id").alias("nn_id"),
-        F.col("b.label").alias("label_b"),
-        cos.alias("cos_sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("nn_id").asc()
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "nn_id",
-            "cos_sim",
-            (F.col("label_a") == F.col("label_b")).alias("label_match"),
-        )
-    )
+    return exact_1nn(e, n_cells=16)
 
 
 # --- j5: TF-IDF, top-5 terms per doc ------------------------------------------------
