@@ -20,10 +20,18 @@ def main() -> None:
     r = sub.add_parser("render-snapshot", help="render documents as an XML snapshot")
     r.add_argument("--sf-dir", required=True)
     r.add_argument("--output", required=True)
+    r.add_argument(
+        "--zips", action="store_true",
+        help="render the vendor delivery shape (ZIP archives of per-record XML)",
+    )
 
-    e = sub.add_parser("extract", help="XML snapshot -> normalized parquet tables")
+    e = sub.add_parser("extract", help="snapshot -> normalized parquet tables")
     e.add_argument("--input", required=True)
     e.add_argument("--output", required=True)
+    e.add_argument(
+        "--zips", action="store_true",
+        help="input is a directory of ZIP archives instead of bare XML files",
+    )
 
     m = sub.add_parser(
         "merge", help="MERGE a delta XML snapshot into extracted tables"
@@ -53,10 +61,14 @@ def main() -> None:
             )
     spark = get_spark(app_name=f"scopus_spark_{args.cmd}")
     if args.cmd == "render-snapshot":
-        etl.render_snapshot(spark, args.sf_dir, args.output)
+        if args.zips:
+            etl.render_snapshot_zips(spark, args.sf_dir, args.output)
+        else:
+            etl.render_snapshot(spark, args.sf_dir, args.output)
         print(f"snapshot written to {args.output}")
     elif args.cmd == "extract":
-        tables = etl.extract_snapshot(spark, args.input, args.output)
+        extract = etl.extract_snapshot_zips if args.zips else etl.extract_snapshot
+        tables = extract(spark, args.input, args.output)
         for name, df in tables.items():
             print(f"{name}: {df.count()} rows -> {args.output}/{name}")
     elif args.cmd == "merge":

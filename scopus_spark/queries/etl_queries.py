@@ -1,0 +1,160 @@
+"""SURVEY §2.A extension — end-to-end snapshot-ETL fidelity (a10-a12, n5).
+
+The reference's actual input is a corpus of ZIP archives of XML records
+(SURVEY §1.1 [U]); its output is a normalized relational schema. These
+keys drive that WHOLE lifecycle through the driver's hash gate:
+
+    documents.parquet --render_snapshot_zips--> ZIPs of per-record XML
+      --extract_snapshot_zips--> normalized parquet tables
+      --(these queries read the written tables)--> hash vs DuckDB oracles
+      that recompute the deterministic enrichment formulas from the
+      SOURCE parquet.
+
+A hash match therefore proves: ZIP packaging, binaryFile scan, Arrow
+unzip, from_xml parse, explode-normalization, partitioned parquet write,
+and the read-back all preserved every value bit-for-bit.
+
+Staging happens once per (sf_dir) per process under /tmp (same policy as
+queries/scans.py) and is shared by all four keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scopus_spark import etl
+from scopus_spark.registry import register
+
+STAGE_ROOT = "/tmp/scopus_spark_stage"
+
+_EXTRACTED: dict[str, str] = {}
+
+
+def _tables_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Render + extract the ZIP snapshot once per sf_dir; return the
+    normalized-tables directory."""
+    if sf_dir not in _EXTRACTED:
+        base = os.path.join(STAGE_ROOT, os.path.basename(sf_dir.rstrip("/")))
+        zips = os.path.join(base, "snapshot_zips")
+        tables = os.path.join(base, "snapshot_tables")
+        etl.render_snapshot_zips(spark, sf_dir, zips)
+        etl.extract_snapshot_zips(spark, zips, tables)
+        _EXTRACTED[sf_dir] = tables
+    return _EXTRACTED[sf_dir]
+
+
+def _extracted(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{_tables_dir(spark, sf_dir)}/{name}")
+
+
+# --- a10: ZIP-of-XML ingestion fidelity (records table) -----------------------
+@register(
+    "a10",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars,
+           CAST(doc_id % 16 AS BIGINT) AS doc_bucket
+    FROM documents
+    """,
+)
+def a10_zip_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """records table out of the full ZIP->XML->normalize->parquet lifecycle
+    == the source documents table (plus the derived partition bucket)."""
+    return _extracted(spark, sf_dir, "records").select(
+        "doc_id", "lang", "source", "n_chars", F.col("doc_bucket").cast("long")
+    )
+
+
+# --- a11: author-link extraction fidelity -------------------------------------
+@register(
+    "a11",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS seq FROM documents
+    )
+    SELECT doc_id, seq,
+           (doc_id*7 + seq*13) % 997                                  AS auid,
+           'author_' || CAST((doc_id*7 + seq*13) % 997 AS VARCHAR)    AS name,
+           ((doc_id*7 + seq*13) % 997) % 53                           AS afid
+    FROM s
+    """,
+)
+def a11_author_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The author-paper link table extracted from the nested <authors>
+    block matches the renderer's enrichment formula recomputed by DuckDB."""
+    return _extracted(spark, sf_dir, "author_links").select(
+        "doc_id", "seq", "auid", "name", "afid"
+    )
+
+
+# --- a12: citation-edge extraction fidelity -----------------------------------
+@register(
+    "a12",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j FROM documents)
+    SELECT s.doc_id                                   AS citing_doc_id,
+           (s.doc_id*17 + s.j*29 + 1) % n.n_docs      AS cited_doc_id
+    FROM s CROSS JOIN n
+    """,
+)
+def a12_citation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The citation edge table extracted from <references> matches the
+    enrichment formula — the graph input queries/graph.py consumes now
+    demonstrably comes out of the ETL itself."""
+    return _extracted(spark, sf_dir, "citation_edges").select(
+        "citing_doc_id", "cited_doc_id"
+    )
+
+
+# --- n5: degree analytics over EXTRACTED citation edges -----------------------
+@register(
+    "n5",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    edges AS (
+      SELECT doc_id AS citing_doc_id,
+             (doc_id*17 + j*29 + 1) % n.n_docs AS cited_doc_id
+      FROM (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j FROM documents)
+      CROSS JOIN n
+    ),
+    outd AS (SELECT citing_doc_id AS doc_id, count(*) AS out_deg
+             FROM edges GROUP BY citing_doc_id),
+    ind  AS (SELECT cited_doc_id AS doc_id, count(*) AS in_deg
+             FROM edges GROUP BY cited_doc_id)
+    SELECT d.doc_id, d.lang,
+           CAST(coalesce(i.in_deg, 0) AS BIGINT)  AS in_deg,
+           CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg
+    FROM documents d
+    LEFT JOIN ind i  ON d.doc_id = i.doc_id
+    LEFT JOIN outd o ON d.doc_id = o.doc_id
+    WHERE coalesce(i.in_deg, 0) + coalesce(o.out_deg, 0) > 0
+    """,
+)
+def n5_citation_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out-degree per publication over the REAL extracted citation-edge
+    table joined back to the extracted records table — the bibliometric
+    staple (citation counts) running on ETL output, not synthetic edges.
+
+    Plan: two partial-aggregated groupBys over the edge table + broadcast
+    joins against the records dimension-slice; at 100 TB the edge table
+    shuffles on bounded doc-id keys and AQE handles hot cited docs.
+    """
+    edges = _extracted(spark, sf_dir, "citation_edges")
+    records = _extracted(spark, sf_dir, "records").select("doc_id", "lang")
+    out_deg = edges.groupBy(F.col("citing_doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col("cited_doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        records.join(in_deg, "doc_id", "left")
+        .join(out_deg, "doc_id", "left")
+        .withColumn("in_deg", F.coalesce("in_deg", F.lit(0)).cast("long"))
+        .withColumn("out_deg", F.coalesce("out_deg", F.lit(0)).cast("long"))
+        .filter(F.col("in_deg") + F.col("out_deg") > 0)
+        .select("doc_id", "lang", "in_deg", "out_deg")
+    )

@@ -106,3 +106,59 @@ def test_merge_snapshot_incremental_load(spark):
         etl.merge_snapshot(spark, delta_snap, out)
         assert spark.read.parquet(f"{out}/records").count() == n0 + 1
         assert spark.read.parquet(f"{out}/record_terms").count() == n_terms
+
+
+def test_zip_corpus_extract_matches_xml_dir_extract(spark):
+    """The ZIP-of-XML ingest path (the vendor delivery shape: binaryFile
+    scan -> Arrow unzip -> from_xml) must produce byte-identical normalized
+    tables to the bare-XML-directory path."""
+    with tempfile.TemporaryDirectory(prefix="scopus_etl_zip_") as tmp:
+        snap, zips = f"{tmp}/snap", f"{tmp}/zips"
+        out_xml, out_zip = f"{tmp}/out_xml", f"{tmp}/out_zip"
+        etl.render_snapshot(spark, SMOKE_SF_DIR, snap)
+        etl.extract_snapshot(spark, snap, out_xml)
+        etl.render_snapshot_zips(spark, SMOKE_SF_DIR, zips, docs_per_archive=16)
+        etl.extract_snapshot_zips(spark, zips, out_zip)
+        for name in etl.TABLE_NAMES:
+            a = spark.read.parquet(f"{out_xml}/{name}")
+            b = spark.read.parquet(f"{out_zip}/{name}")
+            assert sorted(a.columns) == sorted(b.columns), name
+            cols = sorted(a.columns)
+            rows_a = sorted(tuple(r) for r in a.select(cols).collect())
+            rows_b = sorted(tuple(r) for r in b.select(cols).collect())
+            assert rows_a == rows_b, f"{name}: zip path diverges from xml path"
+
+
+def test_extract_produces_citation_edges_and_author_links(spark):
+    """The widened normalized schema: author links explode per (doc, seq),
+    citation edges land in-range, affiliations dim is the distinct afid
+    universe of the corpus."""
+    with tempfile.TemporaryDirectory(prefix="scopus_etl_wide_") as tmp:
+        snap, out = f"{tmp}/snap", f"{tmp}/out"
+        etl.render_snapshot(spark, SMOKE_SF_DIR, snap)
+        etl.extract_snapshot(spark, snap, out)
+        docs = table(spark, SMOKE_SF_DIR, "documents")
+        n_docs = docs.count()
+
+        links = spark.read.parquet(f"{out}/author_links")
+        # 1 + doc_id%3 authors per doc
+        expected_links = docs.select(
+            (1 + F.pmod("doc_id", F.lit(3))).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+        assert links.count() == expected_links
+        assert links.filter(F.col("auid") != (F.col("doc_id") * 7 + F.col("seq") * 13) % 997).count() == 0
+
+        edges = spark.read.parquet(f"{out}/citation_edges")
+        assert edges.filter(
+            (F.col("cited_doc_id") < 0) | (F.col("cited_doc_id") >= n_docs)
+        ).count() == 0
+        expected_edges = docs.select(
+            F.pmod("doc_id", F.lit(4)).alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+        assert edges.count() == expected_edges
+
+        authors = spark.read.parquet(f"{out}/authors")
+        assert authors.count() == authors.select("auid").distinct().count()
+        affs = spark.read.parquet(f"{out}/affiliations")
+        assert affs.count() == affs.select("afid").distinct().count()
+        assert affs.filter(~F.col("country").rlike("^C[0-6]$")).count() == 0
