@@ -21,17 +21,25 @@ swap-in is a metastore location flip (atomic), never an in-place rewrite.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _dir_bytes(path: str) -> int:
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes under `path` via the Hadoop FileSystem API, so any
+    configured scheme works (file://, hdfs://, s3a://, ...) — an os.walk
+    would silently return 0 for non-local URIs and compact everything into
+    one file. Metadata sidecars (_SUCCESS, .crc) are excluded.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(hpath, True)  # recursive
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            total += status.getLen()
     return total
 
 
@@ -43,7 +51,7 @@ def compact(
 ) -> int:
     """Rewrite source_path's parquet into ceil(bytes/target) files at
     dest_path. Returns the file count written."""
-    n_bytes = _dir_bytes(source_path)
+    n_bytes = _dir_bytes(spark, source_path)
     n_files = max(1, -(-n_bytes // target_file_bytes))
     df = spark.read.parquet(source_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dest_path)

@@ -144,7 +144,7 @@ def bfs_hops(
     seed,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 30,
+    max_iterations: int | None = None,
 ) -> DataFrame:
     """(node, hops) — minimum hop count from `seed` to every reachable
     node, by iterative frontier expansion (the reachability walk a
@@ -153,14 +153,27 @@ def bfs_hops(
     Each round: join the current frontier to the edge list, keep nodes not
     yet visited, localCheckpoint. Rounds = eccentricity of the seed; each
     is one shuffle-join on node. Deterministic — hop counts don't depend
-    on partitioning or visit order.
+    on partitioning or visit order. BFS on a finite graph terminates when
+    the frontier empties, so there is NO default iteration cap (a cap
+    silently truncates hop counts on long-diameter graphs); pass
+    max_iterations only as a watchdog, which raises rather than truncates.
     """
     und = undirected(edges, src, dst).persist()
     try:
         spark = edges.sparkSession
-        visited = spark.createDataFrame([(seed, 0)], "node long, hops long")
+        # Seed typed from the edge schema, not hardcoded: string/int node
+        # ids must survive the frontier joins.
+        node_type = und.schema["src"].dataType
+        visited = spark.range(1).select(
+            F.lit(seed).cast(node_type).alias("node"),
+            F.lit(0).cast("long").alias("hops"),
+        )
         frontier = visited
-        for hop in range(1, max_iterations + 1):
+        hop = 0
+        while True:
+            hop += 1
+            if max_iterations is not None and hop > max_iterations:
+                raise RuntimeError(f"bfs_hops exceeded {max_iterations} iterations")
             neighbors = (
                 und.join(frontier.select("node"), und.src == F.col("node"))
                 .select(F.col("dst").alias("node"))
@@ -174,6 +187,5 @@ def bfs_hops(
             if frontier.limit(1).count() == 0:
                 return visited
             visited = visited.union(frontier).localCheckpoint()
-        raise RuntimeError(f"bfs_hops exceeded {max_iterations} iterations")
     finally:
         und.unpersist()

@@ -10,8 +10,19 @@ equivalent is partition-scoped read-merge-rewrite:
    cardinality).
 2. Read ONLY those partitions from the target (partition-pruned scan).
 3. Anti-join existing rows against the delta on the key (old versions of
-   updated rows drop out), union the delta, rewrite just those partitions
-   with dynamic partition overwrite.
+   updated rows drop out), union the delta, and write the merged
+   partitions to a STAGING directory.
+4. Swap each touched partition directory into place (old dir parked as
+   .<part>.old until the new one is in, then removed), and run a recovery
+   sweep first so an interrupted previous swap is healed before merging.
+
+STAGE-AND-SWAP rather than in-place dynamic overwrite (round 3): the
+overwrite commit protocol deletes old partition files before the job is
+durable from the caller's perspective — a failure mid-commit could lose
+the only copy of a partition. Staging never mutates the target until all
+data is written; the swap itself is metadata renames with a parked-old
+fallback. At 100 TB the same shape becomes "write new partition
+locations, flip the metastore pointers" — an atomic catalog operation.
 
 At 100 TB this touches |affected partitions| of data, never the full
 table; idempotent because re-running the same delta rewrites the same
@@ -21,9 +32,30 @@ partitions to the same content.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _partition_dir(val) -> str:
+    return str(val)
+
+
+def _recover_interrupted_swap(target_path: str, partition_col: str) -> None:
+    """Heal a crash between 'park old' and 'move new in': if a parked
+    .<part>.old directory exists and its partition is missing, restore it."""
+    if not os.path.isdir(target_path):
+        return
+    for name in os.listdir(target_path):
+        if name.startswith(f".{partition_col}=") and name.endswith(".old"):
+            live = os.path.join(target_path, name[1:-4])
+            parked = os.path.join(target_path, name)
+            if not os.path.exists(live):
+                os.rename(parked, live)
+            else:
+                shutil.rmtree(parked)
 
 
 def upsert_partitioned(
@@ -35,37 +67,45 @@ def upsert_partitioned(
     """MERGE `delta` into the parquet table at target_path.
 
     Rows whose key exists are replaced; new keys are inserted. Only
-    partitions present in the delta are rewritten.
+    partitions present in the delta are rewritten, via stage-and-swap
+    (the target is never in a partially-deleted state).
 
     CONTRACT: partition_col must be a pure function of key_cols (e.g. a
     hash bucket of the key). If a key's partition value could change
     between versions, its old row would sit in a partition this merge
     never reads, surviving as a duplicate.
     """
+    if not os.path.exists(target_path):
+        delta.write.partitionBy(partition_col).parquet(target_path)
+        return
+    _recover_interrupted_swap(target_path, partition_col)
     spark = delta.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
+    if not touched:
+        return
+    existing = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    survivors = existing.join(delta.select(*key_cols), key_cols, "left_anti")
+    merged = survivors.unionByName(delta)
+
+    staging = f"{target_path}.staging-{uuid.uuid4().hex[:12]}"
     try:
-        if not os.path.exists(target_path):
-            delta.write.partitionBy(partition_col).parquet(target_path)
-            return
-        touched = [
-            r[0] for r in delta.select(partition_col).distinct().collect()
-        ]
-        existing = spark.read.parquet(target_path).filter(
-            F.col(partition_col).isin(touched)
-        )
-        survivors = existing.join(
-            delta.select(*key_cols), key_cols, "left_anti"
-        )
-        merged = survivors.unionByName(delta)
-        # Dynamic overwrite replaces exactly the touched partition dirs.
-        # Reading and overwriting the same path is safe here because the
-        # file-commit protocol stages output in _temporary and only deletes
-        # the old partition files at job commit — after every task has
-        # finished reading its input splits.
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            target_path
-        )
+        # Full write completes BEFORE the target is touched at all.
+        merged.write.partitionBy(partition_col).parquet(staging)
+        for val in touched:
+            part = f"{partition_col}={_partition_dir(val)}"
+            new_dir = os.path.join(staging, part)
+            live_dir = os.path.join(target_path, part)
+            parked = os.path.join(target_path, f".{part}.old")
+            if not os.path.isdir(new_dir):
+                # delta declared this partition but merged wrote no rows for
+                # it (cannot happen with a pure bucket fn; guard anyway)
+                continue
+            if os.path.exists(live_dir):
+                os.rename(live_dir, parked)
+            os.rename(new_dir, live_dir)
+            if os.path.exists(parked):
+                shutil.rmtree(parked)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(staging, ignore_errors=True)

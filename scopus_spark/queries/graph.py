@@ -47,12 +47,16 @@ _PAIRS_CTE = f"""
 # The edge pipeline (MinHash signatures + 60 nested SimHash folds per doc)
 # dominates each n-key's cost; n1-n3 share one persisted copy per
 # (session, sf_dir) — the realized edge list is tiny (pairs, not docs).
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Keyed by applicationId, NOT id(spark): CPython reuses object ids after
+# garbage collection, so a stopped session's id could alias a fresh
+# session and serve a dead persisted DataFrame. applicationId is unique
+# per SparkContext lifetime.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of j9 + j11 pair signals as an (doc_a, doc_b) edge list."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGE_CACHE:
         d = table(spark, sf_dir, "documents")
         lsh = dedup.lsh_candidate_pairs(d).select("doc_a", "doc_b")
@@ -165,7 +169,9 @@ def n3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.b, w.hops + 1
       FROM walk w JOIN edges e ON w.node = e.a
-      WHERE w.hops < 30
+      -- bound = node count: no shortest path is longer, so this cannot
+      -- truncate a legal walk (it only terminates cycle re-exploration)
+      WHERE w.hops < (SELECT count(*) FROM documents)
     )
     SELECT node, min(hops) AS hops FROM walk GROUP BY node
     """,

@@ -47,7 +47,7 @@ def test_compact_splits_at_target_size(spark, sf_dir):
     src, dst = os.path.join(root, "src"), os.path.join(root, "dst")
     try:
         load_table(spark, sf_dir, "orders").write.parquet(src)
-        n_bytes = compaction._dir_bytes(src)
+        n_bytes = compaction._dir_bytes(spark, src)
         n = compaction.compact(spark, src, dst, target_file_bytes=n_bytes // 3)
         assert n in (3, 4)  # ceil division
         assert len(_parquet_files(dst)) == n

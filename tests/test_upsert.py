@@ -62,3 +62,57 @@ def test_upsert_only_rewrites_touched_partitions(spark):
         upsert_partitioned(path, _rows(spark, [(3, "a", 3.0)]), ["id"], "seg")
         assert os.path.getmtime(f"{path}/seg=b") == mtime_b  # b untouched
         assert spark.read.parquet(path).count() == 3
+
+
+def test_upsert_recovers_interrupted_swap(spark):
+    """A crash between 'park old partition' and 'move new in' leaves
+    .<part>.old with no live dir; the next upsert must restore it before
+    merging (stage-and-swap recovery sweep)."""
+    import os
+
+    with tempfile.TemporaryDirectory(prefix="scopus_upsert_crash_") as tmp:
+        path = f"{tmp}/t"
+        base = _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+        upsert_partitioned(path, base, ["id"], "seg")
+
+        # simulate the crash window: partition b parked, live dir missing
+        os.rename(os.path.join(path, "seg=b"), os.path.join(path, ".seg=b.old"))
+        assert not os.path.exists(os.path.join(path, "seg=b"))
+
+        delta = _rows(spark, [(3, "a", 3.0)])
+        upsert_partitioned(path, delta, ["id"], "seg")
+
+        got = {r.id: (r.seg, r.val) for r in spark.read.parquet(path).collect()}
+        assert got == {1: ("a", 1.0), 2: ("b", 2.0), 3: ("a", 3.0)}
+        assert not os.path.exists(os.path.join(path, ".seg=b.old"))
+
+
+def test_upsert_write_failure_leaves_target_intact(spark):
+    """If computing/writing the merged partitions fails, the target must be
+    byte-identical to before (staging is written before any target mutation)."""
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    with tempfile.TemporaryDirectory(prefix="scopus_upsert_fail_") as tmp:
+        path = f"{tmp}/t"
+        base = _rows(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)])
+        upsert_partitioned(path, base, ["id"], "seg")
+        before = sorted(
+            tuple(r) for r in spark.read.parquet(path).collect()
+        )
+
+        def boom(v):
+            raise RuntimeError("injected failure")
+
+        bad_udf = F.udf(boom, T.DoubleType())
+        delta = _rows(spark, [(2, "a", 99.0)]).withColumn("val", bad_udf("val"))
+        with pytest.raises(Exception):
+            upsert_partitioned(path, delta, ["id"], "seg")
+
+        after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        assert after == before
+        # no staging residue next to the target
+        parent = os.path.dirname(path)
+        assert [d for d in os.listdir(parent) if ".staging-" in d] == []
