@@ -234,17 +234,25 @@ def j5_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc top-5. df table is tiny (vocab) -> broadcast; ranking on the
     rounded score keeps cross-engine ordering identical."""
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar, known at plan time (cheap count on metadata)
+    # corpus size as a broadcast 1-row aggregate, not a driver-side count():
+    # keeps the whole query one lazy plan (no eager job at declaration time)
+    n_row = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (

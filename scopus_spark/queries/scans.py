@@ -232,6 +232,44 @@ def a5_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- a6: JDBC round-trip through embedded Derby ------------------------------------
+@register(
+    "a6",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderkey % 16 = 1
+    """,
+)
+def a6_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's terminal stage, EXECUTED: an orders slice
+    goes out through partition-parallel write.jdbc into an RDBMS (embedded
+    Apache Derby — on Spark's classpath out of the box) and comes back via
+    read.jdbc; the hash vs the source parquet proves the load+readback
+    lost nothing (types: bigint, varchar, double, timestamp). Embedded
+    Derby is single-JVM; a cluster deployment swaps the URL/driver for a
+    server RDBMS — the Spark code is identical."""
+    from scopus_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        derby_url,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = derby_url(_stage(sf_dir, "derby_db"))
+    sample = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 16 == 1)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+    )
+    write_jdbc(
+        sample, url, "orders_rt", DERBY_DRIVER, mode="overwrite", num_partitions=4
+    )
+    return read_jdbc(spark, url, "orders_rt", DERBY_DRIVER)
+
+
 # --- a7: in-memory source ---------------------------------------------------------------------
 @register(
     "a7",

@@ -35,3 +35,28 @@ def test_a2_csv_rereads_with_pushdown(spark, sf_dir):
     but the filter must apply)."""
     df = QUERIES["a2"](spark, sf_dir).filter(F.col("l_quantity") > 25)
     assert df.count() > 0
+
+
+def test_a6_derby_jdbc_roundtrip_executes(spark, sf_dir):
+    """Embedded Derby ships on Spark's classpath, so the JDBC sink runs for
+    real: write a keyed slice, read it back, full value parity (the a6
+    oracle additionally hash-checks this end-to-end each round)."""
+    from scopus_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        derby_url,
+        jdbc_available,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    assert jdbc_available(spark, DERBY_DRIVER)
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="scopus_derby_") as tmp:
+        url = derby_url(f"{tmp}/db")
+        src = table(spark, sf_dir, "nation")
+        write_jdbc(src, url, "nation_rt", DERBY_DRIVER, mode="overwrite")
+        back = read_jdbc(spark, url, "nation_rt", DERBY_DRIVER)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src.collect())
+        )
