@@ -42,9 +42,9 @@ def main() -> None:
     n_hash = len(oracles)
     lines += [
         "",
-        f"**{len(queries)} declared keys, {n_hash} HASH-checked.** a6 (JDBC"
-        " sink) is a module + unit test (`scopus_spark/sources/jdbc.py`) per"
-        " SURVEY §2.A.",
+        f"**{len(queries)} declared keys, {n_hash} HASH-checked.** The"
+        " remaining keys are ROWS/UNIT by design (approximate, plan-assert,"
+        " or streaming-only — see SURVEY §2).",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
