@@ -4,7 +4,9 @@ this corpus's columns (FIXTURES.md; no commit/receipt dates, no shipmode).
 
 These compose the §2.C/§2.D/§2.M primitives into the multi-table report
 plans a warehouse user actually runs: q10 (returned-item revenue top-k),
-q14 (promo revenue share), q18 (large-volume orders via IN + HAVING).
+q14 (promo revenue share), q18 (large-volume orders via IN + HAVING);
+round 3 adds q4 (EXISTS + priority counts), q7 (two-nation volume
+shipping), q8 (regional market share), q19 (disjunctive band predicates).
 Money aggregation follows _fp (exact decimal accumulate, double emit).
 """
 
@@ -137,4 +139,217 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+# --- q4: order-priority checking (adapted: EXISTS on returned lines) -----------------
+@register(
+    "q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (priority counts behind an EXISTS), adapted: the
+    corpus has no commit/receipt dates, so the correlated predicate is
+    'has a returned line'. The EXISTS decorrelates to a left-semi join on
+    o_orderkey; lineitem's returnflag filter is pushed to its scan, orders
+    is date-pruned — at 100 TB both sides arrive pre-filtered at one
+    shuffle each."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- q7: volume shipping between two nations ----------------------------------------
+@register(
+    "q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(9,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship year.
+    The two nation joins broadcast; the disjunctive nation pair filter
+    applies after them (Catalyst pushes each side's IsIn(NATION_3,
+    NATION_7) down through the join into both scans); the two fact joins
+    shuffle once each on their keys."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (_fp.m("l_extendedprice") * (1 - _fp.s("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_fp.dsum(F.col("volume"), "revenue"))
+    )
+
+
+# --- q8: regional market share ------------------------------------------------------
+@register(
+    "q8",
+    oracle="""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_region = 'ASIA' THEN volume
+                         ELSE CAST(0 AS DECIMAL(9,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(9,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+             r.r_name AS supp_region
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_sales
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: ASIA's share of PROMO-part revenue per order year
+    (adapted: the corpus ships no p_container/o_shippriority, and share is
+    by supplier region). Five joins — part/nation/region broadcast,
+    lineitem-orders shuffle; numerator and denominator accumulate in exact
+    decimal within ONE aggregation so the share divides identical doubles
+    (C3: emit the ratio raw)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    li = table(spark, sf_dir, "lineitem")
+    vol = _fp.m("l_extendedprice") * (1 - _fp.s("l_discount"))
+    asia_vol = F.when(F.col("r_name") == "ASIA", vol).otherwise(
+        F.lit(0).cast(_fp.MONEY)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            asia_vol.alias("asia_volume"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum("asia_volume").cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- q19: disjunctive band-predicate revenue ----------------------------------------
+@register(
+    "q19",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue over three OR'd (brand, size-band,
+    quantity-band) predicates spanning both join sides. Catalyst extracts
+    the common constraints it can push (brand IN (...) to part's scan,
+    quantity range to lineitem's); the residual disjunction evaluates
+    post-join on the broadcast-joined rows — the classic test that OR
+    predicates don't force a cartesian or kill pushdown."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    band = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            band("Brand#1", 1, 15, 1, 20)
+            | band("Brand#2", 10, 30, 10, 30)
+            | band("Brand#3", 20, 50, 20, 40)
+        )
+        .agg(
+            _fp.dsum(_fp.m("l_extendedprice") * (1 - _fp.s("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
