@@ -572,3 +572,25 @@ def d19_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
     )
+
+
+# --- d20: approximate percentile sketch (ROWS + unit tolerance check) ---------------
+@register("d20")
+def d20_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) next to their
+    exact counterparts — the constant-memory quantile path for 100 TB
+    (exact percentile needs a full sort per group; the sketch is one
+    mergeable accumulator per group). ROWS-only by design, like d4: two
+    engines' sketches legitimately differ; the unit test bounds the
+    approximation error against the exact values instead."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "p50_approx"
+        ),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(1000)).alias(
+            "p90_approx"
+        ),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_exact"),
+    )

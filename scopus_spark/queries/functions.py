@@ -522,3 +522,39 @@ def h16_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "url", r"https?://(?:[^/.]+\.)?([^/.]+\.[^/.]+)(?:/|$)", 1
         ).alias("reg_domain"),
     )
+
+
+# --- h17: string-distance family (fuzzy matching surface) ---------------------------
+@register(
+    "h17",
+    oracle="""
+    SELECT doc_id,
+           CAST(levenshtein(source, lang) AS INT)                 AS lev_source_lang,
+           CAST(levenshtein(substr(text, 1, 12), source) AS INT)  AS lev_prefix_source,
+           CAST(levenshtein(source, 'src1') AS INT)               AS lev_to_src1,
+           (levenshtein(source, 'src1')
+              <= CAST(greatest(length(source), 4) / 4 AS INT))    AS near_src1
+    FROM documents
+    """,
+)
+def h17_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance family — the fuzzy-match primitive an author/affiliation
+    disambiguation pass runs (the reference's corpus carries free-text
+    names; near-match on edit distance is the standard blocking-verify
+    step). Pure map-side JVM expressions; both engines implement classic
+    Levenshtein so values hash exactly. The banded threshold column shows
+    the length-relative cutoff shape used in record linkage."""
+    d = table(spark, sf_dir, "documents")
+    lev_to_src1 = F.levenshtein("source", F.lit("src1"))
+    return d.select(
+        "doc_id",
+        F.levenshtein("source", "lang").alias("lev_source_lang"),
+        F.levenshtein(F.substring("text", 1, 12), F.col("source")).alias(
+            "lev_prefix_source"
+        ),
+        lev_to_src1.alias("lev_to_src1"),
+        (
+            lev_to_src1
+            <= (F.greatest(F.length("source"), F.lit(4)) / 4).cast("int")
+        ).alias("near_src1"),
+    )

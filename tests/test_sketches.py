@@ -68,3 +68,12 @@ def test_bloom_no_false_negatives_and_plausible_fpr(spark, sf_dir):
         1 for key in range(10_000_000, 10_000_200) if all(p in bits for p in positions(key))
     )
     assert fp < 150
+
+
+def test_d20_approx_percentile_within_1pct(spark, sf_dir):
+    """GK-sketch percentiles must land within 1% of exact at accuracy=1000."""
+    from scopus_spark import registry
+
+    for row in registry.all_queries()["d20"](spark, sf_dir).collect():
+        assert abs(row.p50_approx - row.p50_exact) <= 0.01 * row.p50_exact
+        assert abs(row.p90_approx - row.p90_exact) <= 0.01 * row.p90_exact
