@@ -103,6 +103,12 @@ RECORD_SCHEMA = T.StructType(
             "references",
             T.StructType([T.StructField("ref", T.ArrayType(T.LongType()))]),
         ),
+        T.StructField("pubyear", T.LongType()),
+        T.StructField("issn", T.StringType()),
+        T.StructField(
+            "subjects",
+            T.StructType([T.StructField("subject", T.ArrayType(T.StringType()))]),
+        ),
     ]
 )
 
@@ -116,6 +122,20 @@ RECORD_SCHEMA = T.StructType(
 AUID_MOD = 997     # distinct-author universe
 AFID_MOD = 53      # distinct-affiliation universe
 COUNTRY_MOD = 7
+SUBJ_MOD = 40      # subject-code universe
+PUBYEAR_BASE = 1990
+PUBYEAR_SPAN = 30
+
+
+def _subject_codes(doc_id: Column) -> Column:
+    """1 + doc_id%2 subject codes; code = 'SUBJ_' || (doc_id*11 + k*5) % 40."""
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), F.pmod(doc_id, F.lit(2)).cast("long")),
+        lambda k: F.concat(
+            F.lit("SUBJ_"),
+            F.pmod(doc_id * 11 + k * 5, F.lit(SUBJ_MOD)).cast("string"),
+        ),
+    )
 
 
 def _author_structs(doc_id: Column) -> Column:
@@ -181,6 +201,11 @@ def _nested_records(docs: DataFrame) -> DataFrame:
         F.struct(
             _reference_ids(F.col("doc_id"), F.col("n_docs")).alias("ref")
         ).alias("references"),
+        (F.lit(PUBYEAR_BASE) + F.pmod("doc_id", F.lit(PUBYEAR_SPAN))).alias(
+            "pubyear"
+        ),
+        F.concat(F.lit("issn_"), F.col("source")).alias("issn"),
+        F.struct(_subject_codes(F.col("doc_id")).alias("subject")).alias("subjects"),
     )
 
 
@@ -221,7 +246,7 @@ def render_snapshot_zips(
         F.to_xml(
             F.struct(
                 "doc_id", "lang", "source", "n_chars", "terms", "authors",
-                "affiliations", "references",
+                "affiliations", "references", "pubyear", "issn", "subjects",
             ),
             {"rowTag": "record"},
         ).alias("xml"),
@@ -255,6 +280,8 @@ TABLE_NAMES = (
     "authors",
     "affiliations",
     "citation_edges",
+    "subject_codes",
+    "sources",
 )
 
 
@@ -269,7 +296,9 @@ def _normalize(raw: DataFrame) -> dict[str, DataFrame]:
     relative to the corpus (bounded id universes), rebuilt per load.
     """
     bucket = F.pmod("doc_id", F.lit(N_TERM_BUCKETS)).alias("doc_bucket")
-    records = raw.select("doc_id", "lang", "source", "n_chars", bucket)
+    records = raw.select(
+        "doc_id", "lang", "source", "n_chars", "pubyear", "issn", bucket
+    )
     record_terms = raw.select(
         "doc_id", F.explode(F.col("terms.term")).alias("t")
     ).select(
@@ -302,6 +331,10 @@ def _normalize(raw: DataFrame) -> dict[str, DataFrame]:
         "cited_doc_id",
         F.pmod("citing_doc_id", F.lit(N_TERM_BUCKETS)).alias("doc_bucket"),
     )
+    subject_codes = raw.select(
+        "doc_id", F.explode(F.col("subjects.subject")).alias("code")
+    ).select("doc_id", "code", bucket)
+    sources = raw.select("source", "issn").distinct()
     return {
         "records": records,
         "record_terms": record_terms,
@@ -309,6 +342,8 @@ def _normalize(raw: DataFrame) -> dict[str, DataFrame]:
         "authors": authors,
         "affiliations": affiliations,
         "citation_edges": citation_edges,
+        "subject_codes": subject_codes,
+        "sources": sources,
     }
 
 
@@ -427,5 +462,8 @@ def merge_snapshot(
         tables["citation_edges"],
         ["citing_doc_id"],
         "doc_bucket",
+    )
+    upsert_partitioned(
+        f"{target_dir}/subject_codes", tables["subject_codes"], ["doc_id"], "doc_bucket"
     )
     return tables

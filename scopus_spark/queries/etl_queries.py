@@ -158,3 +158,45 @@ def n5_citation_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("in_deg") + F.col("out_deg") > 0)
         .select("doc_id", "lang", "in_deg", "out_deg")
     )
+
+
+# --- a13: subject-code extraction fidelity ------------------------------------
+@register(
+    "a13",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 2)) AS k FROM documents
+    )
+    SELECT doc_id,
+           1990 + doc_id % 30                                   AS pubyear,
+           'SUBJ_' || CAST((doc_id*11 + k*5) % 40 AS VARCHAR)   AS code
+    FROM s
+    """,
+)
+def a13_subject_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject-classification child table out of the nested <subjects>
+    block, joined to the records table's pubyear — the reference schema's
+    subject-code fan-out (SURVEY §1.1 [U]) verified through the full ZIP
+    lifecycle."""
+    codes = _extracted(spark, sf_dir, "subject_codes")
+    records = _extracted(spark, sf_dir, "records").select("doc_id", "pubyear")
+    return codes.join(records, "doc_id").select("doc_id", "pubyear", "code")
+
+
+# --- a14: source/ISSN dimension fidelity --------------------------------------
+@register(
+    "a14",
+    oracle="""
+    SELECT d.source, 'issn_' || d.source AS issn, count(*) AS n_docs
+    FROM documents d
+    GROUP BY d.source
+    """,
+)
+def a14_source_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sources dimension (source + ISSN) distinct-extracted from the
+    records, re-linked to per-source publication counts — the reference's
+    serial/source table."""
+    sources = _extracted(spark, sf_dir, "sources")
+    records = _extracted(spark, sf_dir, "records")
+    counts = records.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return sources.join(counts, "source").select("source", "issn", "n_docs")
