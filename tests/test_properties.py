@@ -106,3 +106,115 @@ def test_collect_list_order_invariant(spark):
         .collect()
     }
     assert get(df1) == get(df2)
+
+
+# --- round-3 exact-candidate algorithms vs brute force on random inputs ------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+_DOCS = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=_DOCS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_prefix_filter_pairs_equals_bruteforce(spark, texts):
+    """Prefix filtering must find EXACTLY the brute-force Jaccard>=t pairs
+    for any corpus (the prefix-filter lemma has no false negatives; verify
+    removes false positives)."""
+    from scopus_spark.operators.dedup import prefix_filter_pairs
+    from scopus_spark.operators.text import word_shingles
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in prefix_filter_pairs(docs).collect()
+    }
+    sh = {r.doc_id: set(r.sh) for r in docs.select(
+        "doc_id", word_shingles("text").alias("sh")).collect()}
+    brute = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            jac = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if jac >= 0.8:
+                brute.add((a, b, round(jac, 6)))
+    assert fast == brute
+
+
+_NONZERO_FLOAT = st.tuples(st.booleans(), st.floats(0.0625, 1.0, width=32)).map(
+    lambda t: t[1] if t[0] else -t[1]
+)
+
+_VECS = st.lists(
+    st.lists(_NONZERO_FLOAT, min_size=4, max_size=4),
+    min_size=3,
+    max_size=14,
+)
+
+
+@given(vecs=_VECS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_exact_1nn_equals_bruteforce(spark, vecs):
+    """IVF bound-pruned 1-NN must match the brute-force argmax (rounded
+    cosine, id tie-break) for any vector set and any cell count."""
+    from scopus_spark.operators.similarity import exact_1nn
+
+    rows = [(i, i % 3, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r.vec_id, r.nn_id, r.cos_sim, r.label_match)
+        for r in exact_1nn(emb, n_cells=3).collect()
+    }
+    # brute force in python, replicating double-cast + rounding + tie-break
+    import math
+
+    def to_d(v):
+        import struct
+
+        return [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+
+    dvecs = {i: to_d(v) for i, _, v in rows}
+    labels = {i: lb for i, lb, _ in rows}
+    brute = set()
+    for a in dvecs:
+        best = None
+        for b in dvecs:
+            if a == b:
+                continue
+            dot = 0.0
+            for x, y in zip(dvecs[a], dvecs[b]):
+                dot += x * y
+            na = math.sqrt(sum_sq(dvecs[a]))
+            nb = math.sqrt(sum_sq(dvecs[b]))
+            cos = round(dot / (na * nb), 6)
+            cand = (-cos, b)
+            if best is None or cand < best:
+                best = cand
+        cos_best, nn = -best[0], best[1]
+        brute.add((a, nn, cos_best, labels[a] == labels[nn]))
+    assert got == brute
+
+
+def sum_sq(v):
+    s = 0.0
+    for x in v:
+        s += x * x
+    return s
