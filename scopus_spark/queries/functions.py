@@ -558,3 +558,50 @@ def h17_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= (F.greatest(F.length("source"), F.lit(4)) / 4).cast("int")
         ).alias("near_src1"),
     )
+
+
+# --- h18: VARIANT semi-structured type (Spark 4 open JSON type) ---------------------
+@register(
+    "h18",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"meta": {"type": "' || event_type || '", "user": ' ||
+             CAST(user_id AS VARCHAR) || '}, "vals": [' ||
+             CAST(value AS VARCHAR) || ', ' || CAST(value * 2 AS VARCHAR) ||
+             '], "props": ' || props || '}' AS js
+      FROM events
+    )
+    SELECT event_id,
+           json_extract_string(js, '$.meta.type')            AS meta_type,
+           CAST(json_extract(js, '$.meta.user') AS BIGINT)   AS meta_user,
+           CAST(json_extract(js, '$.vals[1]') AS DOUBLE)     AS val2,
+           CAST(json_extract(js, '$.props.k') AS INT)        AS prop_k
+    FROM j
+    """,
+)
+def h18_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT (the open semi-structured type): a nested JSON doc is
+    built deterministically from event fields, parsed ONCE into a variant,
+    then path-extracted with typed variant_get — the modern replacement
+    for repeated get_json_object string re-parsing (one binary-encoded
+    parse, O(1) typed path reads). Oracle reads the identical JSON with
+    DuckDB's JSON type. Scale: parse + extraction are map-side;
+    variant binary encoding keeps per-row parse cost once no matter how
+    many paths are read."""
+    e = table(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"meta": {"type": "'), F.col("event_type"), F.lit('", "user": '),
+        F.col("user_id").cast("string"), F.lit('}, "vals": ['),
+        F.col("value").cast("string"), F.lit(", "),
+        (F.col("value") * 2).cast("string"), F.lit('], "props": '),
+        F.col("props"), F.lit("}"),
+    )
+    v = F.parse_json(js)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.meta.type", "string").alias("meta_type"),
+        F.variant_get(v, "$.meta.user", "long").alias("meta_user"),
+        F.variant_get(v, "$.vals[1]", "double").alias("val2"),
+        F.variant_get(v, "$.props.k", "int").alias("prop_k"),
+    )

@@ -4,13 +4,15 @@ The north-star additions (BASELINE.json:6): dedup, similarity search,
 text/corpus analysis, embedding stats, multimodal binary columns — each as
 a declared query with a DuckDB oracle, each designed scale-first:
 
-- Exact dedup (j1) & keyed near-dup verification (j2): one shuffle on the
-  dedup key / shingle; candidate generation at 100 TB goes through
-  MinHash-LSH banding (scopus_spark.operators.dedup) with THIS exact
-  Jaccard as the re-verification contract.
-- Similarity search (j3/j4): brute-force exact top-k as correctness anchor;
-  the scale path (LSH/IVF partition pruning) lives in
-  scopus_spark.operators.similarity with exact re-rank.
+- Exact dedup (j1) & near-dup pairs (j2): one shuffle on the dedup key;
+  j2's candidates come from EXACT prefix filtering
+  (operators/dedup.prefix_filter_pairs — AllPairs/PPJoin) with the exact
+  Jaccard as the verification contract; MinHash-LSH banding (j9) is the
+  recall-tunable probabilistic tier.
+- Similarity search: j3 brute-force top-k for a single query vector (one
+  scan + TakeOrdered — the right plan for that shape); j4 all-pairs 1-NN
+  via IVF bound-pruned exact search (operators/similarity.exact_1nn, no
+  cartesian); approximate tier in operators/similarity.ann_topk.
 - All FP outputs follow _fp.py (similarities rounded at 6dp per FIXTURES).
 """
 
@@ -157,6 +159,9 @@ def j3_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["qe"]
         )
     qvec = _J3_QUERY_VECTOR_CACHE[sf_dir]
+    # Higher-order-fn cosine beats a fully unrolled element_at expression
+    # here: 64 dims x 3 terms unrolled blows the expression tree past what
+    # codegen handles gracefully (measured 4x slower at sf0.1).
     qe = F.array(*[F.lit(float(x)) for x in qvec])
     cos = F.round(_cosine(_emb_double(), qe), 6)
     return (
