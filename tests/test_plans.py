@@ -88,3 +88,25 @@ def test_resample_ffill_two_exchanges(spark, sf_dir):
     aggregate — the lead-based dedup must NOT add a (user, ts) shuffle."""
     p = _plan(QUERIES["o1"](spark, sf_dir))
     assert p.count("Exchange") <= 2, p
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    plan = _plan(QUERIES["q4"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q7_q8_broadcast_dims_no_cartesian(spark, sf_dir):
+    for key in ("q7", "q8"):
+        plan = _plan(QUERIES[key](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # date pruning reaches the fact scans
+        assert "PushedFilters: [" in plan, plan
+
+
+def test_h18_variant_single_parse(spark, sf_dir):
+    """The variant doc must be built+parsed once per row (one parse_json in
+    the plan), not re-parsed per extracted path."""
+    plan = _plan(QUERIES["h18"](spark, sf_dir))
+    assert plan.count("parse_json") <= 1, plan
