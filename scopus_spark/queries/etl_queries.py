@@ -38,8 +38,10 @@ def _tables_dir(spark: SparkSession, sf_dir: str) -> str:
     normalized-tables directory."""
     if sf_dir not in _EXTRACTED:
         base = os.path.join(STAGE_ROOT, os.path.basename(sf_dir.rstrip("/")))
-        zips = os.path.join(base, "snapshot_zips")
-        tables = os.path.join(base, "snapshot_tables")
+        # pid suffix: a concurrently running test session and driver pass
+        # must not overwrite each other's staged corpus mid-read.
+        zips = os.path.join(base, f"snapshot_zips_pid{os.getpid()}")
+        tables = os.path.join(base, f"snapshot_tables_pid{os.getpid()}")
         etl.render_snapshot_zips(spark, sf_dir, zips)
         etl.extract_snapshot_zips(spark, zips, tables)
         _EXTRACTED[sf_dir] = tables

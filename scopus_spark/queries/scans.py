@@ -26,7 +26,13 @@ STAGE_ROOT = "/tmp/scopus_spark_stage"
 
 
 def _stage(sf_dir: str, name: str) -> str:
-    return os.path.join(STAGE_ROOT, os.path.basename(sf_dir.rstrip("/")), name)
+    # pid-scoped: every staged round-trip (CSV/JSON/ORC/partitioned/Derby)
+    # writes then reads its own directory; a concurrently running test
+    # session and driver pass must not overwrite each other mid-read (and
+    # embedded Derby holds a JVM-exclusive lock on its db dir).
+    return os.path.join(
+        STAGE_ROOT, os.path.basename(sf_dir.rstrip("/")), f"pid{os.getpid()}", name
+    )
 
 
 # --- a1: parquet scan with explicit schema + pushdown ---------------------------
