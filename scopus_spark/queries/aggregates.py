@@ -594,3 +594,35 @@ def d20_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_exact"),
     )
+
+
+# --- d21: ordered string aggregation (ANSI LISTAGG) ---------------------------------
+@register(
+    "d21",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def d21_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered string aggregation — Spark 4's LISTAGG ... WITHIN GROUP
+    (the SQL-standard form of d8's sort_array+array_join), deterministic
+    because the delimiter order is declared. Exercised through the SQL
+    interface (the one string-first API surface); DuckDB's equivalent is
+    string_agg with ORDER BY. Output is a bounded string (<= 3 distinct
+    status codes), representation-safe."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_d21_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n_orders
+        FROM _d21_orders
+        GROUP BY o_custkey
+        """
+    )

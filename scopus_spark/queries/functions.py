@@ -605,3 +605,38 @@ def h18_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.vals[1]", "double").alias("val2"),
         F.variant_get(v, "$.props.k", "int").alias("prop_k"),
     )
+
+
+# --- h19: regexp_extract_all (multi-match extraction) -------------------------------
+@register(
+    "h19",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '([aeiou]+)', 1), '|')
+             AS vowel_runs,
+           array_to_string(regexp_extract_all(p_type || '-' || p_brand,
+                                              '([A-Za-z]+)', 1), '|')
+             AS word_runs,
+           CAST(len(regexp_extract_all(p_name, '([aeiou]+)', 1)) AS INT)
+             AS n_vowel_runs
+    FROM part
+    """,
+)
+def h19_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction: every vowel run / word run per row
+    (the tokenizer-adjacent primitive get-all-matches, vs h3's single
+    group). Arrays are '|'-joined per representation policy R1. Map-side;
+    both engines use the same leftmost-first match enumeration."""
+    p = table(spark, sf_dir, "part")
+    vowels = F.regexp_extract_all("p_name", F.lit("([aeiou]+)"), 1)
+    words = F.regexp_extract_all(
+        F.concat(F.col("p_type"), F.lit("-"), F.col("p_brand")),
+        F.lit("([A-Za-z]+)"),
+        1,
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(vowels, "|").alias("vowel_runs"),
+        F.array_join(words, "|").alias("word_runs"),
+        F.size(vowels).alias("n_vowel_runs"),
+    )
