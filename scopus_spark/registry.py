@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "scopus_spark.queries.graph",
     "scopus_spark.queries.sampling",
     "scopus_spark.queries.composite",
+    "scopus_spark.queries.composite2",
     "scopus_spark.queries.timeseries",
     "scopus_spark.queries.etl_queries",
 )

@@ -110,3 +110,36 @@ def test_h18_variant_single_parse(spark, sf_dir):
     the plan), not re-parsed per extracted path."""
     plan = _plan(QUERIES["h18"](spark, sf_dir))
     assert plan.count("parse_json") <= 1, plan
+
+
+def test_q21_exists_pair_becomes_semi_and_anti(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS must survive as one semi and one anti
+    lineitem self-join on the orderkey shuffle key — no correlated re-scan,
+    no cartesian."""
+    plan = _plan(QUERIES["q21"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q2_q17_correlated_aggregates_decorrelate(spark, sf_dir):
+    """Q2's correlated MIN rides a window over the already-joined cost rows
+    (no second fact join); Q17's correlated AVG becomes a per-part
+    aggregate joined back. Neither may plan a cartesian; Q17's part filter
+    must broadcast."""
+    plan2 = _plan(QUERIES["q2"](spark, sf_dir))
+    assert "Window" in plan2, plan2
+    assert "CartesianProduct" not in plan2, plan2
+    plan17 = _plan(QUERIES["q17"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan17, plan17
+    assert "CartesianProduct" not in plan17, plan17
+
+
+def test_q22_scalar_threshold_is_broadcast_not_cartesian(spark, sf_dir):
+    """The 1-row (total, cnt) scalar must broadcast (BroadcastNestedLoopJoin
+    over a 1-row side is the acceptable physical form); the dormancy check
+    must be an anti-join with the date filter pushed to the orders scan."""
+    plan = _plan(QUERIES["q22"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
