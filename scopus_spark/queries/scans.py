@@ -360,3 +360,53 @@ def a9_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 4)
         .load()
     )
+
+
+# --- a15: dynamic partition pruning on a partitioned fact ----------------------------
+@register(
+    "a15",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS n_lines,
+           sum(l.l_quantity) AS sum_qty
+    FROM lineitem l
+    JOIN (VALUES ('A', 'drop'), ('N', 'keep'), ('R', 'keep'))
+         AS dim(flag, cls)
+      ON l.l_returnflag = dim.flag
+    WHERE dim.cls = 'keep'
+    GROUP BY l.l_returnflag
+    """,
+)
+def a15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is stored partitioned on
+    l_returnflag (a5's layout shape) and joined to a dim whose FILTER —
+    not a literal on the fact — decides which partitions matter. Catalyst
+    plants a DPP subquery on the fact scan (``PartitionFilters:
+    [dynamicpruning#...]``, asserted in tests/test_plans.py) so the 'A'
+    partition directory is never read. At 100 TB this is the difference
+    between scanning a third of the table and scanning all of it whenever
+    the partition predicate only exists post-join (date dims, tenant dims).
+    l_quantity is integer-valued so sum(double) is partition-order exact."""
+    path = _stage(sf_dir, "lineitem_part_dpp")
+    dim_path = _stage(sf_dir, "returnflag_dim")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    # DPP preconditions learned the hard way: the dim must be a real scan
+    # (a LocalRelation's filter constant-folds away before the pruning
+    # rule runs) and its predicate must pass isLikelySelective — a bare
+    # boolean attribute does not, a string equality does
+    spark.createDataFrame(
+        [("A", "drop"), ("N", "keep"), ("R", "keep")], "flag string, cls string"
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(path)
+    dim = spark.read.parquet(dim_path).filter(F.col("cls") == "keep")
+    return (
+        fact.join(F.broadcast(dim), fact.l_returnflag == F.col("flag"))
+        .groupBy(F.col("l_returnflag").cast("string").alias("l_returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )

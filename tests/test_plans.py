@@ -143,3 +143,12 @@ def test_q22_scalar_threshold_is_broadcast_not_cartesian(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Broadcast" in plan, plan
+
+
+def test_a15_dynamic_partition_pruning_planted(spark, sf_dir):
+    """The partitioned fact scan must carry a dynamicpruningexpression
+    derived from the dim's filter — the runtime-pruning path that keeps a
+    100 TB partitioned fact from being scanned whole when the partition
+    predicate only exists post-join."""
+    plan = _plan(QUERIES["a15"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
