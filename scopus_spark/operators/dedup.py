@@ -113,11 +113,19 @@ def prefix_filter_pairs(
 
     Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
     """
+    from pyspark.sql import Window
+
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col)).alias("shingle")
     )
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df_counts, "shingle")
+    # Document frequency as a count window over the exploded table: ONE
+    # shuffle of the big table on shingle, vs the groupBy+join form which
+    # shuffles it twice (once reduced for the counts, once for the join).
+    # Shingles are per-doc distinct (word_shingles → array_distinct), so
+    # the partition row count IS the document frequency.
+    ranked = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     # Global order = (df asc, shingle asc): deterministic, rarity-first.
     docsets = ranked.groupBy("doc_id").agg(
         F.transform(
