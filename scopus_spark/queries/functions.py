@@ -640,3 +640,56 @@ def h19_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(words, "|").alias("word_runs"),
         F.size(vowels).alias("n_vowel_runs"),
     )
+
+
+# --- h20: map function family --------------------------------------------------------
+@register(
+    "h20",
+    oracle="""
+    WITH vals AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) * 2 AS qty2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * 2 AS cents2
+      FROM lineitem
+      WHERE l_linenumber = 1
+    )
+    SELECT l_orderkey,
+           concat_ws(',',
+             CASE WHEN cents2 > 5000 THEN 'cents=' || cents2 END,
+             CASE WHEN qty2   > 5000 THEN 'qty='   || qty2   END)
+             AS kept_entries,
+           CAST(2 AS INT) AS n_keys
+    FROM vals
+    """,
+)
+def h20_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: create_map → transform_values (double every
+    value) → map_filter (keep entries > 5000) → map_entries rendered as a
+    key-sorted 'k=v' string (maps can't cross the hashable surface — R1),
+    plus map_keys cardinality. Values are BIGINT so the string rendering
+    is engine-identical (double→string formatting differs between Java 17
+    and DuckDB). All map-side; the oracle recomputes the pipeline as
+    per-key CASE arithmetic."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    m = F.create_map(
+        F.lit("qty"),
+        F.col("l_quantity").cast("long"),
+        F.lit("cents"),
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+    )
+    doubled = F.transform_values(m, lambda _k, v: v * 2)
+    kept = F.map_filter(doubled, lambda _k, v: v > 5000)
+    rendered = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries(kept),
+                lambda e: F.concat(e.key, F.lit("="), e.value.cast("string")),
+            )
+        ),
+        ",",
+    )
+    return li.select(
+        "l_orderkey",
+        rendered.alias("kept_entries"),
+        F.size(F.map_keys(doubled)).alias("n_keys"),
+    )

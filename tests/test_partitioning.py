@@ -74,3 +74,52 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     )
     n_salts = salted.select("_salt").distinct().count()
     assert n_salts == 4
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE's runtime skew mitigation — the complement to the deterministic
+    salted join above: a 90%-hot key must come out of the shuffle as a
+    SortMergeJoin(skew=true) with the hot partition split
+    (AQEShuffleRead ... skewed), not one straggler task. Thresholds are
+    lowered so a local-scale hot key crosses them; at 100 TB the defaults
+    (256MB partition, factor 5) trigger on real boilerplate/tenant skew."""
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 600_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        right = spark.range(0, 600_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        [row] = j.collect()
+        # exact check: hot rows (id%10!=0) all match right k=0 (w=0), so
+        # s = sum(2*id for id%10!=0) + sum(2*id + id%7 for id%10==0)
+        hot = sum(2 * i for i in range(600_000) if i % 10 != 0)
+        cold = sum(2 * i + i % 7 for i in range(0, 600_000, 10))
+        assert row.s == hot + cold
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
