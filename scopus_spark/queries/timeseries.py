@@ -170,3 +170,121 @@ def o2_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- o3: grid resample + linear interpolation ---------------------------------------
+@register(
+    "o3",
+    oracle=f"""
+    WITH {_EV_CTE},
+    bounds AS (
+      SELECT user_id, CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             max(ts) AS hi
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket_ts
+      FROM bounds
+    ),
+    u AS (
+      SELECT user_id, ts AS t, 0 AS is_grid, value FROM ev
+      UNION ALL
+      SELECT user_id, bucket_ts AS t, 1 AS is_grid, CAST(NULL AS DOUBLE) AS value
+      FROM grid
+    ),
+    w AS (
+      SELECT user_id, t, is_grid,
+             last_value(value IGNORE NULLS) OVER win_prev AS prev_val,
+             last_value(CASE WHEN is_grid = 0 THEN epoch_us(t) END IGNORE NULLS)
+               OVER win_prev AS prev_us,
+             first_value(value IGNORE NULLS) OVER win_next AS next_val,
+             first_value(CASE WHEN is_grid = 0 THEN epoch_us(t) END IGNORE NULLS)
+               OVER win_next AS next_us
+      FROM u
+      WINDOW
+        win_prev AS (PARTITION BY user_id ORDER BY t, is_grid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        win_next AS (PARTITION BY user_id ORDER BY t, is_grid
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, t AS bucket_ts,
+           CASE WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+                ELSE prev_val + (next_val - prev_val)
+                     * (CAST(epoch_us(t) - prev_us AS DOUBLE)
+                        / CAST(next_us - prev_us AS DOUBLE)) END + 0.0
+             AS lerp_value
+    FROM w
+    WHERE is_grid = 1
+    """,
+)
+def o3_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's series onto the o1 grid with LINEAR
+    interpolation between the bracketing observations (the other half of
+    the gap-fill pair: o1 carries, o3 interpolates). NULL outside the
+    observed range (no extrapolation).
+
+    Spark plan: same single union + one per-user sort as o1 — the prev/*
+    and next/* windows share partitioning AND ordering, so Catalyst plans
+    ONE Exchange + ONE Sort feeding two Window nodes (asserted in
+    tests/test_plans.py). The interpolation weight is computed from
+    epoch-µs BIGINT deltas cast to DOUBLE with an identical expression
+    tree on both engines, so the IEEE result is bit-identical (the d16
+    width_bucket lesson). An event exactly at a grid instant sorts before
+    the grid row (is_grid tie-break), lands in the preceding frame, and
+    the weight collapses to 0 -> the event's own value.
+    """
+    ev = _events_dedup(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 6 HOUR"))
+        ).alias("bucket_ts"),
+    )
+    u = ev.select(
+        "user_id", F.col("ts").alias("t"), F.lit(0).alias("is_grid"), "value"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.col("bucket_ts").alias("t"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_us = F.when(F.col("is_grid") == 0, F.unix_micros("t"))
+    w = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(ev_us, ignorenulls=True).over(wp).alias("prev_us"),
+        F.first("value", ignorenulls=True).over(wn).alias("next_val"),
+        F.first(ev_us, ignorenulls=True).over(wn).alias("next_us"),
+    )
+    lerp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        (F.unix_micros("t") - F.col("prev_us")).cast("double")
+        / (F.col("next_us") - F.col("prev_us")).cast("double")
+    )
+    return w.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("t").alias("bucket_ts"),
+        (
+            F.when(
+                F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+                lerp,
+            )
+            + F.lit(0.0)
+        ).alias("lerp_value"),
+    )

@@ -152,3 +152,15 @@ def test_a15_dynamic_partition_pruning_planted(spark, sf_dir):
     predicate only exists post-join."""
     plan = _plan(QUERIES["a15"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_resample_lerp_shares_one_sort(spark, sf_dir):
+    """o3's prev/next windows share partitioning AND ordering, so the
+    union must be exchanged + sorted ONCE, feeding both Window nodes
+    (plus the bounds aggregate — same budget as o1)."""
+    p = _plan(QUERIES["o3"](spark, sf_dir))
+    assert p.count("Exchange") <= 2, p
+    # prev/next frames fuse into ONE Window node over ONE sort of the
+    # union (3 Window/Sort total = 2 dedup lead-windows + 1 fused fill)
+    assert p.count("Window") <= 3, p
+    assert p.count("Sort ") <= 3, p

@@ -63,3 +63,68 @@ def test_ohlc_first_last_by_time_not_value(spark, sf_dir):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["n_events"] >= 1
+
+
+def test_lerp_interpolates_between_brackets(spark):
+    """o3 internals on a hand fixture: exact midpoint weight, at-instant
+    collapse to the event value, NULL outside the observed range."""
+    ev = _ev(spark, [(1, 10, 1, 10.0), (2, 30, 1, 30.0)])
+    dedup = timeseries._events_dedup_from(ev)
+    import pyspark.sql.functions as F  # noqa: N812
+    from pyspark.sql.window import Window
+
+    grid = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, m)) for m in (5, 10, 15, 20, 35)],
+        "user_id long, bucket_ts timestamp",
+    )
+    u = dedup.select(
+        "user_id", F.col("ts").alias("t"), F.lit(0).alias("is_grid"), "value"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            F.col("bucket_ts").alias("t"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_us = F.when(F.col("is_grid") == 0, F.unix_micros("t"))
+    w = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(ev_us, ignorenulls=True).over(wp).alias("prev_us"),
+        F.first("value", ignorenulls=True).over(wn).alias("next_val"),
+        F.first(ev_us, ignorenulls=True).over(wn).alias("next_us"),
+    )
+    lerp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        (F.unix_micros("t") - F.col("prev_us")).cast("double")
+        / (F.col("next_us") - F.col("prev_us")).cast("double")
+    )
+    out = {
+        r["t"].minute: r["v"]
+        for r in w.filter(F.col("is_grid") == 1)
+        .select(
+            "t",
+            F.when(
+                F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+                lerp,
+            ).alias("v"),
+        )
+        .collect()
+    }
+    assert out[5] is None  # before first observation: no extrapolation
+    assert out[10] == 10.0  # at-instant: weight collapses to 0
+    assert out[15] == 15.0  # quarter of the 20-minute bracket
+    assert out[20] == 20.0  # midpoint
+    assert out[35] is None  # after last observation
