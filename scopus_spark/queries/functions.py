@@ -693,3 +693,51 @@ def h20_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         rendered.alias("kept_entries"),
         F.size(F.map_keys(doubled)).alias("n_keys"),
     )
+
+
+# --- h14: conditional & null-handling family -------------------------------------
+@register(
+    "h14",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag_or_status,
+           nullif(l_tax, 0.0)                                AS tax_nz,
+           coalesce(nullif(l_tax, 0.0), -1.0)                AS tax_or_sentinel,
+           CASE WHEN nullif(l_tax, 0.0) IS NOT NULL
+                THEN 'taxed' ELSE 'untaxed' END              AS tax_label,
+           least(l_discount, l_tax)                          AS disc_tax_min,
+           greatest(l_quantity, 25.0)                        AS qty_floor25,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'bulk' END                              AS qty_band,
+           IF(l_discount > 0.05, 'deep', 'shallow')          AS disc_class
+    FROM lineitem
+    """,
+)
+def h14_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional & null-handling scalar family — coalesce / nullif /
+    nvl2-shaped CASE / least / greatest / banded CASE / if. Pure
+    row-local projections: whole-stage-codegen'd, shuffle-free, trivially
+    scale-safe; every output copies an input value or a literal (no float
+    arithmetic), so cross-engine equality is exact."""
+    li = table(spark, sf_dir, "lineitem")
+    tax_nz = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.col("l_linestatus")
+        ).alias("flag_or_status"),
+        tax_nz.alias("tax_nz"),
+        F.coalesce(tax_nz, F.lit(-1.0)).alias("tax_or_sentinel"),
+        F.nvl2(tax_nz, F.lit("taxed"), F.lit("untaxed")).alias("tax_label"),
+        F.least("l_discount", "l_tax").alias("disc_tax_min"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floor25"),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("bulk")
+        .alias("qty_band"),
+        F.when(F.col("l_discount") > 0.05, "deep")
+        .otherwise("shallow")
+        .alias("disc_class"),
+    )
