@@ -251,3 +251,32 @@ def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides watermarked, interval condition bounds the state) exercised in
     tests/test_streaming.py::test_i8_stream_stream_join."""
     return purchase_error_pairs(table(spark, sf_dir, "events"))
+
+
+# --- i9: arbitrary stateful processing v2 (transformWithState) -------------------
+@register(
+    "i9",
+    oracle="""
+    SELECT user_id,
+           count(*)                                   AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           max(value)                                 AS max_value,
+           make_timestamp(epoch_us(max(ts)))          AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def i9_stateful_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime summary (count, distinct types, max value, last
+    seen). Batch = one hash aggregate with map-side partials. Streaming =
+    Spark 4 transformWithStateInPandas (streaming/tws.py: ValueState +
+    MapState per user, RocksDB-backed) — execution of the streaming
+    variant is protobuf-gated in this container, see tws.py's module doc;
+    tests/test_streaming.py::test_i9_transform_with_state importorskips."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.max("value").alias("max_value"),
+        F.max("ts").alias("last_ts"),
+    )

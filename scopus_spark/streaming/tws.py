@@ -1,0 +1,112 @@
+"""transformWithStateInPandas (Spark 4 arbitrary stateful processing v2) —
+the i9 streaming variant.
+
+The TWS Python worker speaks a protobuf protocol to the JVM-side state
+server (``TransformWithStateInPySpark``), and this container ships no
+``google.protobuf``, so STREAMING EXECUTION is gated: the pytest
+(tests/test_streaming.py::test_i9_transform_with_state) importorskips on
+protobuf, exactly like the multimodal codec stub gates on codec libs
+(operators/multimodal.py). Everything that does not need the wire
+protocol — the StatefulProcessor definition (ValueState + MapState
+composition), the output contract, the RocksDB provider requirement, and
+the batch-equivalent semantics (queries/streaming.py::i9) — is real.
+
+Design for scale: state is per-user_id and O(#distinct event types) per
+key; the state store shards on the grouping key across executors, and
+RocksDB spills it off-heap — the summary never materializes driver-side.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessorHandle,
+    )
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, n_types long, max_value double, "
+    "last_ts timestamp"
+)
+
+# transformWithState requires the RocksDB state store provider.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def make_user_summary_processor() -> Any:
+    """Build the i9 StatefulProcessor.
+
+    Deferred import + class definition so ``import scopus_spark`` never
+    touches pyspark's TWS module on environments without protobuf.
+    State: one ValueState row (n_events, max_value, last_ts_us) plus a
+    MapState of event_type -> count (the distinct-type register). Emits
+    one summary row per key per micro-batch (Update mode) — the same row
+    the batch aggregate produces once the stream drains.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserSummaryProcessor(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self.totals = handle.getValueState(
+                "totals", "n_events long, max_value double, last_ts_us long"
+            )
+            self.type_counts = handle.getMapState(
+                "type_counts", "event_type string", "cnt long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            if self.totals.exists():
+                n, mx, last_us = self.totals.get()
+            else:
+                n, mx, last_us = 0, float("-inf"), -1
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+                last_us = max(
+                    last_us, int(pdf["ts"].astype("int64").max()) // 1000
+                )
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.type_counts.getValue((t,))[0]
+                        if self.type_counts.containsKey((t,))
+                        else 0
+                    )
+                    self.type_counts.updateValue((t,), (prev + int(c),))
+            self.totals.update((n, mx, last_us))
+            n_types = sum(1 for _ in self.type_counts.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [n_types],
+                    "max_value": [mx],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserSummaryProcessor()
+
+
+def user_summary_stream(events: DataFrame) -> DataFrame:
+    """Streaming i9: per-user summary via transformWithStateInPandas.
+
+    Caller must run with the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass = ROCKSDB_PROVIDER``)
+    and a protobuf-capable Python environment.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_user_summary_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -250,3 +250,52 @@ def test_streaming_file_sink_roundtrip(spark):
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_i9_processor_constructs_without_protobuf():
+    """The TWS processor definition must be buildable on any environment
+    (only streaming EXECUTION needs the protobuf wire protocol)."""
+    from scopus_spark.streaming import tws
+
+    proc = tws.make_user_summary_processor()
+    assert hasattr(proc, "handleInputRows") and hasattr(proc, "init")
+    assert "last_ts timestamp" in tws.OUTPUT_SCHEMA
+
+
+def test_i9_transform_with_state(spark):
+    """transformWithStateInPandas per-user summary must equal the batch
+    aggregate after scripted micro-batches. Protobuf-gated: the TWS
+    Python worker speaks protobuf to the JVM state server, which this
+    container doesn't ship (see streaming/tws.py)."""
+    pytest.importorskip("google.protobuf")
+    from scopus_spark.streaming import tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", tws.ROCKSDB_PROVIDER
+    )
+    try:
+        rig = StreamRig(spark)
+        try:
+            rig.drop_file(
+                _mk_events(
+                    spark,
+                    [
+                        (1, "2024-01-01 10:00:00", 1, "click", 1.5),
+                        (2, "2024-01-01 10:05:00", 1, "view", 2.25),
+                        (3, "2024-01-01 10:06:00", 2, "view", 4.0),
+                    ],
+                )
+            )
+            rig.run(tws.user_summary_stream, output_mode="update")
+            rig.drop_file(
+                _mk_events(
+                    spark, [(4, "2024-01-01 11:00:00", 1, "click", 9.0)]
+                )
+            )
+            out = rig.run(tws.user_summary_stream, output_mode="update")
+        finally:
+            rig.cleanup()
+        got = {r.user_id: (r.n_events, r.n_types, r.max_value) for r in out}
+        assert got[1] == (3, 2, 9.0)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
