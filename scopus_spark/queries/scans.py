@@ -410,3 +410,51 @@ def a15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+# --- a16: single-pass observed metrics (df.observe) -------------------------------
+@register(
+    "a16",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def a16_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per return flag WITH data-quality counters piggybacked on
+    the same scan via ``df.observe`` — input rows, null-quantity rows, and
+    total quantity are accumulated as the rows stream through, costing
+    zero extra passes (at 100 TB a separate QA count() would re-read the
+    corpus). The observation is a named accumulator-backed aggregate;
+    tests/test_sources.py::test_a16_observation_metrics asserts its
+    values via pyspark's Observation helper. The query result itself is
+    HASH-checked like any other key."""
+    return _a16_build(spark, sf_dir)
+
+
+def _a16_build(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
+    """a16 pipeline; `observation` may be a pyspark Observation object so
+    tests can read the accumulated metrics after an action."""
+    from scopus_spark.queries import _fp
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    observed = li.observe(
+        observation if observation is not None else "a16_qa",
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count_if(F.col("l_quantity").isNull()).alias("null_qty_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+    return observed.groupBy("l_returnflag").agg(
+        F.sum(_fp.m("l_extendedprice") * (1 - _fp.s("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

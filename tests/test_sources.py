@@ -60,3 +60,26 @@ def test_a6_derby_jdbc_roundtrip_executes(spark, sf_dir):
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, src.collect())
         )
+
+
+def test_a16_observation_metrics(spark, sf_dir):
+    """a16's df.observe counters must accumulate the true input-side
+    stats during the SAME action that computes the grouped result (no
+    second pass over the scan)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from scopus_spark.catalog import table
+    from scopus_spark.queries import scans
+
+    obs = Observation("a16_qa")
+    result = scans._a16_build(spark, sf_dir, observation=obs)
+    n_lines_total = sum(r["n_lines"] for r in result.collect())
+    got = obs.get
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    expected_rows = li.count()
+    assert got["rows_in"] == expected_rows == n_lines_total
+    assert got["null_qty_rows"] == 0
+    assert got["total_qty"] == li.agg(F.sum("l_quantity")).first()[0]
