@@ -189,3 +189,65 @@ def bfs_hops(
             visited = visited.union(frontier).localCheckpoint()
     finally:
         und.unpersist()
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank (damping 0.85, leak variant: dangling mass
+    is not redistributed) — the canonical iterative graph ranking.
+
+    Determinism across engines (the reason this can be HASH-checked at
+    all): every per-row step is double arithmetic with an identical
+    expression tree (IEEE-deterministic), and the ONE order-sensitive op —
+    summing in-neighbor contributions — casts each contribution to
+    DECIMAL(38,18) first, so the aggregate is exact and associative
+    regardless of partitioning. Plan shape per round: one shuffle join of
+    edges with ranks on src + one hash aggregate on dst + a left join back
+    to the node roster; the node count rides along as a broadcast 1-row
+    aggregate (no driver-side count()). At 100 TB: ranks re-shuffle on the
+    same node key every round (co-partition with the edge list), and a
+    production run would localCheckpoint each round like
+    connected_components above to truncate lineage.
+    """
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("n_docs"))
+    roster = (
+        nodes.select(F.col(node_col).alias("node"))
+        .crossJoin(F.broadcast(ncnt))
+    )
+    outdeg = edges.groupBy(F.col(src).alias("u")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    base = F.lit(0.15) / F.col("n_docs")
+    ranks = roster.select(
+        "node", "n_docs", (F.lit(1.0) / F.col("n_docs")).alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("node").alias("u"), "r"), "u")
+            .join(outdeg, "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("r") / F.col("od")).cast("decimal(38,18)")
+                ).alias("sm")
+            )
+        )
+        ranks = roster.join(contrib, "node", "left").select(
+            "node",
+            "n_docs",
+            (
+                base
+                + F.lit(0.85)
+                * F.coalesce(
+                    F.col("sm"), F.lit(0).cast("decimal(38,18)")
+                ).cast("double")
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))

@@ -202,3 +202,75 @@ def a14_source_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = _extracted(spark, sf_dir, "records")
     counts = records.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return sources.join(counts, "source").select("source", "issn", "n_docs")
+
+
+# --- n6: PageRank over EXTRACTED citation edges --------------------------------
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank in pure SQL over the same
+    formula-derived citation edges as a12. Per-row arithmetic is DOUBLE
+    with the exact expression tree the Spark operator uses; the
+    order-sensitive contribution SUM goes through DECIMAL(38,18) so both
+    engines aggregate exactly (operators/graph.py::pagerank)."""
+    parts = [
+        "n AS (SELECT count(*) AS n_docs FROM documents)",
+        """e AS (
+          SELECT s.doc_id AS src, (s.doc_id*17 + s.j*29 + 1) % n.n_docs AS dst
+          FROM (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j
+                FROM documents) s
+          CROSS JOIN n
+        )""",
+        "outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        """r0 AS (
+          SELECT d.doc_id AS node, CAST(1.0 AS DOUBLE) / n.n_docs AS r
+          FROM documents d CROSS JOIN n
+        )""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""c{k} AS (
+          SELECT e.dst AS node,
+                 sum(CAST(r.r / od.od AS DECIMAL(38,18))) AS sm
+          FROM e
+          JOIN r{k - 1} r ON e.src = r.node
+          JOIN outdeg od ON e.src = od.src
+          GROUP BY e.dst
+        )"""
+        )
+        parts.append(
+            f"""r{k} AS (
+          SELECT p.node,
+                 CAST(0.15 AS DOUBLE) / n.n_docs
+                 + CAST(0.85 AS DOUBLE)
+                   * CAST(coalesce(c.sm, CAST(0 AS DECIMAL(38,18)))
+                          AS DOUBLE) AS r
+          FROM r{k - 1} p
+          CROSS JOIN n
+          LEFT JOIN c{k} c ON p.node = c.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node AS doc_id, r AS pagerank FROM r{iters}"
+    )
+
+
+@register("n6", oracle=_pagerank_oracle())
+def n6_citation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (5) PageRank over the REAL extracted citation-edge
+    table — literature ranking, the canonical iterative graph workload.
+    Spark: operators/graph.py::pagerank (decimal-exact contribution sums
+    make the float ranks bit-identical across engines and partitionings);
+    oracle: the same five rounds unrolled as SQL CTEs."""
+    from scopus_spark.operators import graph as g
+
+    nodes = _extracted(spark, sf_dir, "records").select("doc_id")
+    edges = _extracted(spark, sf_dir, "citation_edges")
+    return g.pagerank(
+        nodes,
+        edges,
+        node_col="doc_id",
+        src="citing_doc_id",
+        dst="cited_doc_id",
+        iters=5,
+    ).select(F.col("node").alias("doc_id"), "pagerank")

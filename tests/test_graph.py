@@ -82,3 +82,44 @@ def test_bfs_hops_shortest_wins(spark):
     e = _edges(spark, [(0, 1), (1, 3), (0, 3), (3, 4)])
     got = {r["node"]: r["hops"] for r in graph.bfs_hops(e, 0).collect()}
     assert got == {0: 0, 1: 1, 3: 1, 4: 2}
+
+
+def test_pagerank_hand_graph(spark):
+    """pagerank on a hand graph must match the same recurrence computed
+    in pure Python (leak variant, 5 iterations), and a directed cycle
+    must stay exactly uniform."""
+    from scopus_spark.operators import graph as g
+
+    # cycle 0 -> 1 -> 2 -> 0: uniform is a fixed point at every iteration
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["pagerank"]
+        for r in g.pagerank(nodes, edges, iters=5).collect()
+    }
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+
+    # star + chord: 0->1, 0->2, 1->2, 2->0 — reference recurrence in Python
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    e = [(0, 1), (0, 2), (1, 2), (2, 0)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    n = 3
+    outdeg = {0: 2, 1: 1, 2: 1}
+    r = {v: 1.0 / n for v in range(n)}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in range(n)}
+        for (s, d) in e:
+            contrib[d] += r[s] / outdeg[s]
+        r = {v: 0.15 / n + 0.85 * contrib[v] for v in range(n)}
+    got = {
+        row["node"]: row["pagerank"]
+        for row in g.pagerank(nodes, edges, iters=5).collect()
+    }
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    # ranks must be positive and the leak variant sums to <= 1
+    assert all(x > 0 for x in got.values())
+    assert sum(got.values()) <= 1.0 + 1e-12
