@@ -104,3 +104,71 @@ def test_upsert_sink_idempotent_on_replay(spark):
         assert _state(spark, target) == first
     finally:
         shutil.rmtree(os.path.dirname(target), ignore_errors=True)
+
+
+def test_stream_jdbc_upsert_two_batches(spark):
+    """Streaming CDC into the RDBMS terminal stage: scripted micro-batches
+    keyed-upserted into embedded Derby via foreachBatch; the table must
+    hold the latest version per key after every batch, and replaying a
+    batch's content must be idempotent."""
+    from scopus_spark.sources.jdbc import DERBY_DRIVER, derby_url, read_jdbc
+    from scopus_spark.streaming.sinks import foreach_batch_jdbc_upsert
+
+    tmp = tempfile.mkdtemp(prefix="scopus_derby_stream_")
+    url = derby_url(f"{tmp}/db")
+    table = "event_state"
+    sink = foreach_batch_jdbc_upsert(
+        url, table, DERBY_DRIVER,
+        key_cols=["user_id", "event_type"], order_col="ts",
+    )
+
+    def db_state():
+        return {
+            (r["user_id"], r["event_type"]): r["value"]
+            for r in read_jdbc(spark, url, table, DERBY_DRIVER).collect()
+        }
+
+    rig = StreamRig(spark)
+    try:
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [(1, 1, 1, "click", 1.0), (2, 2, 2, "click", 2.0), (3, 3, 3, "view", 3.0)],
+            )
+        )
+        stream = spark.readStream.schema(rig.schema).parquet(rig.input_dir)
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", rig.checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+        assert db_state() == {
+            (1, "click"): 1.0, (2, "click"): 2.0, (3, "view"): 3.0,
+        }
+
+        # batch 2: update user 2, insert user 4
+        batch2 = [(4, 9, 2, "click", 20.0), (5, 8, 4, "click", 4.0)]
+        rig.drop_file(_mk_events(spark, batch2))
+        q = (
+            stream.writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", rig.checkpoint_dir)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+        expected = {
+            (1, "click"): 1.0, (2, "click"): 20.0,
+            (3, "view"): 3.0, (4, "click"): 4.0,
+        }
+        assert db_state() == expected
+
+        # retry contract: re-applying the same batch content is a no-op
+        sink(_mk_events(spark, batch2), 99)
+        assert db_state() == expected
+    finally:
+        rig.cleanup()
+        shutil.rmtree(tmp, ignore_errors=True)
