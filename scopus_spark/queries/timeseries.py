@@ -243,6 +243,14 @@ def o3_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence("lo", "hi", F.expr("INTERVAL 6 HOUR"))
         ).alias("bucket_ts"),
     )
+    return linear_fill(ev, grid)
+
+
+def linear_fill(ev: DataFrame, grid: DataFrame) -> DataFrame:
+    """Linear-interpolation fill: for each (user_id, bucket_ts) grid row,
+    lerp between the latest event at-or-before and the earliest event
+    strictly after (NULL when either bracket is missing). The o3 core —
+    see o3_resample_lerp's docstring for the plan/determinism analysis."""
     u = ev.select(
         "user_id", F.col("ts").alias("t"), F.lit(0).alias("is_grid"), "value"
     ).unionByName(

@@ -218,3 +218,80 @@ def sum_sq(v):
     for x in v:
         s += x * x
     return s
+
+
+SERIES = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # user
+        st.integers(0, 500),      # minute offset
+        st.integers(-50, 50),     # value
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(rows=SERIES, grid_minutes=st.lists(st.integers(0, 520), min_size=1, max_size=8))
+@_SETTINGS
+def test_linear_fill_bracket_invariants(spark, rows, grid_minutes):
+    """For ANY series: a filled grid value lies between its bracketing
+    event values; a grid point outside a user's [min_ts, max_ts) is NULL;
+    a grid point exactly at an event (with a later event) equals the
+    event's value."""
+    import datetime as dt
+
+    from scopus_spark.queries.timeseries import (
+        _events_dedup_from,
+        linear_fill,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ev_df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=m), u, float(v), "x", "{}")
+            for i, (u, m, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, value double,"
+        " event_type string, props string",
+    )
+    ev = _events_dedup_from(ev_df)
+    users = sorted({u for (u, _, _) in rows})
+    grid_df = spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(minutes=m))
+            for u in users
+            for m in sorted(set(grid_minutes))
+        ],
+        "user_id long, bucket_ts timestamp",
+    )
+    out = linear_fill(ev, grid_df).collect()
+
+    # reference model: per user, the deduped series (max event_id wins)
+    series: dict[int, dict[dt.datetime, float]] = {}
+    for i, (u, m, v) in enumerate(rows):
+        t = base + dt.timedelta(minutes=m)
+        cur = series.setdefault(u, {})
+        if t not in cur or i >= cur[t][0]:
+            cur[t] = (i, float(v))
+    model = {
+        u: sorted((t, val) for t, (_, val) in pts.items())
+        for u, pts in series.items()
+    }
+    for r in out:
+        pts = model[r["user_id"]]
+        t = r["bucket_ts"]
+        prevs = [(tt, vv) for tt, vv in pts if tt <= t]
+        nexts = [(tt, vv) for tt, vv in pts if tt > t]
+        if not prevs or not nexts:
+            assert r["lerp_value"] is None, r
+            continue
+        pt, pv = prevs[-1]
+        nt, nv = nexts[0]
+        lo, hi = min(pv, nv), max(pv, nv)
+        assert r["lerp_value"] is not None, r
+        assert lo - 1e-9 <= r["lerp_value"] <= hi + 1e-9, (r, pv, nv)
+        if pt == t:
+            assert abs(r["lerp_value"] - pv) < 1e-12
+        # exact expected weight
+        w = (t - pt).total_seconds() / (nt - pt).total_seconds()
+        assert abs(r["lerp_value"] - (pv + (nv - pv) * w)) < 1e-9
