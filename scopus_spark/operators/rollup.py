@@ -1,0 +1,129 @@
+"""Incremental rollup maintenance (SURVEY §2.Q) — the hypertable
+"continuous aggregate" primitive: a materialized per-(entity, bucket)
+OHLC state that a new batch of events MERGEs into by touching only the
+partitions the batch covers, never recomputing history.
+
+Why it works: every state column is a commutative-monoid accumulator —
+high/low merge by max/min, n_events by sum, open/close by min_by/max_by
+on the carried boundary timestamps. Merging partial states is therefore
+associative and order-independent, so (state(history) ⊕ state(delta)) ==
+state(history ∪ delta) exactly — asserted against full recomputation in
+tests/test_operators.py.
+
+Scale contract: a delta touches |distinct bucket dates in the delta|
+partitions; the merge reads exactly those partitions back (pruned scan),
+combines states with ONE hash aggregate over (existing ∪ delta), and
+rewrites them through upsert_partitioned's stage-and-swap (crash-safe,
+idempotent for re-applied deltas only when the delta is time-disjoint
+from history — the CONTRACT below). History outside the delta's window
+is never read. This is o2's daily OHLC made maintainable: the batch
+query answers "what is the rollup", this operator answers "keep it
+current at 100 TB without re-reading 100 TB".
+
+CONTRACT: event batches must be time-disjoint per (user, µs timestamp)
+from already-merged history (append-only time series — the same
+assumption the o2 dedup makes within one corpus). A re-delivered
+duplicate timestamp would double-count n_events; exactly-once delivery
+is the streaming tier's job (foreachBatch + checkpoint, streaming/sinks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scopus_spark.operators.upsert import upsert_partitioned
+
+STATE_COLS = [
+    "user_id",
+    "bucket_ts",
+    "bucket_date",
+    "open",
+    "open_ts",
+    "high",
+    "low",
+    "close",
+    "close_ts",
+    "n_events",
+]
+
+
+def ohlc_state(events: DataFrame) -> DataFrame:
+    """Partial OHLC state per (user_id, daily bucket) from one batch.
+
+    Unlike o2's public result, the state carries the boundary timestamps
+    (open_ts/close_ts) — they are what make two partial states mergeable.
+    Input is deduped to one row per (user, ts) with the highest event_id
+    winning, mirroring the o2/G1 contract.
+    """
+    from scopus_spark.queries.timeseries import _events_dedup_from
+
+    ev = _events_dedup_from(events)
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("bucket_ts")
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.min("ts").alias("open_ts"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.max("ts").alias("close_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("bucket_date", F.to_date("bucket_ts"))
+        .select(*STATE_COLS)
+    )
+
+
+def merge_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two partial-state tables: one hash aggregate, monoid
+    merges per column."""
+    return (
+        a.unionByName(b)
+        .groupBy("user_id", "bucket_ts", "bucket_date")
+        .agg(
+            F.min_by("open", "open_ts").alias("open"),
+            F.min("open_ts").alias("open_ts"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "close_ts").alias("close"),
+            F.max("close_ts").alias("close_ts"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(*STATE_COLS)
+    )
+
+
+def incremental_ohlc(target_path: str, new_events: DataFrame) -> None:
+    """MERGE a batch of events into the materialized OHLC rollup at
+    target_path, rewriting only the bucket_date partitions the batch
+    touches."""
+    delta = ohlc_state(new_events)
+    if not os.path.exists(target_path):
+        delta.write.partitionBy("bucket_date").parquet(target_path)
+        return
+    spark = new_events.sparkSession
+    touched = [r[0] for r in delta.select("bucket_date").distinct().collect()]
+    if not touched:
+        return
+    existing = spark.read.parquet(target_path).filter(
+        F.col("bucket_date").isin(touched)
+    )
+    merged = merge_states(existing.select(*STATE_COLS), delta)
+    upsert_partitioned(
+        target_path,
+        merged,
+        key_cols=["user_id", "bucket_ts"],
+        partition_col="bucket_date",
+    )
+
+
+def read_rollup(spark, target_path: str) -> DataFrame:
+    """The maintained rollup in o2's public shape."""
+    return spark.read.parquet(target_path).select(
+        "user_id", "bucket_ts", "open", "high", "low", "close", "n_events"
+    )

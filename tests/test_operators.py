@@ -110,3 +110,57 @@ def test_multimodal_resize_plumbing(spark, sf_dir):
         assert (r["width"], r["height"]) == (8, 4)
     again = {r["media_id"]: bytes(r["payload"]) for r in multimodal.resize_media(media, 8, 4).collect()}
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
+
+
+def test_incremental_ohlc_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Loading the events corpus in three time-disjoint batches through
+    incremental_ohlc must yield exactly the state a single full
+    ohlc_state pass produces, and each merge must only rewrite the
+    touched bucket_date partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scopus_spark.catalog import table
+    from scopus_spark.operators import rollup
+
+    events = table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = hi - lo
+    c1 = lo + span / 3
+    c2 = lo + 2 * span / 3
+    target = str(tmp_path / "rollup")
+
+    rollup.incremental_ohlc(target, events.filter(F.col("ts") <= c1))
+    n_parts_after_1 = len(
+        [d for d in os.listdir(target) if d.startswith("bucket_date=")]
+    )
+    rollup.incremental_ohlc(
+        target, events.filter((F.col("ts") > c1) & (F.col("ts") <= c2))
+    )
+    rollup.incremental_ohlc(target, events.filter(F.col("ts") > c2))
+
+    full = {
+        (r["user_id"], r["bucket_ts"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in rollup.ohlc_state(events).collect()
+    }
+    incr = {
+        (r["user_id"], r["bucket_ts"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in rollup.read_rollup(spark, target).collect()
+    }
+    assert incr == full
+    assert n_parts_after_1 >= 1
+    # and the maintained state matches the o2 query's public result
+    from scopus_spark import registry
+
+    o2 = {
+        (r["user_id"], r["bucket_ts"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"]
+        )
+        for r in registry.all_queries()["o2"](spark, sf_dir).collect()
+    }
+    assert incr == o2
