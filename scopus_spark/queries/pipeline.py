@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from scopus_spark.catalog import table
 from scopus_spark.operators import dedup, multimodal, similarity
@@ -439,4 +440,263 @@ def j19_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
         F.regexp_count(raw, F.lit(_IP_RE)).cast("long").alias("n_ips"),
+    )
+
+
+# --- j20: overlapping document chunking ---------------------------------------------
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150
+
+
+@register(
+    "j20",
+    oracle=f"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text), 1) + 1, {_CHUNK_STRIDE})) AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS INT)                      AS chunk_no,
+           CAST(start AS INT)                                               AS start_pos,
+           substr(text, CAST(start AS INT), {_CHUNK_LEN})                   AS chunk,
+           CAST(length(substr(text, CAST(start AS INT), {_CHUNK_LEN})) AS INT) AS chunk_len
+    FROM starts
+    """,
+)
+def j20_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (200-char windows, stride 150 →
+    50-char overlap) — how long documents become training sequences. The
+    chunk grid is a per-doc `sequence` fan-out + explode: purely map-side,
+    output bounded by corpus_chars/stride, no shuffle anywhere. At 100 TB
+    this is the same scan transform; a tokenizer-exact variant swaps the
+    substring for a Pandas-UDF slice over token offsets."""
+    d = table(spark, sf_dir, "documents")
+    starts = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.col("text").substr(F.col("start"), F.lit(_CHUNK_LEN))
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("int").alias("chunk_no"),
+        F.col("start").cast("int").alias("start_pos"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )
+
+
+# --- j21: intra-document repetition score (C4/Gopher quality rule) -------------------
+@register(
+    "j21",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 2 + 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS tri
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(tri) AS INT)                AS n_trigrams,
+           CAST(len(list_distinct(tri)) AS INT) AS n_distinct,
+           CASE WHEN len(tri) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE)
+           END                                  AS dup_fraction,
+           (len(tri) > 0 AND
+            1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE) > 0.2)
+                                                AS flagged
+    FROM g
+    """,
+)
+def j21_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (duplicate word-trigram fraction) — the
+    C4/Gopher "repetitious document" quality rule. Unlike j2/j9 (ACROSS
+    documents), this measures repetition WITHIN one document, so it is
+    zero-shuffle: trigram list, distinct count, and fraction are all
+    array expressions on the scan (whole-stage codegen). Guarded for
+    docs shorter than one trigram (empty list, fraction 0)."""
+    d = table(spark, sf_dir, "documents")
+    w = tokens("text")
+    n = F.size(w)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        F.size(tri).alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).alias("n_distinct"),
+    )
+    frac = F.when(
+        F.col("n_trigrams") == 0, F.lit(0.0)
+    ).otherwise(1.0 - F.col("n_distinct") / F.col("n_trigrams").cast("double"))
+    return base.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
+        frac.alias("dup_fraction"),
+        ((F.col("n_trigrams") > 0) & (frac > 0.2)).alias("flagged"),
+    )
+
+
+# --- j22: benchmark decontamination (n-gram overlap vs held-out eval split) ----------
+_J22_NGRAM = 4  # corpus-calibrated (j12 style): real pipelines use 8-13-gram
+                # overlap; this synthetic small-vocab corpus only collides at 4.
+_J22_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+@register(
+    "j22",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_J22_BUCKET} AS bucket, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, bucket,
+             CASE WHEN len(w) >= 4
+                  THEN list_transform(
+                         list_distinct(list_transform(range(1, len(w) - 4 + 1 + 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                w[i+3])),
+                         s -> md5(s))
+                  ELSE [] END AS gh
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT unnest(gh) AS gh FROM g WHERE bucket >= 98),
+    tr AS (SELECT doc_id, unnest(gh) AS gh FROM g WHERE bucket < 98)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+    FROM tr JOIN ev USING (gh)
+    GROUP BY tr.doc_id
+    """,
+)
+def j22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents that share any word
+    n-gram (n=4, corpus-calibrated — see _J22_NGRAM) with the held-out
+    eval split (the m1 md5-bucket rule, top 2%) — the standard
+    n-gram-overlap contamination check run before a training corpus
+    ships. The eval side's distinct gram-hash set is BROADCAST
+    (benchmarks are tiny vs a 100 TB corpus), so the check costs one
+    scan of the training side plus a broadcast-hash join — no shuffle
+    of the corpus. Gram build is guarded for short docs."""
+    from scopus_spark.queries.sampling import _bucket
+
+    d = table(spark, sf_dir, "documents")
+    w = tokens("text")
+    n = F.size(w)
+    k = _J22_NGRAM
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(w, i + j) for j in range(k)]
+                    ),
+                )
+            ),
+            lambda s: F.md5(s),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_bucket = d.select(
+        "doc_id", _bucket(F.col("doc_id")).alias("bucket"), grams.alias("gh")
+    )
+    eval_grams = (
+        with_bucket.filter(F.col("bucket") >= 98)
+        .select(F.explode("gh").alias("gh"))
+        .distinct()
+    )
+    train = with_bucket.filter(F.col("bucket") < 98).select(
+        "doc_id", F.explode("gh").alias("gh")
+    )
+    # gh is distinct per doc already, so count(*) == distinct overlap count.
+    return (
+        train.join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+# --- j23: token-budget shard packing (distributed prefix sum) ------------------------
+_J23_BUDGET = 4000
+_J23_BUCKET_WIDTH = 512
+
+
+@register(
+    "j23",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                // {_J23_BUDGET} AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def j23_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign documents (in stable doc_id
+    order) to training shards of ~4000 approx-BPE tokens each, via a
+    DISTRIBUTED two-level prefix sum — the oracle's single global
+    `sum() OVER (ORDER BY doc_id)` would serialize 100 TB through one
+    sort, so the Spark plan never does that:
+
+      1. per-bucket cumsum: window partitioned on doc_id // 512 (one hash
+         shuffle of (doc_id, n_tokens) pairs — the only full-data shuffle),
+      2. bucket totals: a hash aggregate, thousands of rows at any scale,
+      3. running offsets over the TINY totals table (the only
+         single-partition window — O(#buckets) rows, never corpus rows),
+      4. broadcast the offsets back onto the per-bucket cumsums.
+
+    All-integer arithmetic → exact, partitioning-independent, HASH-green.
+    shard_id uses the exclusive prefix (cum - own), so a doc starting
+    inside shard k stays in shard k even when it overflows the budget."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.ceil(F.length("text") / 4.0).alias("n_tokens"),
+        (F.col("doc_id") / _J23_BUCKET_WIDTH).cast("long").alias("_bkt"),
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = t.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    totals = t.groupBy("_bkt").agg(F.sum("n_tokens").alias("_total"))
+    w_off = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_total").over(w_off), F.lit(0)).alias("_offset")
+    )
+    joined = cum_in.join(F.broadcast(offsets), "_bkt")
+    cum = F.col("_offset") + F.col("_cum_in")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / _J23_BUDGET).alias("shard_id"),
     )

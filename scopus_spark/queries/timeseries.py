@@ -246,6 +246,54 @@ def o3_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_fill(ev, grid)
 
 
+# --- o4: incremental rollup maintenance through the hash gate -----------------------
+@register(
+    "o4",
+    oracle=f"""
+    WITH {_EV_CTE}
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+           arg_min(value, ts)     AS open,
+           max(value)             AS high,
+           min(value)             AS low,
+           arg_max(value, ts)     AS close,
+           count(*)               AS n_events
+    FROM ev
+    GROUP BY 1, 2
+    """,
+)
+def o4_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate MAINTENANCE path (operators/rollup.py)
+    pushed through the same hash gate as the batch query: the event
+    stream is split into three batches (a pure function of the µs
+    timestamp, so batches are time-disjoint per (user, ts) — the
+    operator's contract), each batch MERGEd incrementally into a
+    materialized on-disk rollup, and the final state read back. The
+    oracle is o2's full recomputation — green hash means three partial
+    merges ≡ one batch aggregate, exactly (every state column is a
+    commutative monoid). At 100 TB only the delta's bucket_date
+    partitions are ever read or rewritten per merge."""
+    import os
+    import shutil
+
+    from scopus_spark.operators.rollup import incremental_ohlc, read_rollup
+
+    target = os.path.join(
+        "/tmp/scopus_spark_stage",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "o4_rollup",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    ev = table(spark, sf_dir, "events")
+    for b in range(3):
+        incremental_ohlc(
+            target,
+            ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) % 3 == b),
+        )
+    return read_rollup(spark, target)
+
+
 def linear_fill(ev: DataFrame, grid: DataFrame) -> DataFrame:
     """Linear-interpolation fill: for each (user_id, bucket_ts) grid row,
     lerp between the latest event at-or-before and the earliest event

@@ -164,3 +164,29 @@ def test_resample_lerp_shares_one_sort(spark, sf_dir):
     # union (3 Window/Sort total = 2 dedup lead-windows + 1 fused fill)
     assert p.count("Window") <= 3, p
     assert p.count("Sort ") <= 3, p
+
+
+def test_j23_prefix_sum_never_globally_sorts_corpus(spark, sf_dir):
+    """j23's shard packing must be the two-level prefix sum: the only
+    SinglePartition exchange feeds the tiny bucket-totals window, never
+    the documents scan. The full-data window partitions on _bkt."""
+    p = _plan(QUERIES["j23"](spark, sf_dir))
+    assert "hashpartitioning(_bkt" in p, p
+    # the offsets side joins back as a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    # exactly one single-partition exchange (bucket totals), not two
+    assert p.count("SinglePartition") <= 1, p
+
+
+def test_j22_eval_grams_broadcast(spark, sf_dir):
+    """j22's eval-side gram set must broadcast — the training corpus is
+    never shuffled for the contamination join."""
+    p = _plan(QUERIES["j22"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_j20_j21_zero_shuffle(spark, sf_dir):
+    """Chunking and repetition scoring are pure scan transforms."""
+    for key in ("j20", "j21"):
+        p = _plan(QUERIES[key](spark, sf_dir))
+        assert "Exchange" not in p, (key, p)
