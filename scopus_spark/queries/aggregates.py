@@ -626,3 +626,29 @@ def d21_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_custkey
         """
     )
+
+
+# --- d22: mergeable HLL sketches (Datasketches surface; ROWS + unit merge law) -------
+@register("d22")
+def d22_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate — the Apache DataSketches surface): per-flag
+    part-key sketches plus an ALL row whose estimate comes from UNIONING
+    the group sketches, never re-reading the data. The merge law is what
+    matters at 100 TB: per-partition/per-day sketches union associatively,
+    so corpus-wide distinct counts cost one tiny sketch-merge instead of
+    a corpus-wide shuffle (d4 is the one-shot estimate; this is the
+    maintainable one). Approximate by design -> ROWS-only here;
+    tests/test_sketches.py asserts the union estimate lands within 5%
+    of exact (same bound as a direct global sketch)."""
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    flags = per_flag.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("approx_parts")
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts")
+    ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts")
+    return flags.unionByName(merged)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scopus_spark import etl
+from scopus_spark.catalog import table
 from scopus_spark.registry import register
 
 STAGE_ROOT = "/tmp/scopus_spark_stage"
@@ -274,3 +275,70 @@ def n6_citation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst="cited_doc_id",
         iters=5,
     ).select(F.col("node").alias("doc_id"), "pagerank")
+
+
+# --- a17: snapshot diff (change-data-capture between snapshot versions) -------------
+@register(
+    "a17",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 != 3
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 != 2
+    ),
+    d AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.text != b.text THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             md5(a.text) AS old_hash,
+             md5(b.text) AS new_hash
+      FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, change_type, old_hash, new_hash
+    FROM d WHERE change_type != 'unchanged'
+    """,
+)
+def a17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the change-data-capture step between two monthly
+    snapshot versions that turns full-corpus re-delivery into a delta
+    feed for the keyed upsert (operators/upsert.py): added / removed /
+    changed records classified by a full outer join on the record key,
+    with content md5s for audit. The two versions are derived
+    deterministically from the corpus (adds, deletes, and text revisions
+    keyed off doc_id) so the diff is verifiably non-trivial. At 100 TB
+    both snapshots shuffle once on the primary key — or not at all when
+    stored bucket-co-located (operators/partitioning.py write_bucketed);
+    the delta output is proportional to the month's churn, not the
+    corpus."""
+    docs = table(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 97 != 3).select("doc_id", "text")
+    snap_b = docs.filter(F.col("doc_id") % 17 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 1, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    change = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.text") != F.col("b.text"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            change.alias("change_type"),
+            F.md5(F.col("a.text")).alias("old_hash"),
+            F.md5(F.col("b.text")).alias("new_hash"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )

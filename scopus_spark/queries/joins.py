@@ -390,3 +390,39 @@ def c12_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.col("b.ts")) - F.unix_timestamp(F.col("a.ts"))
         ).alias("gap_s"),
     )
+
+
+# --- c13: skew-salted equi-join (result-identical to the plain join) -----------------
+@register(
+    "c13",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           sum(l.l_quantity)        AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def c13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact join (operators/partitioning.py::salted_join):
+    the big side's hot keys split across 8 deterministic salt
+    sub-partitions (xxhash64 of l_linenumber — never rand(), which
+    breaks retries), the small side replicated 8x. The HASH gate proves
+    the mitigation is semantically invisible: same result as the plain
+    join the oracle runs. This is the no-AQE-dependency answer to a hot
+    key at 100 TB; AQE skew splitting is the runtime fallback."""
+    from scopus_spark.operators.partitioning import salted_join
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        o,
+        key="o_orderkey",
+        salt_from="l_linenumber",
+        salt_factor=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )

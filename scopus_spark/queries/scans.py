@@ -458,3 +458,42 @@ def _a16_build(spark: SparkSession, sf_dir: str, observation=None) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- a18: schema evolution across parquet batches (mergeSchema) ---------------------
+@register(
+    "a18",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS BIGINT) AS priority_rank
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(length(o_orderpriority) AS BIGINT) AS priority_rank
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def a18_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: batch 2 of a snapshot feed adds a column that
+    batch 1 never had (the monthly-snapshot reality — extraction configs
+    widen over time). Both batches land as parquet; the read unifies them
+    with mergeSchema=true, old rows NULL-filled for the new column. The
+    oracle recomputes the union from source. Scale note: mergeSchema
+    samples every file footer at planning time — fine per evolution
+    boundary, but steady-state reads should pin the explicit unified
+    schema (the a1 policy); this key exercises the boundary itself."""
+    base = _stage(sf_dir, "a18_evolution")
+    orders = table(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.length("o_orderpriority").cast("long").alias("priority_rank"),
+    )
+    b1.write.mode("overwrite").parquet(os.path.join(base, "batch1"))
+    b2.write.mode("overwrite").parquet(os.path.join(base, "batch2"))
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch1"), os.path.join(base, "batch2")
+    )

@@ -190,3 +190,16 @@ def test_j20_j21_zero_shuffle(spark, sf_dir):
     for key in ("j20", "j21"):
         p = _plan(QUERIES[key](spark, sf_dir))
         assert "Exchange" not in p, (key, p)
+
+
+def test_c13_salt_in_plan_and_result_identical_to_plain_join(spark, sf_dir):
+    """The salted join must actually salt (the join keys include _salt)
+    while remaining semantically invisible (HASH gate covers values)."""
+    from scopus_spark.operators.partitioning import salted_join
+
+    li = table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    p = _plan(salted_join(li, o, key="o_orderkey", salt_from="l_linenumber"))
+    assert "_salt" in p, p

@@ -77,3 +77,21 @@ def test_d20_approx_percentile_within_1pct(spark, sf_dir):
     for row in registry.all_queries()["d20"](spark, sf_dir).collect():
         assert abs(row.p50_approx - row.p50_exact) <= 0.01 * row.p50_exact
         assert abs(row.p90_approx - row.p90_exact) <= 0.01 * row.p90_exact
+
+
+def test_d22_hll_union_within_sketch_accuracy(spark, sf_dir):
+    """The merge law: unioning per-group sketches must estimate the
+    global cardinality within HLL accuracy — same bound as sketching
+    the whole column directly. (The two estimates need not be equal:
+    a union's internal state can differ from a directly-built sketch;
+    only the accuracy contract is guaranteed.)"""
+    rows = {r["l_returnflag"]: r["approx_parts"] for r in Q["d22"](spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem")
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("e")
+    ).collect()[0]["e"]
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(rows["ALL"] - exact) / exact < 0.05
+    assert abs(direct - exact) / exact < 0.05
+    # per-group estimates must each be sane too (superset sanity)
+    assert all(v <= rows["ALL"] * 1.05 for k, v in rows.items() if k != "ALL")
