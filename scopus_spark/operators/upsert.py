@@ -63,12 +63,17 @@ def upsert_partitioned(
     delta: DataFrame,
     key_cols: list[str],
     partition_col: str,
+    deletes: DataFrame | None = None,
 ) -> None:
     """MERGE `delta` into the parquet table at target_path.
 
-    Rows whose key exists are replaced; new keys are inserted. Only
-    partitions present in the delta are rewritten, via stage-and-swap
-    (the target is never in a partially-deleted state).
+    Rows whose key exists are replaced; new keys are inserted. When
+    `deletes` is given (a frame of key_cols + partition_col), those keys
+    are removed — the WHEN MATCHED THEN DELETE arm of a full MERGE, which
+    is what a snapshot-diff delta (a17) needs to apply 'removed' rows.
+    Only partitions present in the delta (or the delete set) are
+    rewritten, via stage-and-swap (the target is never in a
+    partially-deleted state). A partition emptied by deletes is removed.
 
     CONTRACT: partition_col must be a pure function of key_cols (e.g. a
     hash bucket of the key). If a key's partition value could change
@@ -80,13 +85,18 @@ def upsert_partitioned(
         return
     _recover_interrupted_swap(target_path, partition_col)
     spark = delta.sparkSession
-    touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
+    drop_keys = delta.select(*key_cols)
+    touched_src = delta.select(partition_col)
+    if deletes is not None:
+        drop_keys = drop_keys.unionByName(deletes.select(*key_cols))
+        touched_src = touched_src.unionByName(deletes.select(partition_col))
+    touched = [r[0] for r in touched_src.distinct().collect()]
     if not touched:
         return
     existing = spark.read.parquet(target_path).filter(
         F.col(partition_col).isin(touched)
     )
-    survivors = existing.join(delta.select(*key_cols), key_cols, "left_anti")
+    survivors = existing.join(drop_keys, key_cols, "left_anti")
     merged = survivors.unionByName(delta)
 
     staging = f"{target_path}.staging-{uuid.uuid4().hex[:12]}"
@@ -99,8 +109,12 @@ def upsert_partitioned(
             live_dir = os.path.join(target_path, part)
             parked = os.path.join(target_path, f".{part}.old")
             if not os.path.isdir(new_dir):
-                # delta declared this partition but merged wrote no rows for
-                # it (cannot happen with a pure bucket fn; guard anyway)
+                # staging holds the partition's COMPLETE new content; no
+                # dir means deletes emptied it — remove the live partition
+                # (unreachable for upsert-only deltas: touched partitions
+                # always contain delta rows there)
+                if os.path.exists(live_dir):
+                    shutil.rmtree(live_dir)
                 continue
             if os.path.exists(live_dir):
                 os.rename(live_dir, parked)

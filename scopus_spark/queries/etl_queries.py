@@ -342,3 +342,74 @@ def a17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change_type") != "unchanged")
     )
+
+
+# --- a19: incremental snapshot apply (diff -> MERGE with deletes -> verified state) --
+@register(
+    "a19",
+    oracle="""
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END)
+             AS content_hash
+    FROM documents WHERE doc_id % 17 != 2
+    """,
+)
+def a19_incremental_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC cycle, end-to-end through the hash gate: materialize
+    snapshot A as a doc_id-bucketed parquet table, compute the a17 diff
+    against snapshot B, apply it as ONE keyed MERGE (upserts for
+    added/changed, the WHEN MATCHED DELETE arm for removed —
+    operators/upsert.py), and read the merged state back. The oracle is
+    snapshot B recomputed directly: a green hash proves
+    apply(A, diff(A,B)) == B exactly. At 100 TB the merge cost is the
+    month's churn (touched buckets only), never the corpus; the bucket
+    partition column is a pure function of the merge key (the upsert
+    contract)."""
+    import shutil
+
+    from scopus_spark.operators.upsert import upsert_partitioned
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 16).alias("bucket")
+    snap_a = docs.filter(F.col("doc_id") % 97 != 3).select(
+        "doc_id", "text", bucket
+    )
+    snap_b = docs.filter(F.col("doc_id") % 17 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 1, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        bucket,
+    )
+    target = os.path.join(
+        STAGE_ROOT,
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "a19_snapshot",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    snap_a.write.partitionBy("bucket").parquet(target)
+
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    upserts = j.filter(
+        F.col("a.doc_id").isNull()
+        | (F.col("b.doc_id").isNotNull() & (F.col("a.text") != F.col("b.text")))
+    ).select(
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.text").alias("text"),
+        (F.col("b.doc_id") % 16).alias("bucket"),
+    )
+    removes = j.filter(F.col("b.doc_id").isNull()).select(
+        F.col("a.doc_id").alias("doc_id"),
+        (F.col("a.doc_id") % 16).alias("bucket"),
+    )
+    upsert_partitioned(
+        target, upserts, key_cols=["doc_id"], partition_col="bucket",
+        deletes=removes,
+    )
+    return spark.read.parquet(target).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )

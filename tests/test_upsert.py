@@ -116,3 +116,43 @@ def test_upsert_write_failure_leaves_target_intact(spark):
         # no staging residue next to the target
         parent = os.path.dirname(path)
         assert [d for d in os.listdir(parent) if ".staging-" in d] == []
+
+
+def test_upsert_with_deletes_removes_keys_and_empty_partitions(spark):
+    """The WHEN MATCHED DELETE arm: deleted keys vanish, a partition
+    emptied by deletes disappears from disk, untouched partitions are
+    never rewritten, and upserts+deletes apply in one merge."""
+    import os
+
+    with tempfile.TemporaryDirectory(prefix="scopus_upsert_") as tmp:
+        path = f"{tmp}/t"
+        base = _rows(
+            spark,
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "c", 4.0)],
+        )
+        upsert_partitioned(path, base, ["id"], "seg")
+
+        delta = _rows(spark, [(2, "a", 20.0)])
+        deletes = spark.createDataFrame([(1, "a"), (3, "b")], "id long, seg string")
+        upsert_partitioned(path, delta, ["id"], "seg", deletes=deletes)
+
+        got = {r.id: (r.seg, r.val) for r in spark.read.parquet(path).collect()}
+        assert got == {
+            2: ("a", 20.0),  # updated in the same merge
+            4: ("c", 4.0),   # partition c untouched
+        }
+        # partition b lost its only row -> directory gone entirely
+        assert not os.path.exists(f"{path}/seg=b")
+
+
+def test_upsert_deletes_are_idempotent(spark):
+    with tempfile.TemporaryDirectory(prefix="scopus_upsert_") as tmp:
+        path = f"{tmp}/t"
+        base = _rows(spark, [(1, "a", 1.0), (2, "a", 2.0)])
+        upsert_partitioned(path, base, ["id"], "seg")
+        deletes = spark.createDataFrame([(1, "a")], "id long, seg string")
+        empty = _rows(spark, []).limit(0)
+        for _ in range(2):
+            upsert_partitioned(path, empty, ["id"], "seg", deletes=deletes)
+        got = {r.id: r.val for r in spark.read.parquet(path).collect()}
+        assert got == {2: 2.0}
