@@ -26,10 +26,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from scopus_spark.catalog import table
 from scopus_spark.operators import dedup, graph
-from scopus_spark.queries.pipeline import J9_PAIRS_SQL, J11_PAIRS_SQL
+from scopus_spark.queries.pipeline import J9_PAIRS_SQL, J11_PAIRS_SQL, J14_QUALITY_SQL
 from scopus_spark.registry import register
 
 # Shared oracle CTE: the dup-graph edge set (a<b orientation, deduped).
@@ -187,3 +188,67 @@ def n4_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _dup_edges(spark, sf_dir)
     seed = edges.agg(F.min(F.least("doc_a", "doc_b"))).collect()[0][0]
     return graph.bfs_hops(edges, seed, "doc_a", "doc_b")
+
+
+# --- n7: quality-aware canonical selection per dup cluster -------------------------
+@register(
+    "n7",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (
+      SELECT node, min(src) AS comp_id FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id, quality_score FROM ({J14_QUALITY_SQL}) jq
+    ),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT l.doc_id, l.cluster_id,
+           CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+             AS cluster_size,
+           q.quality_score,
+           (row_number() OVER (PARTITION BY l.cluster_id
+                               ORDER BY q.quality_score DESC, l.doc_id) = 1)
+             AS keep
+    FROM lab l JOIN q USING (doc_id)
+    """,
+)
+def n7_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION, end to end: every document labeled with its
+    dup cluster (n2's connected components) and the one KEEP row per
+    cluster chosen by QUALITY (j14's composite score, doc_id tie-break)
+    — keep-best-not-keep-first, which is what a real corpus dedup ships.
+    Composes two already-verified surfaces; the oracle recomputes both
+    (recursive-CTE closure + the shared J14_QUALITY_SQL formula, so the
+    quality definition can never drift between keys). Plan: the CC label
+    join + ONE per-cluster window (count and row_number share the
+    partitioning; quality doubles are bit-identical across engines, so
+    ordering by them is deterministic)."""
+    clusters = n2_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    from scopus_spark.queries.pipeline import j14_quality_score
+
+    quality = j14_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    j = clusters.join(quality, "doc_id")
+    w_size = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w_size).alias("cluster_size"),
+        "quality_score",
+        (F.row_number().over(w_rank) == 1).alias("keep"),
+    )

@@ -237,9 +237,9 @@ def j13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- j14: quality scoring -----------------------------------------------------------------
-@register(
-    "j14",
-    oracle="""
+# Named so the dup-graph canonical-selection oracle (queries/graph.py n7)
+# reuses the EXACT same quality formula — the two can never drift.
+J14_QUALITY_SQL = """
     WITH base AS (
       SELECT doc_id,
              CAST(length(text) AS BIGINT)                       AS n_chars,
@@ -259,8 +259,10 @@ def j13_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.4 * least(n_tokens / 100.0, 1.0)
              + 0.2 * (1.0 - digit_ratio) AS quality_score
     FROM base
-    """,
-)
+    """
+
+
+@register("j14", oracle=J14_QUALITY_SQL)
 def j14_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc quality features (length / stopword / digit ratios) + a weighted
     composite — the filter stage of a training-data pipeline. All exact
@@ -699,4 +701,62 @@ def j23_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         cum.alias("cum_tokens"),
         F.floor((cum - F.col("n_tokens")) / _J23_BUDGET).alias("shard_id"),
+    )
+
+
+# --- j24: corpus-frequency quality score (CCNet-style rarity filter) -----------------
+@register(
+    "j24",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY t
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT)       AS n_tokens,
+           CAST(sum(v.cf) AS BIGINT)      AS sum_cf,
+           CAST(min(v.cf) AS BIGINT)      AS min_cf,
+           CAST(sum(v.cf) AS DOUBLE) / (count(*) * any_value(n.total))
+                                          AS mean_token_freq,
+           (min(v.cf) <= 2)               AS has_hapax
+    FROM tok JOIN vocab v USING (t) CROSS JOIN n
+    GROUP BY tok.doc_id
+    """,
+)
+def j24_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality scoring (the CCNet/KenLM rarity-filter
+    shape, transcendental-free): each document scored by the corpus-wide
+    frequency of its tokens — mean token frequency (rare-token-heavy docs
+    score low → OCR garbage, boilerplate-free gibberish) and a hapax flag.
+    Everything stays in exact BIGINT space (count sums) until ONE final
+    double division, so the result is partitioning-independent with no
+    decimal pass-through needed — the n6 determinism lesson applied by
+    construction instead of by repair.
+
+    Plan: explode tokens (map-side) → one token-shuffle builds the vocab
+    count table → vocab joins BACK to the token stream BROADCAST (a
+    vocabulary fits executor memory at any corpus scale — heavy hitters
+    dominate) → one doc-shuffle aggregates. Total corpus token count rides
+    along as a broadcast 1-row aggregate (the j5 pattern, fully lazy)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cf"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cf").alias("sum_cf"),
+            F.min("cf").alias("min_cf"),
+            (
+                F.sum("cf").cast("double")
+                / (F.count(F.lit(1)) * F.any_value("total"))
+            ).alias("mean_token_freq"),
+            (F.min("cf") <= 2).alias("has_hapax"),
+        )
     )
