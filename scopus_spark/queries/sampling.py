@@ -152,3 +152,73 @@ def m4_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replicated.groupBy("lang", "n_before", "rep_factor").agg(
         F.count(F.lit(1)).alias("n_after")
     )
+
+
+# --- m5: deterministic temperature upsampling (quality-weighted repetition) ----------
+@register(
+    "m5",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             0.4 * (len(list_filter(string_split(text,' '),
+                     t -> list_contains(['the','and','of','to','in','is','row','table'], t)))
+                    / len(string_split(text,' ')))
+               + 0.4 * least(len(string_split(text,' ')) / 100.0, 1.0)
+               + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                              / length(text)) AS quality_score
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, quality_score,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  AS DOUBLE) / 1152921504606846976.0 AS u,
+             4.0 * quality_score AS wt
+      FROM q
+    ),
+    n AS (
+      SELECT doc_id, quality_score,
+             CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_copies
+      FROM w
+    )
+    SELECT doc_id, quality_score, n_copies,
+           CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_no
+    FROM n WHERE n_copies > 0
+    """,
+)
+def m5_temperature_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature upsampling — the data-mixture weighting
+    step of a training recipe: each document repeated in the output
+    n_copies ∝ its quality weight (here 4x the j14 composite), with the
+    fractional part resolved by the doc's md5-uniform draw instead of an
+    RNG. floor(w) guaranteed copies + one stochastic-rounding copy gives
+    an UNBIASED expected count while staying reproducible under any
+    partitioning, retry, or cluster size — the property rand()-based
+    sampling cannot give (the m3 argument, extended from keep/drop to
+    repetition counts). Fan-out is map-side sequence+explode, bounded by
+    the weight cap; no shuffle anywhere."""
+    from scopus_spark.queries.pipeline import j14_quality_score
+
+    q = j14_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    wt = 4.0 * F.col("quality_score")
+    n = (
+        F.floor(wt)
+        + F.when(u < wt - F.floor(wt), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    counted = q.select("doc_id", "quality_score", n.alias("n_copies")).filter(
+        F.col("n_copies") > 0
+    )
+    return counted.select(
+        "doc_id",
+        "quality_score",
+        "n_copies",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+        ).alias("copy_no"),
+    )
