@@ -46,13 +46,32 @@ def foreach_batch_upsert(
     key_cols: list[str],
     partition_col: str,
     order_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> Callable[[DataFrame, int], None]:
     """Build a foreachBatch sink that MERGEs each micro-batch into the
-    partitioned parquet table at target_path."""
+    partitioned parquet table at target_path.
+
+    With `op_col` set, the batch carries a CDC operation envelope: a key
+    whose LATEST row (by order_col) is a `delete_op` tombstone is removed
+    from the target (the upsert's WHEN MATCHED DELETE arm); all other
+    keys upsert their latest payload (op column stripped). Tombstone
+    resolution happens AFTER latest-per-key collapse, so an
+    insert-then-delete within one batch deletes and a delete-then-
+    reinsert within one batch inserts — replay stays idempotent either
+    way."""
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         delta = latest_per_key(batch_df, key_cols, order_col)
-        upsert_partitioned(target_path, delta, key_cols, partition_col)
+        if op_col is None:
+            upsert_partitioned(target_path, delta, key_cols, partition_col)
+            return
+        dedup_cols = list(dict.fromkeys([*key_cols, partition_col]))
+        deletes = delta.filter(F.col(op_col) == delete_op).select(*dedup_cols)
+        upserts = delta.filter(F.col(op_col) != delete_op).drop(op_col)
+        upsert_partitioned(
+            target_path, upserts, key_cols, partition_col, deletes=deletes
+        )
 
     return sink
 

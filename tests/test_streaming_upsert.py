@@ -172,3 +172,62 @@ def test_stream_jdbc_upsert_two_batches(spark):
     finally:
         rig.cleanup()
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _mk_cdc(spark, rows):
+    # (event_id, ts_second, user_id, event_type, value, op)
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, 0, s), u, et, v, op)
+            for (i, s, u, et, v, op) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, op string",
+    )
+
+
+def test_cdc_sink_applies_tombstones(spark):
+    """The op-envelope sink: latest-wins collapse THEN tombstone split —
+    deletes remove keys, an insert-then-delete in one batch deletes, a
+    later batch can re-insert a deleted key."""
+    target = os.path.join(tempfile.mkdtemp(prefix="scopus_cdc_"), "tbl")
+    sink = foreach_batch_upsert(
+        target, key_cols=["user_id", "event_type"],
+        partition_col="event_type", order_col="ts", op_col="op",
+    )
+    try:
+        # batch 1: three upserts; key (3,view) inserted then tombstoned
+        sink(
+            _mk_cdc(spark, [
+                (1, 1, 1, "click", 1.0, "U"),
+                (2, 2, 2, "click", 2.0, "U"),
+                (3, 3, 3, "view", 3.0, "U"),
+                (4, 4, 3, "view", 0.0, "D"),
+            ]),
+            0,
+        )
+        assert _state(spark, target) == {(1, "click"): 1.0, (2, "click"): 2.0}
+
+        # batch 2: delete (1,click), update (2,click), re-insert (3,view)
+        sink(
+            _mk_cdc(spark, [
+                (5, 9, 1, "click", 0.0, "D"),
+                (6, 8, 2, "click", 20.0, "U"),
+                (7, 7, 3, "view", 30.0, "U"),
+            ]),
+            1,
+        )
+        assert _state(spark, target) == {(2, "click"): 20.0, (3, "view"): 30.0}
+
+        # replay batch 2 -> identical state (idempotent incl. deletes)
+        sink(
+            _mk_cdc(spark, [
+                (5, 9, 1, "click", 0.0, "D"),
+                (6, 8, 2, "click", 20.0, "U"),
+                (7, 7, 3, "view", 30.0, "U"),
+            ]),
+            1,
+        )
+        assert _state(spark, target) == {(2, "click"): 20.0, (3, "view"): 30.0}
+    finally:
+        shutil.rmtree(os.path.dirname(target), ignore_errors=True)
