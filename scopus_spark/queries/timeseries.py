@@ -344,3 +344,76 @@ def linear_fill(ev: DataFrame, grid: DataFrame) -> DataFrame:
             + F.lit(0.0)
         ).alias("lerp_value"),
     )
+
+
+# --- o5: time-weighted average per bucket -------------------------------------------
+@register(
+    "o5",
+    oracle=f"""
+    WITH {_EV_CTE},
+    seg AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+             ts, value,
+             lead(ts) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts) AS nxt
+      FROM ev
+    )
+    SELECT user_id, bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us,
+           CASE WHEN epoch_us(max(ts)) - epoch_us(min(ts)) = 0
+                THEN arg_min(value, ts)
+                ELSE CAST(sum(CAST(value * (epoch_us(nxt) - epoch_us(ts))
+                                   AS DECIMAL(38,18))) AS DOUBLE)
+                     / (epoch_us(max(ts)) - epoch_us(min(ts))) END AS twa
+    FROM seg
+    GROUP BY 1, 2
+    """,
+)
+def o5_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (user, day) — the hypertable metric that
+    plain avg() gets WRONG on irregular series (a value that held for six
+    hours must weigh more than one that held for a minute). Each
+    observation is weighted by its holding time until the next observation
+    in the bucket (LOCF weighting; the final observation carries no
+    weight), normalized by the bucket's observed span; single-observation
+    buckets define TWA as that value.
+
+    Determinism (the n6 lesson): each value x holding-µs product is one
+    IEEE double op with an identical expression tree on both engines; the
+    order-sensitive SUM of those products passes through DECIMAL(38,18)
+    (exact, associative), and the final division is one more shared
+    double op — so the result is bit-identical across engines AND
+    partitionings. Plan: one (user, day)-partitioned window for the lead,
+    then one hash aggregate on the same keys — the window's shuffle is
+    reused by the aggregate (no second Exchange)."""
+    ev = _events_dedup(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    bucket = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id", bucket).orderBy("ts")
+    seg = ev.select(
+        "user_id",
+        bucket.alias("bucket_ts"),
+        "ts",
+        "value",
+        (F.unix_micros(F.lead(ts).over(w)) - F.unix_micros(ts)).alias("hold_us"),
+    )
+    agg = seg.groupBy("user_id", "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))
+        ).alias("span_us"),
+        F.sum(
+            (F.col("value") * F.col("hold_us")).cast("decimal(38,18)")
+        ).alias("_num"),
+        F.min_by("value", "ts").alias("_first_val"),
+    )
+    return agg.select(
+        "user_id",
+        "bucket_ts",
+        "n_events",
+        "span_us",
+        F.when(F.col("span_us") == 0, F.col("_first_val"))
+        .otherwise(F.col("_num").cast("double") / F.col("span_us"))
+        .alias("twa"),
+    )
