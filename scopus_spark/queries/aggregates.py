@@ -652,3 +652,49 @@ def d22_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts")
     ).select(F.lit("ALL").alias("l_returnflag"), "approx_parts")
     return flags.unionByName(merged)
+
+
+# --- d23: bitwise aggregates (bitmap membership rollup) ------------------------------
+@register(
+    "d23",
+    oracle="""
+    WITH coded AS (
+      SELECT o_custkey,
+             CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE 4 END
+               AS status_bit,
+             CAST(o_orderkey % 16 AS BIGINT) AS key_nibble
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(bit_or(status_bit)  AS BIGINT) AS status_bitmap,
+           CAST(bit_and(key_nibble) AS BIGINT) AS nibble_and,
+           CAST(bit_xor(key_nibble) AS BIGINT) AS nibble_xor,
+           CAST(count(*) AS BIGINT)            AS n_orders
+    FROM coded
+    GROUP BY o_custkey
+    """,
+)
+def d23_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — the bitmap-rollup surface OLAP engines use
+    for compact membership sets: each customer's orders fold into one
+    BIGINT bitmap of order statuses seen (bit_or of per-status bits),
+    plus bit_and/bit_xor over a bounded key nibble. All three are
+    commutative+associative, so they partial-aggregate map-side and merge
+    in any order — deterministic under any partitioning, and at 100 TB a
+    64-flag membership rollup costs one BIGINT per group instead of a
+    collect_set."""
+    o = table(spark, sf_dir, "orders")
+    coded = o.select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .when(F.col("o_orderstatus") == "O", 2)
+        .otherwise(4)
+        .alias("status_bit"),
+        (F.col("o_orderkey") % 16).alias("key_nibble"),
+    )
+    return coded.groupBy("o_custkey").agg(
+        F.bit_or("status_bit").cast("long").alias("status_bitmap"),
+        F.bit_and("key_nibble").cast("long").alias("nibble_and"),
+        F.bit_xor("key_nibble").cast("long").alias("nibble_xor"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
