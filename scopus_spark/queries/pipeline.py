@@ -760,3 +760,90 @@ def j24_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cf") <= 2).alias("has_hapax"),
         )
     )
+
+
+# --- j25: incremental LSH dedup (new batch vs maintained signature table) ------------
+_J25_BUCKET_A = "('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15))::BIGINT % 100"
+_J25_BUCKET_B = "('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+@register(
+    "j25",
+    oracle=f"""
+    SELECT doc_a, doc_b, n_shared_bands FROM ({J9_PAIRS_SQL}) p
+    WHERE {_J25_BUCKET_A} >= 90 OR {_J25_BUCKET_B} >= 90
+    """,
+)
+def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the production shape of dedup at
+    100 TB, where a daily batch must be checked against the corpus
+    WITHOUT recomputing the corpus's signatures: the existing corpus
+    (md5-bucket < 90) has its LSH band table materialized on disk once;
+    the new batch (bucket >= 90) computes only its own bands, probes the
+    stored table plus itself (old docs never probe, so each unordered
+    pair surfaces exactly once), and then MERGEs its bands into the
+    table via the keyed upsert so the NEXT batch sees them. Cost per
+    batch = O(batch) signature work + one band-join against stored
+    bands; the oracle is the full-corpus j9 pair set restricted to pairs
+    touching the batch — a green hash proves incremental == full."""
+    import os
+    import shutil
+
+    from scopus_spark.operators.upsert import upsert_partitioned
+    from scopus_spark.queries.sampling import _bucket
+
+    d = table(spark, sf_dir, "documents")
+    bucket = _bucket(F.col("doc_id"))
+    existing = d.filter(bucket < 90)
+    batch = d.filter(bucket >= 90)
+
+    def banded(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id",
+            F.posexplode(
+                dedup.band_hashes(dedup.minhash_signature("text"))
+            ).alias("band_no", "band_hash"),
+        )
+
+    target = os.path.join(
+        "/tmp/scopus_spark_stage",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "j25_bands",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    banded(existing).write.partitionBy("band_no").parquet(target)
+
+    probe = banded(batch).withColumn("is_old", F.lit(False))
+    # eager snapshot: the maintenance MERGE below swaps the table's files
+    # before the (lazy) pair plan runs — probe against the pre-merge state
+    stored = (
+        spark.read.parquet(target)
+        .select("doc_id", "band_no", "band_hash")
+        .withColumn("is_old", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
+    build = stored.unionByName(probe)
+    p, s = probe.alias("p"), build.alias("s")
+    pairs = (
+        p.join(
+            s,
+            (F.col("p.band_no") == F.col("s.band_no"))
+            & (F.col("p.band_hash") == F.col("s.band_hash"))
+            & (F.col("s.is_old") | (F.col("p.doc_id") < F.col("s.doc_id"))),
+        )
+        .groupBy(
+            F.least(F.col("p.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    # maintenance: the batch's bands merge into the stored table so the
+    # next increment probes against (old ∪ this batch)
+    upsert_partitioned(
+        target,
+        probe.drop("is_old"),
+        key_cols=["doc_id", "band_no"],
+        partition_col="band_no",
+    )
+    return pairs

@@ -164,3 +164,25 @@ def test_incremental_ohlc_equals_full_recompute(spark, sf_dir, tmp_path):
         for r in registry.all_queries()["o2"](spark, sf_dir).collect()
     }
     assert incr == o2
+
+
+def test_j25_band_table_maintained_after_increment(spark, sf_dir):
+    """After the j25 incremental run, the on-disk band table must hold
+    old AND batch bands (4 per doc) — the next increment probes against
+    the merged state."""
+    import os
+
+    from scopus_spark.catalog import table as _table
+    from scopus_spark.registry import all_queries
+
+    all_queries()["j25"](spark, sf_dir).collect()
+    target = os.path.join(
+        "/tmp/scopus_spark_stage",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "j25_bands",
+    )
+    stored = spark.read.parquet(target)
+    n_docs = _table(spark, sf_dir, "documents").count()
+    assert stored.count() == 4 * n_docs
+    assert stored.select("doc_id").distinct().count() == n_docs
