@@ -675,32 +675,49 @@ def j23_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_id uses the exclusive prefix (cum - own), so a doc starting
     inside shard k stays in shard k even when it overflows the budget."""
     d = table(spark, sf_dir, "documents")
-    t = d.select(
+    t = d.select("doc_id", F.ceil(F.length("text") / 4.0).alias("n_tokens"))
+    cum = two_level_cumsum(
+        t, order_col="doc_id", value_col="n_tokens",
+        bucket_width=_J23_BUCKET_WIDTH,
+    )
+    return cum.select(
         "doc_id",
-        F.ceil(F.length("text") / 4.0).alias("n_tokens"),
-        (F.col("doc_id") / _J23_BUCKET_WIDTH).cast("long").alias("_bkt"),
+        "n_tokens",
+        F.col("cumsum").alias("cum_tokens"),
+        F.floor(
+            (F.col("cumsum") - F.col("n_tokens")) / _J23_BUDGET
+        ).alias("shard_id"),
+    )
+
+
+def two_level_cumsum(
+    t: DataFrame, order_col: str, value_col: str, bucket_width: int
+) -> DataFrame:
+    """Distributed prefix sum over `order_col` order (the j23 core,
+    reusable): per-bucket cumsum window + running offsets over the tiny
+    bucket-totals table broadcast back. Equals the sequential
+    `sum() OVER (ORDER BY order_col)` exactly (property-tested in
+    tests/test_properties.py) with no global sort of the data — the only
+    single-partition work is O(#buckets) rows. Requires a non-negative
+    integer-ish order column (bucket = order // bucket_width)."""
+    b = t.withColumn(
+        "_bkt", (F.col(order_col) / bucket_width).cast("long")
     )
     w_in = (
         Window.partitionBy("_bkt")
-        .orderBy("doc_id")
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_in = t.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
-    totals = t.groupBy("_bkt").agg(F.sum("n_tokens").alias("_total"))
-    w_off = (
-        Window.orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    cum_in = b.withColumn("_cum_in", F.sum(value_col).over(w_in))
+    totals = b.groupBy("_bkt").agg(F.sum(value_col).alias("_total"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_bkt", F.coalesce(F.sum("_total").over(w_off), F.lit(0)).alias("_offset")
     )
-    joined = cum_in.join(F.broadcast(offsets), "_bkt")
-    cum = F.col("_offset") + F.col("_cum_in")
-    return joined.select(
-        "doc_id",
-        "n_tokens",
-        cum.alias("cum_tokens"),
-        F.floor((cum - F.col("n_tokens")) / _J23_BUDGET).alias("shard_id"),
+    return (
+        cum_in.join(F.broadcast(offsets), "_bkt")
+        .withColumn("cumsum", F.col("_offset") + F.col("_cum_in"))
+        .drop("_bkt", "_cum_in", "_offset")
     )
 
 

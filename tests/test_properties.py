@@ -295,3 +295,31 @@ def test_linear_fill_bracket_invariants(spark, rows, grid_minutes):
         # exact expected weight
         w = (t - pt).total_seconds() / (nt - pt).total_seconds()
         assert abs(r["lerp_value"] - (pv + (nv - pv) * w)) < 1e-9
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 500)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    )
+)
+def test_two_level_cumsum_equals_sequential(spark, rows):
+    """The distributed prefix sum (j23 core) must equal the sequential
+    running sum over the order column, for any ids (sparse, unordered)
+    and any bucket width."""
+    from scopus_spark.queries.pipeline import two_level_cumsum
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: r["cumsum"]
+        for r in two_level_cumsum(
+            df, order_col="id", value_col="v", bucket_width=7
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, v in sorted(rows):
+        acc += v
+        want[i] = acc
+    assert got == want
