@@ -249,3 +249,39 @@ def e8_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("c_acctbal").over(w).alias("seg_max_bal"),
         F.nth_value("c_acctbal", 3).over(w).alias("seg_third_bal"),
     )
+
+
+# --- e9: running distinct count (the COUNT(DISTINCT) OVER gap) -----------------------
+@register(
+    "e9",
+    oracle="""
+    SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id,
+           CAST(count(DISTINCT event_type) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INT) AS n_distinct_types
+    FROM events
+    """,
+)
+def e9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count of event types per user over time — a
+    window Spark does NOT support natively (COUNT(DISTINCT) OVER raises
+    in Catalyst); the idiomatic rendering is size(collect_set() OVER).
+    The set stays bounded by the event-type cardinality (an enum), so
+    per-row state is small; for unbounded-cardinality columns the right
+    tool is a windowed sketch, not this. Ordering is (µs timestamp,
+    event_id) — unique, so the running frame cuts identically on both
+    engines (the oracle orders by epoch_us(ts), matching the G1 shim's
+    truncation, never the raw ns order)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+    )
