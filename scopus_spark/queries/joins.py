@@ -426,3 +426,51 @@ def c13_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("l_quantity").alias("sum_qty"),
     )
+
+
+# --- c14: bucketed co-located join (shuffle-free fact-fact join) ---------------------
+@register(
+    "c14",
+    oracle="""
+    SELECT o.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           sum(l.l_quantity)        AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def c14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join — the layout investment that
+    removes the join shuffle entirely at 100 TB: both fact tables are
+    written bucketed+sorted on the join key into the same bucket count
+    (operators/partitioning.py::write_bucketed), so the sort-merge join
+    reads co-located buckets with no Exchange on either side
+    (plan-asserted in tests/test_partitioning.py; at corpus test sizes
+    AQE may still broadcast one side — the policy, not a defect). The
+    HASH gate proves the bucketed layout is semantically invisible vs
+    the oracle's plain join. Tables are pid-scoped and idempotently
+    rebuilt per run."""
+    import os
+
+    from scopus_spark.operators.partitioning import bucketed_join, write_bucketed
+
+    pid = os.getpid()
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    t_li = f"c14_li_{sf_tag}_{pid}"
+    t_o = f"c14_ord_{sf_tag}_{pid}"
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_custkey"
+    )
+    write_bucketed(li, t_li, "orderkey", n_buckets=8, sort_col="orderkey")
+    write_bucketed(o, t_o, "orderkey", n_buckets=8, sort_col="orderkey")
+    return (
+        bucketed_join(spark, t_li, t_o, on="orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
