@@ -474,3 +474,68 @@ def c14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+# --- c15: binned interval join (range join without an equi key) ----------------------
+_C15_BIN_US = 3_600_000_000  # 1-hour bins == the join interval
+
+
+@register(
+    "c15",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+    )
+    SELECT a.event_id            AS purchase_id,
+           b.event_id            AS click_id,
+           CAST(b.us - a.us AS BIGINT) AS gap_us
+    FROM (SELECT * FROM e WHERE event_type = 'purchase') a
+    JOIN (SELECT * FROM e WHERE event_type = 'click') b
+      ON b.us > a.us AND b.us <= a.us + {_C15_BIN_US}
+    """,
+)
+def c15_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi key (every purchase to every click in
+    the following hour, across all users — cross-stream time
+    correlation). A naive plan is a broadcast-nested-loop / cartesian
+    filter — quadratic, the thing that melts first at 100 TB. The binned
+    rendering turns it into an EQUI-join: both sides bucket into
+    1-hour-epoch bins, each probe row explodes into its two candidate
+    bins (its own and the next — a 1h window can only span two 1h bins),
+    the join runs on bin equality, and the exact range predicate
+    re-verifies. Each qualifying pair matches in exactly ONE bin (the
+    match's bin is the click's), so no dedup is needed and the hash gate
+    proves the rewrite is lossless vs the oracle's plain non-equi join.
+    Fan-out is a constant 2x on one side; the join shuffles on a
+    time-uniform key (bins), and AQE splits any hot bin."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), us.alias("a_us")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        us.alias("b_us"),
+        F.floor(us / _C15_BIN_US).alias("bin"),
+    )
+    a_binned = pur.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.floor(F.col("a_us") / _C15_BIN_US),
+                F.floor(F.col("a_us") / _C15_BIN_US) + 1,
+            )
+        ),
+    )
+    return (
+        a_binned.join(clk, "bin")
+        .filter(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") <= F.col("a_us") + _C15_BIN_US)
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            (F.col("b_us") - F.col("a_us")).alias("gap_us"),
+        )
+    )

@@ -203,3 +203,11 @@ def test_c13_salt_in_plan_and_result_identical_to_plain_join(spark, sf_dir):
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     p = _plan(salted_join(li, o, key="o_orderkey", salt_from="l_linenumber"))
     assert "_salt" in p, p
+
+
+def test_c15_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned rewrite must plan an equi join on `bin` — never the
+    quadratic BroadcastNestedLoop/Cartesian a raw non-equi join gets."""
+    p = _plan(QUERIES["c15"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
