@@ -413,3 +413,81 @@ def a19_incremental_snapshot_apply(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.read.parquet(target).select(
         "doc_id", F.md5("text").alias("content_hash")
     )
+
+
+# --- a20: manifest-based incremental file ingest ------------------------------------
+@register(
+    "a20",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def a20_manifest_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental file-based ingest WITHOUT Structured Streaming — the
+    batch answer to "which landing files did I already load": each run
+    lists the landing dir via the parquet `_metadata.file_path` column,
+    anti-joins against a manifest of already-ingested paths, appends
+    ONLY the new files' rows to the target, and records the new paths.
+    Two waves land here (6 then 4 files); after the second run the
+    target must hash-equal the whole corpus — rows are never skipped or
+    double-ingested. At 100 TB the listing is metadata-only, the
+    manifest anti-join touches file paths (thousands of rows, broadcast),
+    and ingest cost is the NEW files' bytes, never the landing zone's.
+    tests/test_etl.py asserts the second run reads only wave-2 files."""
+    out = ingest_new_files_twice(spark, sf_dir)
+    return spark.read.parquet(out).select("doc_id", "lang", "n_chars")
+
+
+def ingest_new_files_twice(spark: SparkSession, sf_dir: str) -> str:
+    """Stage two landing waves and run the manifest ingest after each;
+    returns the target path. Factored out so tests can instrument the
+    per-run ingested-file counts."""
+    import shutil
+
+    base = os.path.join(
+        STAGE_ROOT,
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "a20",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    target = os.path.join(base, "target")
+    manifest = os.path.join(base, "manifest")
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.filter(F.col("doc_id") % 5 != 0).repartition(6).write.parquet(
+        landing, mode="overwrite"
+    )
+    ingest_new_files(spark, landing, target, manifest)
+    # wave 2: four more files land in the same directory
+    docs.filter(F.col("doc_id") % 5 == 0).repartition(4).write.parquet(
+        landing, mode="append"
+    )
+    ingest_new_files(spark, landing, target, manifest)
+    return target
+
+
+def ingest_new_files(
+    spark: SparkSession, landing: str, target: str, manifest: str
+) -> int:
+    """One manifest-guarded ingest pass; returns how many landing files
+    were NEW this pass (0 on a no-op re-run — idempotence)."""
+    allf = (
+        spark.read.parquet(landing)
+        .select("*", F.col("_metadata.file_path").alias("_path"))
+    )
+    if os.path.exists(manifest):
+        seen = spark.read.parquet(manifest)
+        fresh = allf.join(
+            F.broadcast(seen), allf["_path"] == seen["path"], "left_anti"
+        )
+    else:
+        fresh = allf
+    new_paths = fresh.select(F.col("_path").alias("path")).distinct()
+    n_new = new_paths.count()
+    if n_new == 0:
+        return 0
+    fresh.drop("_path").write.parquet(target, mode="append")
+    new_paths.write.parquet(manifest, mode="append")
+    return n_new

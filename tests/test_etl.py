@@ -162,3 +162,38 @@ def test_extract_produces_citation_edges_and_author_links(spark):
         affs = spark.read.parquet(f"{out}/affiliations")
         assert affs.count() == affs.select("afid").distinct().count()
         assert affs.filter(~F.col("country").rlike("^C[0-6]$")).count() == 0
+
+
+def test_a20_manifest_ingest_reads_only_new_files(spark, sf_dir):
+    """Second pass must ingest exactly the wave-2 files; a third pass
+    with nothing new is a 0-file no-op (idempotent re-run)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from scopus_spark.catalog import table
+    from scopus_spark.queries.etl_queries import STAGE_ROOT, ingest_new_files
+
+    base = os.path.join(
+        STAGE_ROOT,
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "a20_unit",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    landing = os.path.join(base, "landing")
+    target = os.path.join(base, "target")
+    manifest = os.path.join(base, "manifest")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    docs.filter(F.col("doc_id") % 5 != 0).repartition(6).write.parquet(
+        landing, mode="overwrite"
+    )
+    assert ingest_new_files(spark, landing, target, manifest) == 6
+    docs.filter(F.col("doc_id") % 5 == 0).repartition(4).write.parquet(
+        landing, mode="append"
+    )
+    assert ingest_new_files(spark, landing, target, manifest) == 4
+    assert ingest_new_files(spark, landing, target, manifest) == 0
+    assert spark.read.parquet(target).count() == docs.count()
