@@ -252,3 +252,88 @@ def n7_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.row_number().over(w_rank) == 1).alias("keep"),
     )
+
+
+# --- n8: per-node clustering coefficient -------------------------------------------
+@register(
+    "n8",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    e AS MATERIALIZED (
+      SELECT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+      FROM pairs WHERE doc_a != doc_b GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+      FROM e ab
+      JOIN e bc ON ab.hi = bc.lo
+      JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    ),
+    tn AS (
+      SELECT node, count(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    und AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT node, count(*) AS degree FROM und GROUP BY node)
+    SELECT d.node,
+           CAST(d.degree AS BIGINT)         AS degree,
+           CAST(coalesce(tn.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE 2.0 * coalesce(tn.t, 0) / (d.degree * (d.degree - 1))
+           END                              AS clustering_coeff
+    FROM deg d LEFT JOIN tn ON d.node = tn.node
+    """,
+)
+def n8_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient of the dup graph — how clique-like
+    each document's near-dup neighborhood is (n3's global transitivity
+    made local: cc(v) = 2*T(v) / deg(v)(deg(v)-1), 0 below degree 2).
+    High-cc nodes sit in tight template clusters (safe to collapse
+    aggressively); low-cc high-degree nodes are hub-like boilerplate
+    bridges (collapse carefully). Triangles enumerate once via the
+    lo<hi-oriented edge set (n3's join), then each triangle credits its
+    three corners through one explode + hash aggregate; the coefficient
+    is an exact integer ratio through one shared double division."""
+    edges = _dup_edges(spark, sf_dir)
+    e = (
+        edges.select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.hi") == F.col("bc.lo"))
+        .join(
+            ac,
+            (F.col("ac.lo") == F.col("ab.lo")) & (F.col("ac.hi") == F.col("bc.hi")),
+        )
+        .select(
+            F.col("ab.lo").alias("a"), F.col("ab.hi").alias("b"),
+            F.col("bc.hi").alias("c"),
+        )
+    )
+    tn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = graph.degrees(edges, "doc_a", "doc_b")
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return deg.join(tn, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(2.0 * t / (F.col("degree") * (F.col("degree") - 1)))
+        .alias("clustering_coeff"),
+    )
