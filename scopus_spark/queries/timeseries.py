@@ -417,3 +417,92 @@ def o5_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("_num").cast("double") / F.col("span_us"))
         .alias("twa"),
     )
+
+
+# --- o6: rolling z-score anomaly detection ------------------------------------------
+@register(
+    "o6",
+    oracle=f"""
+    WITH {_EV_CTE}
+    SELECT user_id, ts, value,
+           round(CASE WHEN count(*) OVER w < 2 OR stddev_samp(value) OVER w = 0
+                      THEN 0.0
+                      ELSE (value - avg(value) OVER w)
+                           / stddev_samp(value) OVER w END, 4) + 0.0 AS z,
+           (abs(CASE WHEN count(*) OVER w < 2 OR stddev_samp(value) OVER w = 0
+                     THEN 0.0
+                     ELSE (value - avg(value) OVER w)
+                          / stddev_samp(value) OVER w END) > 2.0) AS is_anomaly
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    """,
+)
+def o6_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user: each observation
+    scored against the trailing-12-observation window's mean/stddev,
+    flagged above |z| > 2 — the streaming-adjacent outlier monitor every
+    metrics store runs. Runs on the deduped series (unique (user, ts)
+    ordering → identical frame cuts on both engines); z rounds to 4dp
+    with signed-zero normalization (C3 + the d6 lesson) because windowed
+    mean/stddev are the one float surface where engines may differ in
+    the last ulp. Constant-width frame → O(1) state per row; the window
+    shuffle partitions by user."""
+    ev = _events_dedup(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(-11, Window.currentRow)
+    )
+    sd = F.stddev_samp("value").over(w)
+    # single-observation frames: engines disagree on stddev_samp(n=1)
+    # (NULL vs NaN) — both sides pin z to 0.0 below two rows
+    z_raw = F.when(
+        (F.count(F.lit(1)).over(w) < 2) | (sd == 0), F.lit(0.0)
+    ).otherwise((F.col("value") - F.avg("value").over(w)) / sd)
+    z = F.round(z_raw, 4) + F.lit(0.0)
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        z.alias("z"),
+        (F.abs(z_raw) > 2.0).alias("is_anomaly"),
+    )
+
+
+# --- o7: gap / outage detection -----------------------------------------------------
+@register(
+    "o7",
+    oracle=f"""
+    WITH {_EV_CTE},
+    g AS (
+      SELECT user_id, ts AS gap_start,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_end
+      FROM ev
+    )
+    SELECT user_id, gap_start, gap_end,
+           CAST(epoch_us(gap_end) - epoch_us(gap_start) AS BIGINT) AS gap_us
+    FROM g
+    WHERE epoch_us(gap_end) - epoch_us(gap_start) > 43200000000
+    """,
+)
+def o7_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting gaps instead of filling them (the other half of o1/o3):
+    every interval longer than 12h between consecutive observations per
+    user — the sensor-outage / dead-feed detector. One lead() over the
+    user-partitioned time order, exact integer µs arithmetic, then a
+    filter; output size is the number of outages, not the series."""
+    ev = _events_dedup(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_t = F.col("ts").cast("timestamp")
+    g = ev.select(
+        "user_id",
+        F.col("ts").alias("gap_start"),
+        F.lead("ts").over(w).alias("gap_end"),
+    )
+    gap_us = F.unix_micros(F.col("gap_end").cast("timestamp")) - F.unix_micros(
+        F.col("gap_start").cast("timestamp")
+    )
+    return g.select(
+        "user_id", "gap_start", "gap_end", gap_us.alias("gap_us")
+    ).filter(F.col("gap_us") > 43_200_000_000)
