@@ -864,3 +864,69 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_col="band_no",
     )
     return pairs
+
+
+# --- j26: packed training samples (shard -> one ordered concatenated sample) ---------
+@register(
+    "j26",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS excl
+      FROM t
+    )
+    SELECT CAST(excl // {_J23_BUDGET} AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)         AS total_tokens,
+           md5(string_agg(text, '<|doc|>' ORDER BY doc_id)) AS sample_md5
+    FROM c
+    GROUP BY 1
+    """,
+)
+def j26_packed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of training-data prep: each j23 token-budget shard
+    materialized as ONE training sample — its documents concatenated in
+    stable doc_id order with a separator token (here fingerprinted as
+    md5, so the hash gate verifies the exact packed BYTES without
+    shipping megabyte rows through the compare). Ordered concatenation
+    inside a group is collect_list(struct) -> array_sort -> array_join —
+    deterministic under any partitioning because the order is data
+    (doc_id), never arrival. Composes the two_level_cumsum shard
+    assignment (no global sort) with d21's ordered-aggregation
+    semantics; per-shard sample size is bounded by the token budget, so
+    the concat is executor-safe at any corpus scale."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "text", F.ceil(F.length("text") / 4.0).alias("n_tokens")
+    )
+    cum = two_level_cumsum(
+        t, order_col="doc_id", value_col="n_tokens",
+        bucket_width=_J23_BUCKET_WIDTH,
+    )
+    sharded = cum.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        F.floor(
+            (F.col("cumsum") - F.col("n_tokens")) / _J23_BUDGET
+        ).alias("shard_id"),
+    )
+    packed = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda x: x["text"],
+        ),
+        "<|doc|>",
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.md5(packed).alias("sample_md5"),
+    )
