@@ -113,19 +113,19 @@ def prefix_filter_pairs(
 
     Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6dp.
     """
-    from pyspark.sql import Window
-
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(word_shingles(text_col)).alias("shingle")
     )
-    # Document frequency as a count window over the exploded table: ONE
-    # shuffle of the big table on shingle, vs the groupBy+join form which
-    # shuffles it twice (once reduced for the counts, once for the join).
-    # Shingles are per-doc distinct (word_shingles → array_distinct), so
-    # the partition row count IS the document frequency.
-    ranked = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    )
+    # Document frequency via groupBy + equi-join back, NOT a count window.
+    # A Window.partitionBy("shingle") count funnels every occurrence of a
+    # hot boilerplate shingle through ONE task and AQE cannot split a
+    # window partition; groupBy gets map-side partial aggregation (the
+    # hot key arrives at the reducer as a handful of partial counts) and
+    # the join back is an equi-join AQE can skew-split. Shingles are
+    # per-doc distinct (word_shingles -> array_distinct), so count(*) per
+    # shingle IS the document frequency.
+    shingle_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(shingle_df, "shingle")
     # Global order = (df asc, shingle asc): deterministic, rarity-first.
     docsets = ranked.groupBy("doc_id").agg(
         F.transform(

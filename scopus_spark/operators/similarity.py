@@ -9,15 +9,34 @@ Two tiers:
   degenerates to exact brute force (asserted in tests).
 
 The coarse quantizer is deterministic: the n_cells lowest-vec_id vectors
-serve as fixed centroids (no RNG — resumable, cross-run stable). A k-means
-refinement would drop recall-vs-cost further but adds no new Spark
-machinery, so it is left as a config hook.
+serve as fixed SEED centroids (no RNG — resumable, cross-run stable),
+optionally refined with a few Lloyd (k-means) iterations — still fully
+deterministic given the seeds. Exactness of exact_1nn never depends on
+WHICH centroids are used (any consistent assignment keeps the pruning
+bound valid), so refinement is purely a cell-balance / probe-pruning
+optimization.
+
+Cell-count sizing: per-cell candidate volume of a self-join is
+~n^2/n_cells, so a CONSTANT n_cells stays quadratic as the corpus grows.
+auto_n_cells picks n_cells ≈ sqrt(n) (candidate volume ~n^1.5) from a
+cheap count, the standard IVF sizing rule.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def auto_n_cells(n_vectors: int) -> int:
+    """IVF cell count ≈ sqrt(n), clamped to [4, 4096].
+
+    sqrt-n keeps per-cell self-join volume at ~n^1.5 instead of the
+    n^2/const of a fixed cell count; the cap bounds the broadcast centroid
+    row (4096 x dim doubles) well under any broadcast threshold."""
+    return max(4, min(4096, math.isqrt(max(n_vectors, 1))))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -93,7 +112,84 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     return scored.withColumn("cell_id", F.array_max(sims)["cell_id"]).drop("cells")
 
 
-def exact_1nn(embeddings: DataFrame, n_cells: int = 16, eps: float = 1e-6) -> DataFrame:
+def _refine_centroids(base: DataFrame, n_cells: int, iters: int = 2) -> DataFrame:
+    """Lloyd (k-means) refinement of the deterministic seed centroids.
+
+    ``base`` must carry (vec_id, emb array<double>, nrm). Each iteration:
+    map-side assignment against the broadcast centroid array row, then a
+    posexplode + (cell_id, pos) average builds the new per-cell mean
+    vector — two reduced shuffles per iteration, both with map-side
+    partial aggregation; the centroid table itself stays n_cells rows.
+    Cells that lose all members (or whose mean degenerates to ~zero norm,
+    which would poison cosine with NaN) keep their previous centroid.
+    Deterministic given the seed centroids. Callers' exactness never
+    depends on which centroids come out — only that ONE consistent
+    assignment is used throughout — so this is purely a cell-balance /
+    probe-pruning optimization.
+    """
+    cents = (
+        base.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("emb").alias("centroid"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    for _ in range(iters):
+        cent_row = cents.agg(
+            F.collect_list(F.struct("cell_id", "centroid", "cnrm")).alias("cells")
+        )
+        sims = F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                (
+                    _dot(F.col("emb"), c["centroid"]) / (F.col("nrm") * c["cnrm"])
+                ).alias("sim"),
+                (-c["cell_id"]).alias("negid"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        assigned = base.crossJoin(F.broadcast(cent_row)).select(
+            F.array_max(sims)["cell_id"].alias("cell_id"), "emb"
+        )
+        mean_nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("mean"), lambda x: x * x),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mean")
+            )
+            .select("cell_id", "mean", mean_nrm.alias("mnrm"))
+        )
+        keep_new = F.col("mnrm") > 1e-12
+        cents = cents.join(means, "cell_id", "left").select(
+            "cell_id",
+            F.when(keep_new, F.col("mean")).otherwise(F.col("centroid")).alias(
+                "centroid"
+            ),
+            F.when(keep_new, F.col("mnrm")).otherwise(F.col("cnrm")).alias("cnrm"),
+        )
+    return cents
+
+
+def exact_1nn(
+    embeddings: DataFrame,
+    n_cells: int | None = None,
+    eps: float = 1e-6,
+    refine_iters: int = 2,
+) -> DataFrame:
     """EXACT all-pairs 1-NN without the O(n^2) cartesian self-join.
 
     IVF with a triangle-inequality-style pruning bound that preserves
@@ -110,11 +206,16 @@ def exact_1nn(embeddings: DataFrame, n_cells: int = 16, eps: float = 1e-6) -> Da
 
     100 TB shape: the only joins are equi-joins on cell_id (shuffle keys
     bounded by n_cells; AQE skew-split handles fat cells) plus two 1-row
-    broadcast joins. Candidate volume ~= n^2 / n_cells + probe spill,
-    versus n^2 for the declared-anchor plan.
+    broadcast joins. n_cells defaults to auto_n_cells(count) ≈ sqrt(n), so
+    candidate volume scales ~n^1.5 instead of n^2/const; refine_iters
+    Lloyd passes balance the cells (set 0 to use raw seed centroids).
 
     Returns (vec_id, nn_id, cos_sim, label_match).
     """
+    if n_cells is None:
+        # one cheap count job; per the IVF sizing rule n_cells must grow
+        # with the corpus or the per-cell self-join stays quadratic.
+        n_cells = auto_n_cells(embeddings.count())
     nrm = F.sqrt(
         F.aggregate(
             F.transform(as_double(), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
@@ -123,15 +224,14 @@ def exact_1nn(embeddings: DataFrame, n_cells: int = 16, eps: float = 1e-6) -> Da
     base = embeddings.select(
         "vec_id", "label", as_double().alias("emb"), nrm.alias("nrm")
     )
-    cent_row = (
-        base.orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("emb").alias("centroid"),
-            F.col("nrm").alias("cnrm"),
-        )
-        .agg(F.collect_list(F.struct("cell_id", "centroid", "cnrm")).alias("cells"))
+    cents = _refine_centroids(base, n_cells, refine_iters)
+    if refine_iters > 0:
+        # the refined centroid table is tiny (n_cells rows) but its lineage
+        # holds refine_iters full-data aggregations and is consumed by three
+        # downstream subtrees — checkpoint so it is computed once.
+        cents = cents.localCheckpoint(eager=False)
+    cent_row = cents.agg(
+        F.collect_list(F.struct("cell_id", "centroid", "cnrm")).alias("cells")
     )
     # map-side assignment; keep the UNROUNDED sim to the chosen centroid for
     # the radius computation (any consistent assignment keeps exactness).
@@ -165,14 +265,7 @@ def exact_1nn(embeddings: DataFrame, n_cells: int = 16, eps: float = 1e-6) -> Da
         ).alias("slack")
     )
     cells_meta_row = (
-        base.orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("emb").alias("centroid"),
-            F.col("nrm").alias("cnrm"),
-        )
-        .join(slack, "cell_id")
+        cents.join(slack, "cell_id")
         .agg(
             F.collect_list(
                 F.struct("cell_id", "centroid", "cnrm", "slack")

@@ -202,11 +202,16 @@ def j4_allpairs_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result provably identical to the brute-force anchor the oracle
     computes, while the physical plan contains only cell_id equi-joins and
     1-row broadcasts — no CartesianProduct at any scale.
+
+    Round 4: n_cells is no longer a constant 16 — exact_1nn derives it as
+    ~sqrt(n) from a cheap count (candidate volume n^1.5, not n^2/16) and
+    runs two deterministic Lloyd refinement passes over the seed
+    centroids for cell balance. Exactness is centroid-independent.
     """
     from scopus_spark.operators.similarity import exact_1nn
 
     e = table(spark, sf_dir, "embeddings")
-    return exact_1nn(e, n_cells=16)
+    return exact_1nn(e)
 
 
 # --- j5: TF-IDF, top-5 terms per doc ------------------------------------------------
@@ -236,8 +241,12 @@ def j4_allpairs_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j5_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF purely relationally: tokenize -> tf -> df join -> score ->
-    per-doc top-5. df table is tiny (vocab) -> broadcast; ranking on the
-    rounded score keeps cross-engine ordering identical."""
+    per-doc top-5. The document-frequency table has unbounded cardinality
+    (a web-scale vocabulary is mostly hapax legomena and does NOT fit
+    executor memory), so the tf-df join is an UNHINTED equi-join on term:
+    Catalyst/AQE picks broadcast when stats say the vocab is small and a
+    shuffled hash join otherwise; ranking on the rounded score keeps
+    cross-engine ordering identical."""
     d = table(spark, sf_dir, "documents")
     # corpus size as a broadcast 1-row aggregate, not a driver-side count():
     # keeps the whole query one lazy plan (no eager job at declaration time)
@@ -249,7 +258,7 @@ def j5_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_row))
         .select(
             "doc_id",

@@ -754,16 +754,18 @@ def j24_corpus_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction instead of by repair.
 
     Plan: explode tokens (map-side) → one token-shuffle builds the vocab
-    count table → vocab joins BACK to the token stream BROADCAST (a
-    vocabulary fits executor memory at any corpus scale — heavy hitters
-    dominate) → one doc-shuffle aggregates. Total corpus token count rides
+    count table → vocab joins BACK to the token stream via an UNHINTED
+    equi-join on t. A web-scale vocabulary is mostly hapax legomena and
+    grows with the corpus, so it must NOT be force-broadcast; letting
+    Catalyst/AQE choose means broadcast when stats allow, shuffled hash
+    join (AQE skew-splittable) otherwise. Total corpus token count rides
     along as a broadcast 1-row aggregate (the j5 pattern, fully lazy)."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cf"))
     total = tok.agg(F.count(F.lit(1)).alias("total"))
     return (
-        tok.join(F.broadcast(vocab), "t")
+        tok.join(vocab, "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -186,3 +186,28 @@ def test_j25_band_table_maintained_after_increment(spark, sf_dir):
     n_docs = _table(spark, sf_dir, "documents").count()
     assert stored.count() == 4 * n_docs
     assert stored.select("doc_id").distinct().count() == n_docs
+
+
+def test_auto_n_cells_sqrt_rule():
+    """n_cells must grow ~sqrt(n) (clamped): a constant cell count keeps
+    the per-cell self-join quadratic at scale."""
+    assert similarity.auto_n_cells(0) == 4
+    assert similarity.auto_n_cells(100) == 10
+    assert similarity.auto_n_cells(250_000) == 500
+    assert similarity.auto_n_cells(10**9) == 4096  # broadcast-row cap
+
+
+def test_exact_1nn_auto_cells_and_refinement_match_single_cell(spark, sf_dir):
+    """exact_1nn with auto n_cells + Lloyd refinement must equal the
+    single-cell (== brute force) configuration: exactness is independent
+    of centroid choice by the pruning-bound construction."""
+    emb = table(spark, sf_dir, "embeddings").limit(60)
+    anchor = {
+        (r.vec_id, r.nn_id, r.cos_sim, r.label_match)
+        for r in similarity.exact_1nn(emb, n_cells=1, refine_iters=0).collect()
+    }
+    auto = {
+        (r.vec_id, r.nn_id, r.cos_sim, r.label_match)
+        for r in similarity.exact_1nn(emb).collect()
+    }
+    assert auto == anchor

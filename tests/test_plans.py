@@ -211,3 +211,28 @@ def test_c15_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     p = _plan(QUERIES["c15"](spark, sf_dir))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_j2_document_frequency_is_agg_not_window(spark, sf_dir):
+    """j2's shingle document-frequency must be groupBy(shingle)+join-back
+    (map-side partial agg; AQE can skew-split the equi-join), never a count
+    window partitioned by shingle — a hot boilerplate shingle would
+    serialize through ONE un-splittable window task at 100 TB."""
+    p = _plan(QUERIES["j2"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert "Exchange hashpartitioning(shingle" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_j5_j24_vocab_join_is_unhinted(spark, sf_dir):
+    """The vocabulary (document/corpus frequency) side of j5/j24 has
+    unbounded cardinality and must NOT carry a forced broadcast hint; the
+    only hint allowed is the 1-row corpus-total scalar. Catalyst/AQE still
+    may (and at sf0.01 will) pick broadcast from stats — the assert is on
+    the analyzed plan's hints, not the physical join choice."""
+    for key in ("j5", "j24"):
+        analyzed = (
+            QUERIES[key](spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        )
+        n_hints = analyzed.count("ResolvedHint")
+        assert n_hints == 1, f"{key}: expected only the 1-row scalar hint\n{analyzed}"
