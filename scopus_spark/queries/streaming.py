@@ -270,9 +270,10 @@ def i9_stateful_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lifetime summary (count, distinct types, max value, last
     seen). Batch = one hash aggregate with map-side partials. Streaming =
     Spark 4 transformWithStateInPandas (streaming/tws.py: ValueState +
-    MapState per user, RocksDB-backed) — execution of the streaming
-    variant is protobuf-gated in this container, see tws.py's module doc;
-    tests/test_streaming.py::test_i9_transform_with_state importorskips."""
+    MapState per user, RocksDB-backed), executed for real via the vendored
+    pure-python protobuf runtime (scopus_spark/_vendor);
+    tests/test_streaming.py::test_i9_transform_with_state runs scripted
+    micro-batches end-to-end and asserts cross-batch state."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),

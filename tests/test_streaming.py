@@ -264,10 +264,13 @@ def test_i9_processor_constructs_without_protobuf():
 
 def test_i9_transform_with_state(spark):
     """transformWithStateInPandas per-user summary must equal the batch
-    aggregate after scripted micro-batches. Protobuf-gated: the TWS
-    Python worker speaks protobuf to the JVM state server, which this
-    container doesn't ship (see streaming/tws.py)."""
-    pytest.importorskip("google.protobuf")
+    aggregate after scripted micro-batches. The TWS Python worker speaks
+    protobuf to the JVM state server; the vendored pure-python runtime
+    (scopus_spark/_vendor, armed in conftest before the JVM starts) makes
+    this executable even though the container ships no google.protobuf."""
+    from scopus_spark._vendor import ensure_protobuf
+
+    assert ensure_protobuf(), "vendored protobuf runtime failed to arm"
     from scopus_spark.streaming import tws
 
     spark.conf.set(
