@@ -211,9 +211,10 @@ def pagerank(
     edges with ranks on src + one hash aggregate on dst + a left join back
     to the node roster; the node count rides along as a broadcast 1-row
     aggregate (no driver-side count()). At 100 TB: ranks re-shuffle on the
-    same node key every round (co-partition with the edge list), and a
-    production run would localCheckpoint each round like
-    connected_components above to truncate lineage.
+    same node key every round (co-partition with the edge list), and each
+    round localCheckpoints like connected_components above — plan depth
+    stays O(1) in iters instead of unrolling iters joins+aggs into one
+    lineage (a plan-depth bomb past a handful of rounds).
     """
     ncnt = nodes.agg(F.count(F.lit(1)).alias("n_docs"))
     roster = (
@@ -239,15 +240,19 @@ def pagerank(
                 ).alias("sm")
             )
         )
-        ranks = roster.join(contrib, "node", "left").select(
-            "node",
-            "n_docs",
-            (
-                base
-                + F.lit(0.85)
-                * F.coalesce(
-                    F.col("sm"), F.lit(0).cast("decimal(38,18)")
-                ).cast("double")
-            ).alias("r"),
+        ranks = (
+            roster.join(contrib, "node", "left")
+            .select(
+                "node",
+                "n_docs",
+                (
+                    base
+                    + F.lit(0.85)
+                    * F.coalesce(
+                        F.col("sm"), F.lit(0).cast("decimal(38,18)")
+                    ).cast("double")
+                ).alias("r"),
+            )
+            .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("pagerank"))

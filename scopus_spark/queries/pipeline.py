@@ -637,9 +637,6 @@ def j22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- j23: token-budget shard packing (distributed prefix sum) ------------------------
 _J23_BUDGET = 4000
-_J23_BUCKET_WIDTH = 512
-
-
 @register(
     "j23",
     oracle=f"""
@@ -664,7 +661,8 @@ def j23_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sum() OVER (ORDER BY doc_id)` would serialize 100 TB through one
     sort, so the Spark plan never does that:
 
-      1. per-bucket cumsum: window partitioned on doc_id // 512 (one hash
+      1. per-bucket cumsum: window partitioned on doc_id // width, width
+         auto-sized to cap the offsets table at ~64k rows (one hash
          shuffle of (doc_id, n_tokens) pairs — the only full-data shuffle),
       2. bucket totals: a hash aggregate, thousands of rows at any scale,
       3. running offsets over the TINY totals table (the only
@@ -676,10 +674,7 @@ def j23_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside shard k stays in shard k even when it overflows the budget."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.ceil(F.length("text") / 4.0).alias("n_tokens"))
-    cum = two_level_cumsum(
-        t, order_col="doc_id", value_col="n_tokens",
-        bucket_width=_J23_BUCKET_WIDTH,
-    )
+    cum = two_level_cumsum(t, order_col="doc_id", value_col="n_tokens")
     return cum.select(
         "doc_id",
         "n_tokens",
@@ -691,7 +686,11 @@ def j23_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def two_level_cumsum(
-    t: DataFrame, order_col: str, value_col: str, bucket_width: int
+    t: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket_width: int | None = None,
+    target_buckets: int = 65536,
 ) -> DataFrame:
     """Distributed prefix sum over `order_col` order (the j23 core,
     reusable): per-bucket cumsum window + running offsets over the tiny
@@ -699,7 +698,19 @@ def two_level_cumsum(
     `sum() OVER (ORDER BY order_col)` exactly (property-tested in
     tests/test_properties.py) with no global sort of the data — the only
     single-partition work is O(#buckets) rows. Requires a non-negative
-    integer-ish order column (bucket = order // bucket_width)."""
+    integer-ish order column (bucket = order // bucket_width).
+
+    The offsets table is O(id_range / bucket_width) rows, so a FIXED
+    width stops being broadcastable at extreme id ranges. Default
+    (bucket_width=None) auto-sizes width = ceil(range / target_buckets)
+    from a cheap min/max agg, capping the offsets table at
+    ~target_buckets rows (65536 × 16 B ≈ 1 MB) for ANY id range; the
+    result is width-independent, so the auto choice never changes values.
+    """
+    if bucket_width is None:
+        lo, hi = t.agg(F.min(order_col), F.max(order_col)).first()
+        span = int(hi) - int(lo) + 1 if lo is not None else 1
+        bucket_width = max(1, -(-span // target_buckets))
     b = t.withColumn(
         "_bkt", (F.col(order_col) / bucket_width).cast("long")
     )
@@ -908,10 +919,7 @@ def j26_packed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "text", F.ceil(F.length("text") / 4.0).alias("n_tokens")
     )
-    cum = two_level_cumsum(
-        t, order_col="doc_id", value_col="n_tokens",
-        bucket_width=_J23_BUCKET_WIDTH,
-    )
+    cum = two_level_cumsum(t, order_col="doc_id", value_col="n_tokens")
     sharded = cum.select(
         "doc_id",
         "text",

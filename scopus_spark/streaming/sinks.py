@@ -82,27 +82,31 @@ def foreach_batch_jdbc_upsert(
     driver: str,
     key_cols: list[str],
     order_col: str,
-    delete_chunk: int = 500,
 ) -> Callable[[DataFrame, int], None]:
     """CDC micro-batches into an RDBMS as a keyed upsert — the streaming
     rendering of the reference's terminal JDBC load (a6), without
     engine-specific MERGE SQL: per batch (1) collapse to the latest row
-    per key, (2) DELETE the batch's keys, (3) partition-parallel batched
-    `write.jdbc` append. DELETE+INSERT of identical content is idempotent,
-    which is exactly the retry contract foreachBatch requires.
+    per key, (2) stage the batch's KEYS into a scratch table via a
+    partition-parallel `write.jdbc`, (3) ONE set-based
+    ``DELETE … WHERE EXISTS (SELECT … FROM staging)``, (4) partition-
+    parallel batched `write.jdbc` append. DELETE+INSERT of identical
+    content is idempotent, which is exactly the retry contract
+    foreachBatch requires (the staging overwrite is likewise re-runnable).
 
-    Scale contract: only the DELETE key list is driver-side, bounded by
-    keys-per-micro-batch (CDC batches are deltas, not corpora) and issued
-    in `delete_chunk`-sized IN-lists on one connection; the row payload
-    itself never leaves the executors. Composite keys delete via OR-of-
-    conjunctions per chunk.
+    Scale contract: NOTHING is collected to the driver — the key set
+    travels executor→RDBMS through the same JDBC writer as the payload,
+    and the delete is a single relational statement the RDBMS executes as
+    a semi-join, instead of driver-built IN-lists that choke on a hot
+    batch at 100 TB ingest rates. String keys compare as VARCHAR on both
+    sides (Derby maps StringType to CLOB, which has no ``=``).
     """
     from scopus_spark.sources.jdbc import write_jdbc
+
+    staging = f"{table}_STG"
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
         delta = latest_per_key(batch_df, key_cols, order_col)
         spark = batch_df.sparkSession
-        keys = delta.select(*key_cols).collect()
         jvm = spark._jvm
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
@@ -116,26 +120,34 @@ def foreach_batch_jdbc_upsert(
                 or meta.getTables(None, None, table.upper(), None).next()
             ):
                 return write_jdbc(delta, url, table, driver, mode="append")
+        finally:
+            conn.close()
+        # stage the key set executor-side (overwrite = drop/recreate, so a
+        # foreachBatch retry re-stages the same keys idempotently) …
+        string_keys = {
+            f.name for f in delta.schema.fields if f.dataType.typeName() == "string"
+        }
+        write_jdbc(
+            delta.select(*key_cols), url, staging, driver, mode="overwrite"
+        )
+        # … then one set-based delete: the RDBMS plans the semi-join.
+        # Spark's JDBC writer passes TABLE names through unquoted but
+        # quotes COLUMN identifiers — mirror that.
+        conj = " AND ".join(
+            f'CAST(s."{k}" AS VARCHAR(512)) = CAST({table}."{k}" AS VARCHAR(512))'
+            if k in string_keys
+            else f's."{k}" = {table}."{k}"'
+            for k in key_cols
+        )
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
             stmt = conn.createStatement()
             try:
-                for i in range(0, len(keys), delete_chunk):
-                    chunk = keys[i : i + delete_chunk]
-                    preds = []
-                    for r in chunk:
-                        # string keys: Derby maps StringType to CLOB, which
-                        # is not directly comparable — cast to VARCHAR.
-                        conj = " AND ".join(
-                            f'CAST("{k}" AS VARCHAR(512)) = {r[k]!r}'
-                            if isinstance(r[k], str)
-                            else f'"{k}" = {r[k]}'
-                            for k in key_cols
-                        )
-                        preds.append(f"({conj})")
-                    # Spark's JDBC writer passes the TABLE name through
-                    # unquoted but quotes COLUMN identifiers — mirror that.
-                    stmt.executeUpdate(
-                        f"DELETE FROM {table} WHERE " + " OR ".join(preds)
-                    )
+                stmt.executeUpdate(
+                    f"DELETE FROM {table} WHERE EXISTS "
+                    f"(SELECT 1 FROM {staging} s WHERE {conj})"
+                )
+                stmt.executeUpdate(f"DROP TABLE {staging}")
             finally:
                 stmt.close()
         finally:

@@ -123,3 +123,17 @@ def test_pagerank_hand_graph(spark):
     # ranks must be positive and the leak variant sums to <= 1
     assert all(x > 0 for x in got.values())
     assert sum(got.values()) <= 1.0 + 1e-12
+
+
+def test_pagerank_plan_depth_bounded_in_iters(spark):
+    """Each PageRank round localCheckpoints, so the final plan must not
+    unroll iters join+agg rounds — its size stays flat as iters grows
+    (the lineage starts at the last round's checkpointed RDD)."""
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    p5 = graph.pagerank(nodes, edges, iters=5)._jdf.queryExecution().executedPlan().toString()
+    p20 = graph.pagerank(nodes, edges, iters=20)._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in p20 or "LogicalRDD" in p20 or "Scan" in p20
+    assert len(p20) < 2 * len(p5), (len(p5), len(p20))

@@ -323,3 +323,26 @@ def test_two_level_cumsum_equals_sequential(spark, rows):
         acc += v
         want[i] = acc
     assert got == want
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 10**12), st.integers(0, 100)),
+                     min_size=1, max_size=12, unique_by=lambda r: r[0]))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_two_level_cumsum_autowidth_pathological_ids(spark, rows):
+    """Auto bucket width must stay exact for ANY id range (including ids
+    near 1e12, where a fixed width of 512 would make the offsets table
+    billions of rows) and equal the sequential prefix sum."""
+    from scopus_spark.queries.pipeline import two_level_cumsum
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r.id: r.cumsum
+        for r in two_level_cumsum(df, order_col="id", value_col="v").collect()
+    }
+    run, want = 0, {}
+    for i, v in sorted(rows):
+        run += v
+        want[i] = run
+    assert got == want

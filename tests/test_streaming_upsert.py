@@ -231,3 +231,16 @@ def test_cdc_sink_applies_tombstones(spark):
         assert _state(spark, target) == {(2, "click"): 20.0, (3, "view"): 30.0}
     finally:
         shutil.rmtree(os.path.dirname(target), ignore_errors=True)
+
+
+def test_jdbc_upsert_never_collects_keys():
+    """The JDBC sink's delete must be set-based (stage + DELETE…EXISTS):
+    collecting the delta's keys to the driver makes the driver the choke
+    point on a hot batch. Pin the source free of any collect()."""
+    import inspect
+
+    from scopus_spark.streaming.sinks import foreach_batch_jdbc_upsert
+
+    src = inspect.getsource(foreach_batch_jdbc_upsert)
+    assert ".collect()" not in src, src
+    assert "WHERE EXISTS" in src
