@@ -71,7 +71,10 @@ def upsert_partitioned(
     `deletes` is given (a frame of key_cols + partition_col), those keys
     are removed — the WHEN MATCHED THEN DELETE arm of a full MERGE, which
     is what a snapshot-diff delta (a17) needs to apply 'removed' rows.
-    Only partitions present in the delta (or the delete set) are
+    DELETE WINS on overlap: a key present in BOTH delta and deletes ends
+    up removed (the delta row is anti-joined away), so callers with
+    non-disjoint sets get deterministic MERGE semantics instead of a
+    silent re-insert. Only partitions present in the delta (or the delete set) are
     rewritten, via stage-and-swap (the target is never in a
     partially-deleted state). A partition emptied by deletes is removed.
 
@@ -90,6 +93,9 @@ def upsert_partitioned(
     if deletes is not None:
         drop_keys = drop_keys.unionByName(deletes.select(*key_cols))
         touched_src = touched_src.unionByName(deletes.select(partition_col))
+        # delete-wins: strip deleted keys out of the delta so the union
+        # below cannot re-insert them (see docstring).
+        delta = delta.join(deletes.select(*key_cols), key_cols, "left_anti")
     touched = [r[0] for r in touched_src.distinct().collect()]
     if not touched:
         return
@@ -112,9 +118,13 @@ def upsert_partitioned(
                 # staging holds the partition's COMPLETE new content; no
                 # dir means deletes emptied it — remove the live partition
                 # (unreachable for upsert-only deltas: touched partitions
-                # always contain delta rows there)
+                # always contain delta rows there). Park first: a crash
+                # mid-rmtree must never leave a half-deleted LIVE dir —
+                # the recovery sweep restores a parked dir whose partition
+                # is missing, and the idempotent re-run re-deletes it.
                 if os.path.exists(live_dir):
-                    shutil.rmtree(live_dir)
+                    os.rename(live_dir, parked)
+                    shutil.rmtree(parked)
                 continue
             if os.path.exists(live_dir):
                 os.rename(live_dir, parked)

@@ -815,7 +815,14 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table via the keyed upsert so the NEXT batch sees them. Cost per
     batch = O(batch) signature work + one band-join against stored
     bands; the oracle is the full-corpus j9 pair set restricted to pairs
-    touching the batch — a green hash proves incremental == full."""
+    touching the batch — a green hash proves incremental == full.
+
+    The stored band table partitions on a hash bucket of doc_id (a pure
+    function of the merge key), NOT on band_no: band_no has only 4
+    distinct values and every batch carries all 4, so partitioning on it
+    would make each maintenance MERGE rewrite the ENTIRE table; with
+    doc-id buckets a batch rewrites only the buckets its docs land in —
+    cost per batch really is O(batch)."""
     import os
     import shutil
 
@@ -833,6 +840,9 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 dedup.band_hashes(dedup.minhash_signature("text"))
             ).alias("band_no", "band_hash"),
+            # storage-layout bucket only (never leaves the engine, so the
+            # cheap modulus is fine — no cross-engine md5 contract needed)
+            F.pmod("doc_id", F.lit(64)).alias("doc_bkt"),
         )
 
     target = os.path.join(
@@ -842,14 +852,14 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j25_bands",
     )
     shutil.rmtree(target, ignore_errors=True)
-    banded(existing).write.partitionBy("band_no").parquet(target)
+    banded(existing).write.partitionBy("doc_bkt").parquet(target)
 
     probe = banded(batch).withColumn("is_old", F.lit(False))
     # eager snapshot: the maintenance MERGE below swaps the table's files
     # before the (lazy) pair plan runs — probe against the pre-merge state
     stored = (
         spark.read.parquet(target)
-        .select("doc_id", "band_no", "band_hash")
+        .select("doc_id", "band_no", "band_hash", "doc_bkt")
         .withColumn("is_old", F.lit(True))
         .localCheckpoint(eager=True)
     )
@@ -874,7 +884,7 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         target,
         probe.drop("is_old"),
         key_cols=["doc_id", "band_no"],
-        partition_col="band_no",
+        partition_col="doc_bkt",
     )
     return pairs
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scopus_spark.catalog import table
+from scopus_spark.queries.pipeline import J14_QUALITY_SQL
 from scopus_spark.registry import register
 
 # Deterministic bucket in [0, 100): top 60 bits of md5 of the key, mod 100.
@@ -157,16 +158,9 @@ def m4_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- m5: deterministic temperature upsampling (quality-weighted repetition) ----------
 @register(
     "m5",
-    oracle="""
+    oracle=f"""
     WITH q AS (
-      SELECT doc_id,
-             0.4 * (len(list_filter(string_split(text,' '),
-                     t -> list_contains(['the','and','of','to','in','is','row','table'], t)))
-                    / len(string_split(text,' ')))
-               + 0.4 * least(len(string_split(text,' ')) / 100.0, 1.0)
-               + 0.2 * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
-                              / length(text)) AS quality_score
-      FROM documents
+      SELECT doc_id, quality_score FROM ({J14_QUALITY_SQL})
     ),
     w AS (
       SELECT doc_id, quality_score,

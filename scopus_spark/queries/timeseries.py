@@ -429,10 +429,12 @@ def o5_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 0.0
                       ELSE (value - avg(value) OVER w)
                            / stddev_samp(value) OVER w END, 4) + 0.0 AS z,
-           (abs(CASE WHEN count(*) OVER w < 2 OR stddev_samp(value) OVER w = 0
-                     THEN 0.0
-                     ELSE (value - avg(value) OVER w)
-                          / stddev_samp(value) OVER w END) > 2.0) AS is_anomaly
+           (abs(round(CASE WHEN count(*) OVER w < 2
+                                OR stddev_samp(value) OVER w = 0
+                           THEN 0.0
+                           ELSE (value - avg(value) OVER w)
+                                / stddev_samp(value) OVER w END, 4)) > 2.0)
+             AS is_anomaly
     FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
@@ -466,7 +468,10 @@ def o6_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "value",
         z.alias("z"),
-        (F.abs(z_raw) > 2.0).alias("is_anomaly"),
+        # flag from the ROUNDED z on BOTH engines: a raw z within an ulp
+        # of 2.0 could flip the boolean on one engine only (the same
+        # last-ulp drift the 4dp rounding of z exists to absorb).
+        (F.abs(z) > 2.0).alias("is_anomaly"),
     )
 
 

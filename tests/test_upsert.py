@@ -156,3 +156,20 @@ def test_upsert_deletes_are_idempotent(spark):
             upsert_partitioned(path, empty, ["id"], "seg", deletes=deletes)
         got = {r.id: r.val for r in spark.read.parquet(path).collect()}
         assert got == {2: 2.0}
+
+
+def test_upsert_delete_wins_on_overlapping_key(spark):
+    """A key present in BOTH delta and deletes must end up deleted —
+    explicit MERGE semantics, not a silent re-insert via the union."""
+    with tempfile.TemporaryDirectory(prefix="scopus_upsert_") as tmp:
+        path = f"{tmp}/t"
+        upsert_partitioned(
+            path, _rows(spark, [(1, "a", 1.0), (2, "a", 2.0)]), ["id"], "seg"
+        )
+        delta = _rows(spark, [(2, "a", 99.0), (3, "a", 3.0)])
+        deletes = delta.sparkSession.createDataFrame(
+            [(2, "a")], "id long, seg string"
+        )
+        upsert_partitioned(path, delta, ["id"], "seg", deletes=deletes)
+        got = {r.id: r.val for r in spark.read.parquet(path).collect()}
+        assert got == {1: 1.0, 3: 3.0}
