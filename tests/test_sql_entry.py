@@ -59,3 +59,33 @@ def test_sql_surface_matches_dataframe_api(spark, sf_dir):
         a = _rowset(df_api.columns, [tuple(r) for r in df_api.collect()])
         b = _rowset(via_sql.columns, [tuple(r) for r in via_sql.collect()])
         assert a == b, f"SQL/DataFrame divergence for {key}"
+
+
+def test_survey_inventory_matches_registry():
+    """SURVEY §2.Z is the diffable coverage contract: its generated table
+    must list exactly the registry's keys with the right oracle modes.
+    Regenerate with tools/gen_survey_inventory.py after registry changes."""
+    import os
+    import re
+
+    from scopus_spark import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "SURVEY.md")).read()
+    m = re.search(
+        r"<!-- BEGIN GENERATED KEY INVENTORY.*?-->(.*?)<!-- END GENERATED",
+        text,
+        re.S,
+    )
+    assert m, "SURVEY.md lost its generated §2.Z inventory block"
+    rows = re.findall(r"^\| ([a-z]+\d+) \| .* \| (HASH|ROWS/UNIT) \|", m.group(1), re.M)
+    keys = {k for k, _ in rows}
+    modes = dict(rows)
+    reg = registry.all_queries()
+    oracles = registry.all_oracles()
+    assert keys == set(reg), (
+        f"survey-only={sorted(keys - set(reg))} registry-only={sorted(set(reg) - keys)}"
+    )
+    for k in reg:
+        want = "HASH" if k in oracles else "ROWS/UNIT"
+        assert modes[k] == want, f"{k}: SURVEY says {modes[k]}, registry says {want}"

@@ -1,0 +1,82 @@
+"""Regenerate SURVEY.md §2.Z — the canonical, machine-diffable key
+inventory. One row per registry key: key | one-line description (from the
+query function's docstring) | oracle mode | implementation file:line.
+
+Run after adding/removing registry keys:
+    python tools/gen_survey_inventory.py
+tests/test_sql_entry.py::test_survey_inventory_matches_registry fails
+until the block matches the registry again.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BEGIN = "<!-- BEGIN GENERATED KEY INVENTORY (tools/gen_survey_inventory.py) -->"
+END = "<!-- END GENERATED KEY INVENTORY -->"
+
+
+def _family_order(key: str) -> tuple[str, int]:
+    m = re.match(r"([a-z]+)(\d+)", key)
+    return (m.group(1), int(m.group(2)))
+
+
+def build_table() -> str:
+    from scopus_spark import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    lines = [
+        "| key | operator (docstring line 1) | oracle | impl |",
+        "| --- | --- | --- | --- |",
+    ]
+    for key in sorted(qs, key=_family_order):
+        fn = qs[key]
+        doc = (inspect.getdoc(fn) or "").split("\n")[0].strip()
+        if len(doc) > 88:
+            doc = doc[:85] + "..."
+        doc = doc.replace("|", "\\|")
+        src = os.path.relpath(inspect.getsourcefile(fn), "/root/repo")
+        line = inspect.getsourcelines(fn)[1]
+        mode = "HASH" if key in oracles else "ROWS/UNIT"
+        lines.append(f"| {key} | {doc} | {mode} | {src}:{line} |")
+    n_hash = sum(1 for k in qs if k in oracles)
+    lines.append("")
+    lines.append(
+        f"({len(qs)} keys: {n_hash} HASH, {len(qs) - n_hash} ROWS/UNIT — "
+        "regenerate with `python tools/gen_survey_inventory.py`)"
+    )
+    return "\n".join(lines)
+
+
+def main() -> None:
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SURVEY.md")
+    text = open(path).read()
+    block = f"{BEGIN}\n\n{build_table()}\n\n{END}"
+    if BEGIN in text:
+        text = re.sub(
+            re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
+        )
+    else:
+        anchor = "\n---\n\n## 3. Query lifecycle"
+        section = (
+            "\n### 2.Z Canonical key inventory (generated — the diffable "
+            "contract)\n\nEvery `queries()` key, exactly as the registry "
+            "declares it. This table IS\nthe coverage contract: "
+            "tests/test_sql_entry.py diffs it against\n"
+            "`registry.all_queries()`, so it cannot drift.\n\n"
+            + block
+            + "\n"
+        )
+        text = text.replace(anchor, section + anchor, 1)
+    open(path, "w").write(text)
+    print("SURVEY.md §2.Z regenerated")
+
+
+if __name__ == "__main__":
+    main()
