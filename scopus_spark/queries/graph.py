@@ -337,3 +337,113 @@ def n8_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2.0 * t / (F.col("degree") * (F.col("degree") - 1)))
         .alias("clustering_coeff"),
     )
+
+
+# --- n9: size-capped cluster collapse with audit counts -----------------------------
+# Collapse policy cap: clusters up to this size collapse to their single
+# best doc; larger clusters are hub-suspect (LSH chains / boilerplate
+# bridges — the sf0.01 corpus has a 166-doc one) and keep the best
+# ceil(size/cap) docs instead of over-deleting through one weak link.
+N9_COLLAPSE_CAP = 4
+
+
+@register(
+    "n9",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (
+      SELECT node, min(src) AS comp_id FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id, quality_score FROM ({J14_QUALITY_SQL})
+    ),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id,
+             count(*) OVER (PARTITION BY l.cluster_id) AS sz,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality_score DESC, l.doc_id) AS rnk
+      FROM lab l JOIN q USING (doc_id)
+    ),
+    decided AS (
+      SELECT cluster_id, sz,
+             CASE WHEN sz = 1 THEN 'singleton'
+                  WHEN sz <= {N9_COLLAPSE_CAP} THEN 'collapsed'
+                  ELSE 'capped' END AS policy,
+             (rnk <= CASE WHEN sz <= {N9_COLLAPSE_CAP} THEN 1
+                          ELSE CAST(ceil(sz / {N9_COLLAPSE_CAP}.0) AS BIGINT)
+                     END) AS kept
+      FROM ranked
+    )
+    SELECT policy,
+           CAST(count(DISTINCT cluster_id) AS BIGINT)            AS n_clusters,
+           CAST(count(*) AS BIGINT)                              AS n_docs,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT)          AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT)      AS n_dropped
+    FROM decided
+    GROUP BY policy
+    """,
+)
+def n9_capped_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of a production dedup pipeline: apply a CLUSTER-SIZE-
+    CAPPED collapse policy to the n7 keep decision and emit the audit
+    counts a data-governance review signs off on. Policy: singletons pass
+    through; clusters of 2..cap collapse to their single best-quality doc;
+    clusters ABOVE the cap are hub-suspect (LSH chaining / boilerplate
+    bridges make one weak link merge unrelated docs — the corpus's 166-doc
+    component is exactly that) and keep the best ceil(size/cap) docs
+    rather than over-deleting. Output = per-policy cluster/doc/kept/
+    dropped counts, the numbers a dedup run reports before anything is
+    actually destroyed.
+
+    Plan shape: reuses n7's CC labels + quality join, adds one per-cluster
+    window (size + rank share the partitioning) and one tiny hash
+    aggregate — nothing beyond the already-bucketed dup-graph work."""
+    clusters = n2_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    from scopus_spark.queries.pipeline import j14_quality_score
+
+    quality = j14_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    j = clusters.join(quality, "doc_id")
+    sz = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    rnk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("quality_score").desc(), "doc_id"
+        )
+    )
+    cap = F.lit(N9_COLLAPSE_CAP)
+    decided = j.select(
+        "cluster_id",
+        sz.alias("sz"),
+        rnk.alias("rnk"),
+    ).select(
+        "cluster_id",
+        F.when(F.col("sz") == 1, F.lit("singleton"))
+        .when(F.col("sz") <= cap, F.lit("collapsed"))
+        .otherwise(F.lit("capped"))
+        .alias("policy"),
+        (
+            F.col("rnk")
+            <= F.when(F.col("sz") <= cap, F.lit(1)).otherwise(
+                F.ceil(F.col("sz") / cap.cast("double")).cast("long")
+            )
+        ).alias("kept"),
+    )
+    return decided.groupBy("policy").agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_dropped"),
+    )
