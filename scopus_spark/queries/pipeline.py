@@ -950,3 +950,54 @@ def j26_packed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.md5(packed).alias("sample_md5"),
     )
+
+
+# --- j27: REAL image decode + channel statistics (raw-RGB tier) ----------------------
+@register(
+    "j27",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 3
+    ),
+    px AS (
+      SELECT doc_id, (i - 1) % 3 AS chan, ascii(substr(text, i, 1)) AS v
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, (length(text) // 3) * 3 + 1)) AS i
+        FROM b
+      )
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) / 3 AS BIGINT) AS n_pixels,
+           sum(v) FILTER (chan = 0) / (count(*) / 3)  AS mean_r,
+           sum(v) FILTER (chan = 1) / (count(*) / 3)  AS mean_g,
+           sum(v) FILTER (chan = 2) / (count(*) / 3)  AS mean_b,
+           ((count(*) / 3) * sum(v * v) FILTER (chan = 0)
+              - sum(v) FILTER (chan = 0) * sum(v) FILTER (chan = 0))
+             / ((count(*) / 3) * (count(*) / 3))      AS var_r,
+           ((count(*) / 3) * sum(v * v) FILTER (chan = 1)
+              - sum(v) FILTER (chan = 1) * sum(v) FILTER (chan = 1))
+             / ((count(*) / 3) * (count(*) / 3))      AS var_g,
+           ((count(*) / 3) * sum(v * v) FILTER (chan = 2)
+              - sum(v) FILTER (chan = 2) * sum(v) FILTER (chan = 2))
+             / ((count(*) / 3) * (count(*) / 3))      AS var_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def j27_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode + feature extraction (no stub in the loop):
+    payloads are raw RGB888 buffers (an actual wire format — ffmpeg
+    rawvideo), decoded with numpy frombuffer inside Arrow batches, and
+    per-channel mean/variance computed vectorized — exactly the shape a
+    CLIP-style embedding UDF has (decode -> ndarray -> per-image vector).
+    Only COMPRESSED codecs stay stubbed (operators/multimodal.py). The
+    oracle recomputes the statistics byte-by-byte in SQL; both sides keep
+    sums in exact int64 and perform one double division per stat, so the
+    hash matches with no rounding at all.
+
+    100 TB shape: decode+stats are pure map work (mapInPandas, no
+    shuffle); the only movement is the parquet scan itself."""
+    media = multimodal.attach_raw_rgb(
+        table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    )
+    return multimodal.image_channel_stats(media)

@@ -211,3 +211,28 @@ def test_exact_1nn_auto_cells_and_refinement_match_single_cell(spark, sf_dir):
         for r in similarity.exact_1nn(emb).collect()
     }
     assert auto == anchor
+
+
+def test_raw_rgb_decode_and_channel_stats(spark):
+    """decode_pixels must be a REAL raw-RGB888 decoder and the channel
+    stats must match hand-computed means/variances exactly."""
+    payload = bytes([10, 20, 30, 40, 60, 80, 5])  # 2 full pixels + 1 spare
+    px = multimodal.decode_pixels(payload, multimodal.RAW_MIME)
+    assert px.tolist() == [[10, 20, 30], [40, 60, 80]]
+    media = spark.createDataFrame(
+        [(1, payload, (multimodal.RAW_MIME, 2, 1))], multimodal.MEDIA_SCHEMA
+    )
+    r = multimodal.image_channel_stats(media).collect()[0]
+    assert (r.n_pixels, r.mean_r, r.mean_g, r.mean_b) == (2, 25.0, 40.0, 55.0)
+    assert (r.var_r, r.var_g, r.var_b) == (225.0, 400.0, 625.0)
+
+
+def test_resize_is_real_nearest_neighbor(spark):
+    """resize_media must implement the actual nearest-neighbor kernel:
+    out[j] = src[floor(j * n / target)]."""
+    src = bytes(range(100, 116))  # n = 16
+    media = spark.createDataFrame(
+        [(1, src, (multimodal.RAW_MIME, 16, 1))], multimodal.MEDIA_SCHEMA
+    )
+    out = bytes(multimodal.resize_media(media, 4, 1).collect()[0]["payload"])
+    assert out == bytes(src[j * 16 // 4] for j in range(4))
