@@ -698,3 +698,58 @@ def d23_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("key_nibble").cast("long").alias("nibble_xor"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --- d24: exact percentile quality cutoffs (per-lang token-count p50/p90) ------------
+@register(
+    "d24",
+    oracle="""
+    WITH t AS (
+      SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    q AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT)                     AS n_docs,
+             round(quantile_cont(n_tok, 0.5), 6)          AS p50_tokens,
+             round(quantile_cont(n_tok, 0.9), 6)          AS p90_tokens
+      FROM t GROUP BY lang
+    )
+    SELECT q.lang, q.n_docs, q.p50_tokens, q.p90_tokens,
+           CAST(count(*) FILTER (t.n_tok > q.p90_tokens) AS BIGINT)
+             AS n_above_p90
+    FROM q JOIN t ON q.lang = t.lang
+    GROUP BY q.lang, q.n_docs, q.p50_tokens, q.p90_tokens
+    """,
+)
+def d24_percentile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile cutoffs per language — the quality-filter
+    calibration step of a corpus pipeline (pick the p90 token-count
+    threshold, count how many docs an above-p90 cut would touch). Spark's
+    exact `percentile` and DuckDB's `quantile_cont` share the linear-
+    interpolation definition; the interpolated values round to 6dp on
+    both engines (interpolation arithmetic differs in the last ulp —
+    87.2 vs 87.20000000000002) and the cutoff comparison uses the
+    ROUNDED threshold so the count can never flip on engine ulp.
+
+    Plan: one partial+final hash-agg pass for the percentiles (Spark's
+    exact percentile aggregates a per-group sorted buffer; at 100 TB use
+    approx_percentile — declared separately as d4's sketch family), then
+    the tiny per-lang cutoff table broadcast-joins back for the count.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select("lang", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    q = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_tok", 0.5), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tok", 0.9), 6).alias("p90_tokens"),
+    )
+    return (
+        t.join(F.broadcast(q), "lang")
+        .groupBy("lang", "n_docs", "p50_tokens", "p90_tokens")
+        .agg(
+            F.count(F.when(F.col("n_tok") > F.col("p90_tokens"), 1)).alias(
+                "n_above_p90"
+            )
+        )
+    )

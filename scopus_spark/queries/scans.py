@@ -497,3 +497,55 @@ def a18_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(
         os.path.join(base, "batch1"), os.path.join(base, "batch2")
     )
+
+
+# --- a21: binaryFile source (multimodal blob ingestion) ------------------------------
+@register(
+    "a21",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) + 1 AS BIGINT) AS n_bytes,
+           sha256(text || chr(10)) AS payload_sha
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90
+    """,
+)
+def a21_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal blob ingestion via Spark's binaryFile source — how a
+    100 TB image/audio corpus actually arrives (a directory tree of
+    payload files, not rows in a table). A deterministic 10% document
+    sample is staged one-file-per-doc (text sink partitioned by doc_id —
+    executor-side writes, no driver loop; the text sink's trailing
+    newline is part of the bytes, which the oracle mirrors with
+    `|| chr(10)`), then read back with format("binaryFile"), media_id
+    parsed from the partition path, payload length + sha256 computed from
+    the raw content column. At scale binaryFile reads are split per file
+    and pushdown-prune on path/length filters; the content column feeds
+    the j27/j18 mapInPandas decode tier directly."""
+    import os as _os
+
+    from scopus_spark.queries.sampling import _bucket
+
+    path = _stage(sf_dir, "media_blobs")
+    sample = (
+        table(spark, sf_dir, "documents")
+        .filter(_bucket(F.col("doc_id")) >= 90)
+        .select("doc_id", "text")
+    )
+    if not _os.path.exists(path):
+        sample.repartition("doc_id").write.partitionBy("doc_id").mode(
+            "overwrite"
+        ).text(path)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "false")
+        .load(path + "/doc_id=*")
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("payload_sha"),
+    )
