@@ -539,3 +539,79 @@ def c15_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_us") - F.col("a_us")).alias("gap_us"),
         )
     )
+
+
+# --- c16: as-of join (latest prior click per purchase) -------------------------------
+@register(
+    "c16",
+    oracle="""
+    WITH c0 AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    c AS (
+      SELECT c0.user_id, c0.ts, c0.click_id, e.value AS click_value
+      FROM c0 JOIN events e ON e.event_id = c0.click_id
+    ),
+    p AS (
+      SELECT event_id AS p_id, user_id, ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.p_id, p.user_id, p.p_value,
+           c.click_id                                   AS asof_click_id,
+           c.click_value                                AS asof_click_value,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS us_since_click
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def c16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — the time-series join Spark lacks natively (the brief's
+    named example of an operator to compose): every purchase matched to
+    the SAME USER's latest click at-or-before it, NULL when none.
+    Spark side = operators/asof.py's union + one per-user time-ordered
+    window (each side shuffles once on user_id; right payload rides as one
+    struct, so window state is O(1)); oracle = DuckDB's NATIVE ``ASOF LEFT
+    JOIN`` — a hash match proves the composition implements the real
+    operator's semantics, boundary instants and all. Clicks pre-deduped to
+    one per (user, ts) by max event_id on BOTH engines (the determinism
+    caveat native ASOF shares)."""
+    from scopus_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.struct("event_id", "value"), "event_id").alias("_c"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("_c.event_id").alias("click_id"),
+            F.col("_c.value").alias("click_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks.withColumnRenamed("ts", "c_ts"),
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        right_cols=["click_id", "click_value", "c_ts"],
+    )
+    return joined.select(
+        "p_id",
+        "user_id",
+        "p_value",
+        F.col("asof_click_id").alias("asof_click_id"),
+        F.col("asof_click_value").alias("asof_click_value"),
+        (
+            F.unix_micros(F.col("p_ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_c_ts").cast("timestamp"))
+        ).alias("us_since_click"),
+    )

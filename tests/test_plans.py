@@ -236,3 +236,13 @@ def test_j5_j24_vocab_join_is_unhinted(spark, sf_dir):
         )
         n_hints = analyzed.count("ResolvedHint")
         assert n_hints == 1, f"{key}: expected only the 1-row scalar hint\n{analyzed}"
+
+
+def test_c16_asof_join_is_window_not_range_join(spark, sf_dir):
+    """The as-of composition must never plan a range join: no
+    CartesianProduct / BroadcastNestedLoopJoin — one Window over the
+    per-user union instead."""
+    p = _plan(QUERIES["c16"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p, p
