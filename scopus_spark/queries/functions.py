@@ -741,3 +741,39 @@ def h14_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("shallow")
         .alias("disc_class"),
     )
+
+
+# --- h21: edit-distance fuzzy matching (entity normalization shape) ------------------
+@register(
+    "h21",
+    oracle="""
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(levenshtein(a.source, b.source) AS BIGINT) AS edit_dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 1
+    """,
+)
+def h21_fuzzy_source_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the distinct source registry —
+    the entity-normalization step of bibliographic ETL (venue/affiliation
+    strings arrive in near-duplicate spellings; the reference corpus's
+    disambiguation problem in miniature). The distinct-value table is
+    small by construction (a registry, not the corpus), so the pair space
+    is a broadcast self-join of distinct values — at 100 TB the distinct
+    step is the only corpus-scale work (one partial-agg shuffle) and the
+    quadratic part stays bounded by registry cardinality. For registries
+    too large for that, the j2 prefix-filter machinery applies unchanged
+    with character shingles."""
+    s = table(spark, sf_dir, "documents").select("source").distinct()
+    a, b = s.alias("a"), s.alias("b")
+    lev = F.levenshtein(F.col("a.source"), F.col("b.source"))
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            lev.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 1)
+    )
