@@ -216,25 +216,37 @@ def exact_1nn(
         # one cheap count job; per the IVF sizing rule n_cells must grow
         # with the corpus or the per-cell self-join stays quadratic.
         n_cells = auto_n_cells(embeddings.count())
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(as_double(), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
-        )
-    )
-    base = embeddings.select(
-        "vec_id", "label", as_double().alias("emb"), nrm.alias("nrm")
-    )
+    base = prepare_vectors(embeddings)
     cents = _refine_centroids(base, n_cells, refine_iters)
     if refine_iters > 0:
         # the refined centroid table is tiny (n_cells rows) but its lineage
         # holds refine_iters full-data aggregations and is consumed by three
         # downstream subtrees — checkpoint so it is computed once.
         cents = cents.localCheckpoint(eager=False)
+    assigned = assign_cells(base, cents)
+    return exact_1nn_for(assigned, assigned, cents, eps=eps)
+
+
+def prepare_vectors(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, label, emb array<double>, nrm) — the working shape every
+    similarity operator consumes."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(as_double(), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    return embeddings.select(
+        "vec_id", "label", as_double().alias("emb"), nrm.alias("nrm")
+    )
+
+
+def assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-side IVF cell assignment against a broadcast centroid array row;
+    keeps the UNROUNDED sim to the chosen centroid for the radius
+    computation (any consistent assignment keeps exactness)."""
     cent_row = cents.agg(
         F.collect_list(F.struct("cell_id", "centroid", "cnrm")).alias("cells")
     )
-    # map-side assignment; keep the UNROUNDED sim to the chosen centroid for
-    # the radius computation (any consistent assignment keeps exactness).
     sims = F.transform(
         F.col("cells"),
         lambda c: F.struct(
@@ -246,17 +258,28 @@ def exact_1nn(
         ),
     )
     best_cell = F.array_max(sims)
-    assigned = (
-        base.crossJoin(F.broadcast(cent_row))
-        .select(
-            "vec_id",
-            "label",
-            "emb",
-            "nrm",
-            best_cell["cell_id"].alias("cell_id"),
-            best_cell["sim"].alias("cos_centroid"),
-        )
+    return base.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id",
+        "label",
+        "emb",
+        "nrm",
+        best_cell["cell_id"].alias("cell_id"),
+        best_cell["sim"].alias("cos_centroid"),
     )
+
+
+def exact_1nn_for(
+    q_assigned: DataFrame,
+    c_assigned: DataFrame,
+    cents: DataFrame,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """EXACT 1-NN of every QUERY vector over the CORPUS — the incremental
+    form of exact_1nn (queries ⊆ corpus assigned against the SAME cents;
+    with q == c this is the full all-pairs operator). Own-cell phase +
+    bound-pruned probe phase, per-cell radius from the corpus side.
+    Returns (vec_id, nn_id, cos_sim, label_match)."""
+    assigned = c_assigned
     # per-cell radius in unit-sphere chord distance: ||p_hat - c_hat|| =
     # sqrt(2 - 2 cos(p, c)); greatest() guards FP dips below zero.
     slack = assigned.groupBy("cell_id").agg(
@@ -272,7 +295,7 @@ def exact_1nn(
             ).alias("cells")
         )
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    a, b = q_assigned.alias("a"), c_assigned.alias("b")
     pair_cos = F.round(
         _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
@@ -289,7 +312,7 @@ def exact_1nn(
     )
     best1 = own_pairs.groupBy("vec_id").agg(F.max("cos_sim").alias("best1"))
     probes = (
-        assigned.join(best1, "vec_id", "left")
+        q_assigned.join(best1, "vec_id", "left")
         # a singleton cell has no phase-1 candidate: -2.0 < min cosine, so
         # every other cell stays probed and the result is still exact.
         .withColumn("best1", F.coalesce("best1", F.lit(-2.0)))

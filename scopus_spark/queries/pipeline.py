@@ -1001,3 +1001,83 @@ def j27_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     )
     return multimodal.image_channel_stats(media)
+
+
+# --- j28: incremental ANN/1-NN via a persisted IVF index -----------------------------
+@register(
+    "j28",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id, a.label AS label_a, b.vec_id AS nn_id, b.label AS label_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, nn_id, cos_sim, (label_a = label_b) AS label_match
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL similarity search — the j25 production shape applied to
+    the vector tier: a daily batch of embeddings must be matched against
+    the corpus WITHOUT re-indexing it. The existing corpus (md5-bucket
+    < 90) has its IVF index persisted once: a centroid table plus the
+    cell-assigned vector table PARTITIONED BY cell_id on disk. The new
+    batch (bucket >= 90) is assigned map-side against the STORED broadcast
+    centroids, runs the bound-pruned exact 1-NN (operators/similarity.
+    exact_1nn_for) with itself ∪ the stored index as the corpus — so only
+    the batch's own + probed cells are scanned, cost O(batch · corpus /
+    n_cells), never a re-index — and then MERGEs its assignments into the
+    index so the next batch sees them (insert-only: vec_ids are new and
+    re-assignment against fixed stored centroids is deterministic, so the
+    partition contract holds). Oracle = brute-force 1-NN of the batch over
+    the FULL corpus: a green hash proves incremental == full, exactly.
+    """
+    import os
+    import shutil
+
+    from scopus_spark.operators import similarity as sim
+    from scopus_spark.operators.upsert import upsert_partitioned
+    from scopus_spark.queries.sampling import _bucket
+
+    e = table(spark, sf_dir, "embeddings")
+    bucket = _bucket(F.col("vec_id"))
+    existing = e.filter(bucket < 90)
+    batch = e.filter(bucket >= 90)
+
+    root = os.path.join(
+        "/tmp/scopus_spark_stage",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "j28_ivf",
+    )
+    cents_path, index_path = f"{root}/centroids", f"{root}/index"
+    shutil.rmtree(root, ignore_errors=True)
+    # one-time index build over the existing corpus
+    base = sim.prepare_vectors(existing)
+    n_cells = sim.auto_n_cells(existing.count())
+    sim._refine_centroids(base, n_cells).write.parquet(cents_path)
+    cents = spark.read.parquet(cents_path)
+    sim.assign_cells(base, cents).write.partitionBy("cell_id").parquet(index_path)
+
+    # incremental pass: batch assigned against the STORED centroids; eager
+    # snapshot of the stored index (the maintenance MERGE below swaps its
+    # files before the lazy result plan runs — the j25 lesson)
+    batch_assigned = sim.assign_cells(sim.prepare_vectors(batch), cents)
+    stored = spark.read.parquet(index_path).select(
+        "vec_id", "label", "emb", "nrm", "cell_id", "cos_centroid"
+    ).localCheckpoint(eager=True)
+    corpus = stored.unionByName(batch_assigned)
+    result = sim.exact_1nn_for(batch_assigned, corpus, cents)
+
+    # maintenance MERGE: next batch probes (old ∪ this batch)
+    upsert_partitioned(
+        index_path, batch_assigned, key_cols=["vec_id"], partition_col="cell_id"
+    )
+    return result
