@@ -281,3 +281,76 @@ def i9_stateful_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --- i10: timer-closed sessions (TWS event-time timers + ListState) ------------------
+@register(
+    "i10",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+                       OR t_us - lag(t_us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY t_us ASC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sid, count(*) AS n, max(t_us) - min(t_us) AS dur_us
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)   AS n_sessions,
+           CAST(sum(n) AS BIGINT)     AS n_events,
+           CAST(max(dur_us) AS BIGINT) AS longest_session_us
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def i10_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session ROLLUP (count / events / longest duration over
+    30-minute-gap sessions). Batch = gaps-and-islands windows + two hash
+    aggregates, exact integer µs arithmetic throughout. Streaming = the
+    state-API surface i9 leaves untouched: transformWithStateInPandas in
+    EventTime mode with a ListState buffer and EVENT-TIME TIMERS
+    (streaming/tws.py::make_session_timer_processor) — sessions emit when
+    the WATERMARK passes last_event + gap, with no new input needed for
+    the key; tests/test_streaming.py::test_i10_timer_sessions drives the
+    timer path across scripted micro-batches."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    e = ev.select("user_id", "event_id", t_us.alias("t_us"), "value")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("t_us") - F.min("t_us")).alias("dur_us"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("dur_us").alias("longest_session_us"),
+    )

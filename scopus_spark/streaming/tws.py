@@ -111,3 +111,119 @@ def user_summary_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- i10: event-time timers + ListState (inactivity-closed sessions) ---------------
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, sess_start timestamp, sess_end timestamp, "
+    "n_events long, sum_value double"
+)
+
+
+def make_session_timer_processor(gap_minutes: int = 30) -> Any:
+    """i10's StatefulProcessor: per-user inactivity sessions closed by
+    EVENT-TIME TIMERS — the state-API surface i9 doesn't cover (ListState
+    buffer + registerTimer/handleExpiredTimer), and the semantics only
+    timers can express: a session EMITS when the watermark passes its
+    last event + gap, with no new input needed for that key.
+
+    handleInputRows only buffers, then (re)arms the key's single timer at
+    the EARLIEST unclosed session's close instant (first session's last
+    event + gap) — so an old burst emits as soon as the watermark allows,
+    even while newer events keep arriving for the key. handleExpiredTimer
+    splits the buffer into gap sessions, emits the ones whose close
+    instant the watermark has truly passed, keeps the rest and re-arms at
+    the next close instant — a key quiet for one batch but active again
+    later never loses its open session. State per key = O(open events),
+    RocksDB-backed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def split_sessions(rows: list) -> list:
+        sessions, cur = [], [rows[0]]
+        for r in rows[1:]:
+            if r[0] - cur[-1][0] > gap_us:
+                sessions.append(cur)
+                cur = [r]
+            else:
+                cur.append(r)
+        sessions.append(cur)
+        return sessions
+
+    class SessionTimerProcessor(StatefulProcessor):
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self.handle = handle
+            self.buf = handle.getListState("buf", "ts_us long, value double")
+
+        def _arm(self, close_us: int) -> None:
+            for t in list(self.handle.listTimers()):
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(close_us // 1000)  # ms
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            got = False
+            for pdf in rows:
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, v in zip(ts_us, pdf["value"]):
+                    self.buf.appendValue((int(t), float(v)))
+                    got = True
+            if got:
+                buffered = sorted(self.buf.get())
+                first_close = split_sessions(buffered)[0][-1][0] + gap_us
+                self._arm(first_close)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N802
+            import pandas as pd
+
+            rows = sorted(self.buf.get())
+            if not rows:
+                return
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            sessions = split_sessions(rows)
+            closed = [s for s in sessions if s[-1][0] + gap_us <= wm_us]
+            open_ = [s for s in sessions if s[-1][0] + gap_us > wm_us]
+            self.buf.clear()
+            if open_:
+                self.buf.put([r for s in open_ for r in s])
+                self._arm(open_[0][-1][0] + gap_us)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "sess_start": [
+                            pd.Timestamp(s[0][0], unit="us") for s in closed
+                        ],
+                        "sess_end": [
+                            pd.Timestamp(s[-1][0] + gap_us, unit="us")
+                            for s in closed
+                        ],
+                        "n_events": [len(s) for s in closed],
+                        "sum_value": [float(sum(r[1] for r in s)) for s in closed],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SessionTimerProcessor()
+
+
+def session_timer_stream(events: DataFrame, gap_minutes: int = 30,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Streaming i10: timer-closed sessions via transformWithStateInPandas
+    in EventTime mode (requires the RocksDB provider + vendored protobuf,
+    as i9)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_session_timer_processor(gap_minutes),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

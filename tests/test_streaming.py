@@ -302,3 +302,62 @@ def test_i9_transform_with_state(spark):
         assert got[1] == (3, 2, 9.0)
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_i10_timer_sessions(spark):
+    """EVENT-TIME TIMERS must close a session when the watermark passes
+    last_event + gap, with NO new input for that key in the closing batch
+    — the semantics only registerTimer/handleExpiredTimer can express.
+    Scripted: u1's 10:00-10:10 burst closes only after later events push
+    the watermark past 10:40; the 12:00 event stays buffered (open)."""
+    from scopus_spark._vendor import ensure_protobuf
+
+    assert ensure_protobuf()
+    from scopus_spark.streaming import tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", tws.ROCKSDB_PROVIDER
+    )
+    try:
+        rig = StreamRig(spark)
+        try:
+            out = []
+            rig.drop_file(
+                _mk_events(
+                    spark,
+                    [
+                        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+                        (2, "2024-01-01 10:10:00", 1, "view", 2.0),
+                    ],
+                )
+            )
+            out += rig.run(tws.session_timer_stream, output_mode="append")
+            # batch 2 carries the event that will advance the watermark
+            rig.drop_file(
+                _mk_events(spark, [(3, "2024-01-01 12:00:00", 1, "click", 4.0)])
+            )
+            out += rig.run(tws.session_timer_stream, output_mode="append")
+            # batch 3: watermark (from batch 2) is now 11:50 > 10:40 -> the
+            # timer fires and the first session emits; 12:00 stays open
+            # (batch 3's own event only pushes the watermark to 12:10,
+            # still before the open session's 12:30 close instant)
+            rig.drop_file(
+                _mk_events(spark, [(4, "2024-01-01 12:20:00", 2, "view", 9.0)])
+            )
+            out += rig.run(tws.session_timer_stream, output_mode="append")
+            # batch 4 pushes the watermark only to 12:25 — STILL before the
+            # open session's close; it must stay buffered
+            rig.drop_file(
+                _mk_events(spark, [(5, "2024-01-01 12:35:00", 2, "view", 1.0)])
+            )
+            out += rig.run(tws.session_timer_stream, output_mode="append")
+        finally:
+            rig.cleanup()
+        sessions = {
+            (r.user_id, str(r.sess_start), r.n_events, r.sum_value) for r in out
+        }
+        assert (1, "2024-01-01 10:00:00", 2, 3.0) in sessions, sessions
+        # the open 12:00 session must NOT have emitted
+        assert not any(s[1].startswith("2024-01-01 12:00") for s in sessions)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
