@@ -173,3 +173,33 @@ def test_upsert_delete_wins_on_overlapping_key(spark):
         upsert_partitioned(path, delta, ["id"], "seg", deletes=deletes)
         got = {r.id: r.val for r in spark.read.parquet(path).collect()}
         assert got == {1: 1.0, 3: 3.0}
+
+
+def test_upsert_recovers_interrupted_partition_delete(spark):
+    """The delete-emptied-partition path parks before rmtree: a crash
+    after the park (live dir gone, .old present) must be healed by the
+    recovery sweep — the parked dir is restored and an idempotent re-run
+    of the same delete empties it again cleanly."""
+    import os
+
+    with tempfile.TemporaryDirectory(prefix="scopus_upsert_delcrash_") as tmp:
+        path = f"{tmp}/t"
+        base = _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+        upsert_partitioned(path, base, ["id"], "seg")
+
+        # simulate the crash window inside the delete path: partition b
+        # parked (rename done), rmtree never ran
+        os.rename(os.path.join(path, "seg=b"), os.path.join(path, ".seg=b.old"))
+
+        deletes = spark.createDataFrame([(2, "b")], "id long, seg string")
+        upsert_partitioned(
+            path,
+            _rows(spark, []).limit(0),
+            ["id"],
+            "seg",
+            deletes=deletes,
+        )
+        got = {r.id: (r.seg, r.val) for r in spark.read.parquet(path).collect()}
+        assert got == {1: ("a", 1.0)}
+        assert not os.path.exists(os.path.join(path, "seg=b"))
+        assert not os.path.exists(os.path.join(path, ".seg=b.old"))
