@@ -447,3 +447,161 @@ def n9_capped_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
         F.count(F.when(~F.col("kept"), 1)).alias("n_dropped"),
     )
+
+
+# --- j29 (registered here to reuse the dup-graph CTEs): corpus-prep funnel ----------
+_J29_QUALITY_MIN = 0.38  # ~p25 of the j14 score on this corpus
+_J29_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+
+
+@register(
+    "j29",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT node, min(src) AS comp_id FROM reach GROUP BY node),
+    q AS (SELECT doc_id, quality_score FROM ({J14_QUALITY_SQL})),
+    ranked AS (
+      SELECT d.doc_id,
+             row_number() OVER (
+               PARTITION BY coalesce(c.comp_id, d.doc_id)
+               ORDER BY q.quality_score DESC, d.doc_id) AS rnk,
+             q.quality_score
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.node
+      JOIN q ON q.doc_id = d.doc_id
+    ),
+    s1 AS (SELECT doc_id, quality_score FROM ranked WHERE rnk = 1),
+    s2 AS (SELECT doc_id FROM s1 WHERE quality_score >= {_J29_QUALITY_MIN}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tri AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 2 + 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END AS tri
+      FROM toks
+    ),
+    rep_ok AS (
+      SELECT doc_id FROM tri
+      WHERE NOT (len(tri) > 0 AND
+                 1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE) > 0.2)
+    ),
+    s3 AS (SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM rep_ok)),
+    g4 AS (
+      SELECT doc_id, {_J29_BUCKET} AS bucket,
+             CASE WHEN len(w) >= 4
+                  THEN list_transform(
+                         list_distinct(list_transform(range(1, len(w) - 4 + 1 + 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                w[i+3])),
+                         s -> md5(s))
+                  ELSE [] END AS gh
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT unnest(gh) AS gh FROM g4 WHERE bucket >= 98),
+    dirty AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(gh) AS gh FROM g4 WHERE bucket < 98) t
+      JOIN ev USING (gh)
+    ),
+    s4 AS (
+      SELECT doc_id FROM s3
+      WHERE {_J29_BUCKET} < 98
+        AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM documents) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3,
+             (SELECT count(*) FROM s4) AS n4
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'dedup' AS stage,
+             CAST(n0 AS BIGINT) AS n_in, CAST(n0 - n1 AS BIGINT) AS n_dropped,
+             CAST(n1 AS BIGINT) AS n_out FROM n
+      UNION ALL
+      SELECT 2, 'quality', CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT),
+             CAST(n2 AS BIGINT) FROM n
+      UNION ALL
+      SELECT 3, 'repetition', CAST(n2 AS BIGINT), CAST(n2 - n3 AS BIGINT),
+             CAST(n3 AS BIGINT) FROM n
+      UNION ALL
+      SELECT 4, 'decontamination', CAST(n3 AS BIGINT), CAST(n3 - n4 AS BIGINT),
+             CAST(n4 AS BIGINT) FROM n
+    )
+    """,
+)
+def j29_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus preparation recipe as one declared,
+    hash-audited funnel — the composition a user of this engine actually
+    ships: (1) near-dup collapse keeping the best-quality doc per cluster
+    (n7), (2) quality floor (j14 score >= 0.38 ~ corpus p25),
+    (3) C4/Gopher repetition rule (j21), (4) eval-split holdout + n-gram
+    decontamination (j22). Output is the per-stage audit table
+    (stage, n_in, n_dropped, n_out) — the funnel report every corpus
+    release publishes. Each stage reuses the EXACT shared logic of its
+    standalone key (same constants, same SQL fragments), so a green hash
+    here certifies the composition, not a re-implementation.
+
+    Plan: all four stages are lazy subplans unioned as 1-row aggregates;
+    the dup-graph work dominates exactly as in n7/n9."""
+    from scopus_spark.queries.pipeline import (
+        j21_repetition_score,
+        j22_decontamination,
+    )
+    from scopus_spark.queries.sampling import _bucket
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    s1 = n7_canonical_selection(spark, sf_dir).filter(F.col("keep"))
+    s2 = s1.filter(F.col("quality_score") >= _J29_QUALITY_MIN)
+    rep_ok = j21_repetition_score(spark, sf_dir).filter(~F.col("flagged")).select(
+        "doc_id"
+    )
+    s3 = s2.join(rep_ok, "doc_id")
+    dirty = j22_decontamination(spark, sf_dir).select("doc_id")
+    s4 = (
+        s3.filter(_bucket(F.col("doc_id")) < 98)
+        .join(dirty, "doc_id", "left_anti")
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    n = (
+        cnt(d, "n0")
+        .crossJoin(cnt(s1, "n1"))
+        .crossJoin(cnt(s2, "n2"))
+        .crossJoin(cnt(s3, "n3"))
+        .crossJoin(cnt(s4, "n4"))
+    )
+    stages = [
+        (1, "dedup", "n0", "n1"),
+        (2, "quality", "n1", "n2"),
+        (3, "repetition", "n2", "n3"),
+        (4, "decontamination", "n3", "n4"),
+    ]
+    rows = [
+        n.select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col(i).alias("n_in"),
+            (F.col(i) - F.col(o)).alias("n_dropped"),
+            F.col(o).alias("n_out"),
+        )
+        for no, name, i, o in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
