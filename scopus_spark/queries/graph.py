@@ -451,7 +451,9 @@ def n9_capped_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- j29 (registered here to reuse the dup-graph CTEs): corpus-prep funnel ----------
 _J29_QUALITY_MIN = 0.38  # ~p25 of the j14 score on this corpus
-_J29_BUCKET = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+# SHARED with j22 (import, not copy): the funnel's holdout rule must be the
+# same fragment j22 uses, or a future edit desynchronizes the two silently.
+from scopus_spark.queries.pipeline import _J22_BUCKET as _J29_BUCKET  # noqa: E402
 
 
 @register(

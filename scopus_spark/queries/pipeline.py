@@ -957,13 +957,18 @@ def j26_packed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j27",
     oracle="""
     WITH b AS (
-      SELECT doc_id, text FROM documents WHERE length(text) >= 3
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE octet_length(encode(text)) >= 3
     ),
     px AS (
-      SELECT doc_id, (i - 1) % 3 AS chan, ascii(substr(text, i, 1)) AS v
+      -- byte-level decode (NOT characters): byte i = one hex pair, so the
+      -- oracle sees the exact UTF-8 buffer the Spark side frombuffer()s.
+      SELECT doc_id, (i - 1) % 3 AS chan,
+             ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS v
       FROM (
-        SELECT doc_id, text,
-               unnest(range(1, (length(text) // 3) * 3 + 1)) AS i
+        SELECT doc_id, hx,
+               unnest(range(1, (n_bytes // 3) * 3 + 1)) AS i
         FROM b
       )
     )
@@ -998,7 +1003,8 @@ def j27_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: decode+stats are pure map work (mapInPandas, no
     shuffle); the only movement is the parquet scan itself."""
     media = multimodal.attach_raw_rgb(
-        table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+        # octet_length, not length: the decoder consumes UTF-8 BYTES
+        table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 3)
     )
     return multimodal.image_channel_stats(media)
 

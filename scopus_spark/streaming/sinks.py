@@ -132,9 +132,12 @@ def foreach_batch_jdbc_upsert(
         )
         # … then one set-based delete: the RDBMS plans the semi-join.
         # Spark's JDBC writer passes TABLE names through unquoted but
-        # quotes COLUMN identifiers — mirror that.
+        # quotes COLUMN identifiers — mirror that. String keys compare at
+        # Derby's MAXIMUM VARCHAR width (CLOB has no '='): truncating both
+        # sides at a short width would FALSE-MATCH distinct keys sharing a
+        # prefix and delete a foreign key's row.
         conj = " AND ".join(
-            f'CAST(s."{k}" AS VARCHAR(512)) = CAST({table}."{k}" AS VARCHAR(512))'
+            f'CAST(s."{k}" AS VARCHAR(32672)) = CAST({table}."{k}" AS VARCHAR(32672))'
             if k in string_keys
             else f's."{k}" = {table}."{k}"'
             for k in key_cols

@@ -201,7 +201,7 @@ def test_exact_1nn_auto_cells_and_refinement_match_single_cell(spark, sf_dir):
     """exact_1nn with auto n_cells + Lloyd refinement must equal the
     single-cell (== brute force) configuration: exactness is independent
     of centroid choice by the pruning-bound construction."""
-    emb = table(spark, sf_dir, "embeddings").limit(60)
+    emb = table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(60)
     anchor = {
         (r.vec_id, r.nn_id, r.cos_sim, r.label_match)
         for r in similarity.exact_1nn(emb, n_cells=1, refine_iters=0).collect()

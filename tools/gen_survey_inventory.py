@@ -41,7 +41,10 @@ def build_table() -> str:
         if len(doc) > 88:
             doc = doc[:85] + "..."
         doc = doc.replace("|", "\\|")
-        src = os.path.relpath(inspect.getsourcefile(fn), "/root/repo")
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        src = os.path.relpath(inspect.getsourcefile(fn), repo_root)
         line = inspect.getsourcelines(fn)[1]
         mode = "HASH" if key in oracles else "ROWS/UNIT"
         lines.append(f"| {key} | {doc} | {mode} | {src}:{line} |")
