@@ -346,3 +346,49 @@ def test_two_level_cumsum_autowidth_pathological_ids(spark, rows):
         run += v
         want[i] = run
     assert got == want
+
+
+_ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)),  # (key, ts)
+    min_size=1, max_size=10,
+)
+_ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(-9, 9)),
+    min_size=0, max_size=10,
+    unique_by=lambda r: (r[0], r[1]),  # caller contract: unique (key, ts)
+)
+
+
+@given(left=_ASOF_LEFT, right=_ASOF_RIGHT)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_asof_join_equals_bruteforce(spark, left, right):
+    """asof_join must equal the per-row brute force: the right row with
+    the greatest ts <= left ts in the same key (ties at the boundary
+    instant MATCH; NULL when none) — for any inputs, including empty
+    right sides, singleton keys, and equal-ts left rows."""
+    from scopus_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, lt long"
+    )
+    rdf = spark.createDataFrame(right, "k long, rt long, v long") if right else (
+        spark.createDataFrame([], "k long, rt long, v long")
+    )
+    got = {
+        (r.lid, r.asof_rt, r.asof_v)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lt", right_ts="rt",
+            right_cols=["rt", "v"],
+        ).collect()
+    }
+    want = set()
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= t]
+        if cands:
+            rt, v = max(cands)
+            want.add((i, rt, v))
+        else:
+            want.add((i, None, None))
+    assert got == want
