@@ -244,3 +244,57 @@ def test_jdbc_upsert_never_collects_keys():
     src = inspect.getsource(foreach_batch_jdbc_upsert)
     assert ".collect()" not in src, src
     assert "WHERE EXISTS" in src
+
+
+def test_streaming_continuous_aggregate_ohlc(spark, tmp_path):
+    """Streaming -> continuous aggregate: a foreachBatch sink that MERGEs
+    each micro-batch into the materialized OHLC rollup
+    (operators/rollup.incremental_ohlc) must leave the table equal to a
+    full batch recompute over everything streamed — the Structured
+    Streaming rendering of a continuous aggregate."""
+    from scopus_spark.operators import rollup
+
+    target = str(tmp_path / "ohlc")
+
+    def sink(batch_df, _batch_id):
+        rollup.incremental_ohlc(target, batch_df)
+
+    rig = StreamRig(spark)
+    all_rows = [
+        (1, 1, 1, "click", 5.0),
+        (2, 2, 1, "click", 9.0),
+        (3, 3, 2, "view", 1.0),
+    ]
+    batch2 = [
+        (4, 4, 1, "click", 2.0),   # same bucket as events 1-2
+        (5, 50, 1, "click", 7.0),  # same day, later in the bucket
+    ]
+    try:
+        rig.drop_file(_mk_events(spark, all_rows))
+        stream = spark.readStream.schema(rig.schema).parquet(rig.input_dir)
+        for _ in range(2):
+            q = (
+                stream.writeStream.outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", rig.checkpoint_dir)
+                .foreachBatch(sink)
+                .start()
+            )
+            q.awaitTermination()
+            if _ == 0:
+                rig.drop_file(_mk_events(spark, batch2))
+        got = {
+            (r.user_id, r.bucket_ts, r.open, r.high, r.low, r.close, r.n_events)
+            for r in rollup.read_rollup(spark, target).collect()
+        }
+        full = {
+            (r.user_id, r.bucket_ts, r.open, r.high, r.low, r.close, r.n_events)
+            for r in rollup.ohlc_state(
+                _mk_events(spark, all_rows + batch2)
+            ).select(
+                "user_id", "bucket_ts", "open", "high", "low", "close", "n_events"
+            ).collect()
+        }
+        assert got == full
+    finally:
+        rig.cleanup()
