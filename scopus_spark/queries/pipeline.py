@@ -1087,3 +1087,125 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_path, batch_assigned, key_cols=["vec_id"], partition_col="cell_id"
     )
     return result
+
+
+# --- j30: character-n-gram language ID (Cavnar-Trenkle profile method) ---------------
+_J30_TOPK = 40   # profile size: top trigrams per language
+_J30_TRAIN = 10  # md5-bucket < 10 -> labeled training subset
+
+
+@register(
+    "j30",
+    oracle=f"""
+    WITH tri AS (
+      SELECT doc_id, lang, {_J22_BUCKET} AS bucket,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 3 + 1, 0) + 1),
+               i -> substr(text, CAST(i AS INT), 3))) AS tris
+      FROM documents
+    ),
+    train AS (
+      SELECT lang, unnest(tris) AS tri FROM tri WHERE bucket < {_J30_TRAIN}
+    ),
+    prof_counts AS (
+      SELECT lang, tri, count(*) AS cnt FROM train GROUP BY lang, tri
+    ),
+    prof AS (
+      SELECT lang AS p_lang, tri FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY cnt DESC, tri ASC) AS rn
+        FROM prof_counts
+      ) WHERE rn <= {_J30_TOPK}
+    ),
+    doc_tri AS (SELECT doc_id, unnest(tris) AS tri FROM tri),
+    hits AS (
+      SELECT d.doc_id, p.p_lang, count(*) AS n_hits
+      FROM doc_tri d JOIN prof p USING (tri)
+      GROUP BY d.doc_id, p.p_lang
+    ),
+    langs AS (SELECT DISTINCT lang AS p_lang FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.lang AS true_lang, l.p_lang,
+             coalesce(h.n_hits, 0) AS n_hits
+      FROM (SELECT doc_id, lang FROM documents) t
+      CROSS JOIN langs l
+      LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.p_lang = l.p_lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, p_lang AS pred_lang, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n_hits DESC, p_lang ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, pred_lang, CAST(n_hits AS BIGINT) AS n_hits,
+           (pred_lang = true_lang) AS is_correct
+    FROM pred WHERE rn = 1
+    """,
+)
+def j30_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language identification (the Cavnar-Trenkle
+    profile method, the brief's literal 'language-ID (n-gram heuristic)'
+    — j13's marker-word ladder is the cheap tier, this is the real one):
+    per-language profiles = the top-40 character trigrams of a labeled
+    10%% training subset (md5-bucket rule, shared with j22); every
+    document is scored by profile overlap of its distinct trigrams and
+    predicted as the argmax language (hit-count desc, lang asc
+    tie-break). Output carries is_correct against the corpus label, so
+    the hash also fixes the method's accuracy.
+
+    100 TB shape: profile building touches only the training subset and
+    reduces map-side into a ≤ n_langs * 40-row table — broadcast by
+    construction; scoring is explode + broadcast join + one doc-keyed
+    aggregate; the 5-langs-per-doc argmax frame is a per-doc window over
+    a bounded fan-out. No corpus-scale shuffle besides the doc aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    from scopus_spark.queries.sampling import _bucket
+
+    tris = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))),
+            lambda i: F.col("text").substr(i, F.lit(3)),
+        )
+    )
+    base = d.select("doc_id", "lang", _bucket(F.col("doc_id")).alias("bucket"),
+                    tris.alias("tris"))
+    train = base.filter(F.col("bucket") < _J30_TRAIN).select(
+        "lang", F.explode("tris").alias("tri")
+    )
+    w_prof = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tri").asc()
+    )
+    prof = (
+        train.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= _J30_TOPK)
+        .select(F.col("lang").alias("p_lang"), "tri")
+    )
+    doc_tri = base.select("doc_id", F.explode("tris").alias("tri"))
+    hits = (
+        doc_tri.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    langs = d.select(F.col("lang").alias("p_lang")).distinct()
+    scored = (
+        d.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(langs))
+        .join(hits, ["doc_id", "p_lang"], "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("p_lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("p_lang").alias("pred_lang"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("p_lang") == F.col("true_lang")).alias("is_correct"),
+        )
+    )

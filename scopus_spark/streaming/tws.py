@@ -136,6 +136,14 @@ def make_session_timer_processor(gap_minutes: int = 30) -> Any:
     the next close instant — a key quiet for one batch but active again
     later never loses its open session. State per key = O(open events),
     RocksDB-backed.
+
+    Late-data caveat (inherent to arbitrary stateful processing): unlike
+    built-in windowed aggregates, transformWithState does NOT drop rows
+    behind the watermark for you — an event later than watermark that
+    would belong to an already-emitted session starts a NEW buffered
+    session here (the emitted row is never retracted). Callers needing
+    strict drop semantics filter ``ts >= watermark`` upstream or dedup
+    the sink on (user_id, sess_start).
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
