@@ -246,3 +246,30 @@ def test_c16_asof_join_is_window_not_range_join(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "Window" in p, p
+
+
+def test_d24_percentile_cutoff_joins_back_broadcast(spark, sf_dir):
+    """The per-lang cutoff table is bounded (n_langs rows) and must come
+    back to the token stream as a broadcast join, not a shuffle."""
+    df = QUERIES["d24"](spark, sf_dir)
+    df.collect()
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_a21_uses_binaryfile_source(spark, sf_dir):
+    """a21 must actually scan via the binaryFile source (per-file splits),
+    not re-read the parquet table."""
+    p = _plan(QUERIES["a21"](spark, sf_dir))
+    assert "binaryFile" in p, p
+
+
+def test_j30_profiles_broadcast_to_scoring(spark, sf_dir):
+    """j30's language profiles (<= n_langs * 40 rows) must broadcast into
+    the trigram scoring join; the only corpus-scale exchange is the
+    per-doc aggregate."""
+    df = QUERIES["j30"](spark, sf_dir)
+    df.collect()
+    p = _plan(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
