@@ -214,7 +214,12 @@ def pagerank(
     same node key every round (co-partition with the edge list), and each
     round localCheckpoints like connected_components above — plan depth
     stays O(1) in iters instead of unrolling iters joins+aggs into one
-    lineage (a plan-depth bomb past a handful of rounds).
+    lineage (a plan-depth bomb past a handful of rounds). The checkpoints
+    are LAZY (eager=False) so merely constructing this DataFrame schedules
+    zero jobs — the repo's declared-lazy query contract. Note for
+    production runs with executor churn: localCheckpoint blocks are not
+    fault-tolerant; swap in reliable `checkpoint()` (HDFS/S3 dir) when an
+    executor loss mid-run must be recoverable.
     """
     ncnt = nodes.agg(F.count(F.lit(1)).alias("n_docs"))
     roster = (
@@ -253,6 +258,6 @@ def pagerank(
                     ).cast("double")
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("pagerank"))

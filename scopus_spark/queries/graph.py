@@ -580,12 +580,15 @@ def j29_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(name))
 
+    # each cnt() is a 1-row aggregate — broadcast makes the plan shape
+    # explicit (BroadcastNestedLoopJoin, assertable) instead of leaving
+    # Spark to infer it.
     n = (
         cnt(d, "n0")
-        .crossJoin(cnt(s1, "n1"))
-        .crossJoin(cnt(s2, "n2"))
-        .crossJoin(cnt(s3, "n3"))
-        .crossJoin(cnt(s4, "n4"))
+        .crossJoin(F.broadcast(cnt(s1, "n1")))
+        .crossJoin(F.broadcast(cnt(s2, "n2")))
+        .crossJoin(F.broadcast(cnt(s3, "n3")))
+        .crossJoin(F.broadcast(cnt(s4, "n4")))
     )
     stages = [
         (1, "dedup", "n0", "n1"),

@@ -124,7 +124,20 @@ def _emb_double(col="embedding"):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-_J3_QUERY_VECTOR_CACHE: dict[str, list] = {}
+# Keyed by (sf_dir, table mtime): a bare sf_dir key would serve a stale
+# vector if the underlying parquet were rewritten in-process.
+_J3_QUERY_VECTOR_CACHE: dict[tuple, list] = {}
+
+
+def _j3_cache_key(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None
+    return (sf_dir, mtime)
 
 
 # --- j3: exact top-10 cosine neighbors of vec_id=0 -----------------------------
@@ -152,13 +165,14 @@ def j3_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One bounded query vector -> inline it as a literal array: removes the
     # broadcast join entirely (constant-folded into the scan stage). Cached
     # per sf_dir so repeat invocations skip the lookup job.
-    if sf_dir not in _J3_QUERY_VECTOR_CACHE:
-        _J3_QUERY_VECTOR_CACHE[sf_dir] = (
+    ck = _j3_cache_key(sf_dir)
+    if ck not in _J3_QUERY_VECTOR_CACHE:
+        _J3_QUERY_VECTOR_CACHE[ck] = (
             e.filter(F.col("vec_id") == 0)
             .select(_emb_double().alias("qe"))
             .collect()[0]["qe"]
         )
-    qvec = _J3_QUERY_VECTOR_CACHE[sf_dir]
+    qvec = _J3_QUERY_VECTOR_CACHE[ck]
     # Higher-order-fn cosine beats a fully unrolled element_at expression
     # here: 64 dims x 3 terms unrolled blows the expression tree past what
     # codegen handles gracefully (measured 4x slower at sf0.1).

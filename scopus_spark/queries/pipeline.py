@@ -973,19 +973,23 @@ def j26_packed_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     SELECT doc_id AS media_id,
-           CAST(count(*) / 3 AS BIGINT) AS n_pixels,
-           sum(v) FILTER (chan = 0) / (count(*) / 3)  AS mean_r,
-           sum(v) FILTER (chan = 1) / (count(*) / 3)  AS mean_g,
-           sum(v) FILTER (chan = 2) / (count(*) / 3)  AS mean_b,
-           ((count(*) / 3) * sum(v * v) FILTER (chan = 0)
+           CAST(count(*) // 3 AS BIGINT) AS n_pixels,
+           -- integer `//` keeps the variance NUMERATOR in exact HUGEINT
+           -- (count(*)/3 would be DOUBLE: n*ssq past 2^53 would round),
+           -- so each stat performs exactly ONE double division, matching
+           -- the Spark side's exact-Python-int arithmetic.
+           sum(v) FILTER (chan = 0) / (count(*) // 3)  AS mean_r,
+           sum(v) FILTER (chan = 1) / (count(*) // 3)  AS mean_g,
+           sum(v) FILTER (chan = 2) / (count(*) // 3)  AS mean_b,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 0)
               - sum(v) FILTER (chan = 0) * sum(v) FILTER (chan = 0))
-             / ((count(*) / 3) * (count(*) / 3))      AS var_r,
-           ((count(*) / 3) * sum(v * v) FILTER (chan = 1)
+             / ((count(*) // 3) * (count(*) // 3))      AS var_r,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 1)
               - sum(v) FILTER (chan = 1) * sum(v) FILTER (chan = 1))
-             / ((count(*) / 3) * (count(*) / 3))      AS var_g,
-           ((count(*) / 3) * sum(v * v) FILTER (chan = 2)
+             / ((count(*) // 3) * (count(*) // 3))      AS var_g,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 2)
               - sum(v) FILTER (chan = 2) * sum(v) FILTER (chan = 2))
-             / ((count(*) / 3) * (count(*) / 3))      AS var_b
+             / ((count(*) // 3) * (count(*) // 3))      AS var_b
     FROM px GROUP BY doc_id
     """,
 )
@@ -1162,11 +1166,14 @@ def j30_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     from scopus_spark.queries.sampling import _bucket
 
+    # sequence(1, 0) steps DOWNWARD ([1, 0]) when text is shorter than 3
+    # chars, which would fabricate phantom sub-3-char "trigrams"; the
+    # oracle's range() yields an empty list there — mirror it exactly.
+    idx = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     tris = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))),
-            lambda i: F.col("text").substr(i, F.lit(3)),
-        )
+        F.transform(idx, lambda i: F.col("text").substr(i, F.lit(3)))
     )
     base = d.select("doc_id", "lang", _bucket(F.col("doc_id")).alias("bucket"),
                     tris.alias("tris"))

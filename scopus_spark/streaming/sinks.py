@@ -22,6 +22,7 @@ store; the table IS the state.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -102,9 +103,14 @@ def foreach_batch_jdbc_upsert(
     """
     from scopus_spark.sources.jdbc import write_jdbc
 
-    staging = f"{table}_STG"
+    # One staging namespace PER STREAM (factory-scoped uuid) + per batch:
+    # a fixed "{table}_STG" lets two concurrent streams sharing the target
+    # interleave — one stream's staging overwrite between another's stage
+    # and DELETE substitutes the wrong key set.
+    stream_tag = uuid.uuid4().hex[:8].upper()
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        staging = f"{table}_STG_{stream_tag}_{batch_id}"
         delta = latest_per_key(batch_df, key_cols, order_col)
         spark = batch_df.sparkSession
         jvm = spark._jvm
@@ -150,8 +156,14 @@ def foreach_batch_jdbc_upsert(
                     f"DELETE FROM {table} WHERE EXISTS "
                     f"(SELECT 1 FROM {staging} s WHERE {conj})"
                 )
-                stmt.executeUpdate(f"DROP TABLE {staging}")
             finally:
+                # drop the per-batch staging table UNCONDITIONALLY — a
+                # failed delete must not leak scratch tables (the unique
+                # name means nothing else will ever reuse it).
+                try:
+                    stmt.executeUpdate(f"DROP TABLE {staging}")
+                except Exception:
+                    pass
                 stmt.close()
         finally:
             conn.close()
