@@ -268,17 +268,42 @@ def assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def exact_1nn_for(
+def exact_topk_join(
     q_assigned: DataFrame,
     c_assigned: DataFrame,
     cents: DataFrame,
+    k: int = 1,
     eps: float = 1e-6,
+    exclude_self: bool = True,
 ) -> DataFrame:
-    """EXACT 1-NN of every QUERY vector over the CORPUS — the incremental
-    form of exact_1nn (queries ⊆ corpus assigned against the SAME cents;
-    with q == c this is the full all-pairs operator). Own-cell phase +
-    bound-pruned probe phase, per-cell radius from the corpus side.
-    Returns (vec_id, nn_id, cos_sim, label_match)."""
+    """EXACT k-NN JOIN: the top-k CORPUS neighbors of EVERY QUERY vector —
+    the retrieval shape an LLM training pipeline actually runs
+    (embedding-level eval decontamination, RAG retrieval, semantic dedup
+    across corpora). Generalizes the 1-NN pruning bound to rank k:
+
+    Phase 1 scores each query against its OWN cell's corpus members
+    (equi-join on cell_id) and takes the query's k-th best similarity
+    there as the pruning threshold; a query whose own cell holds fewer
+    than k candidates gets threshold -2.0 (below min cosine — nothing is
+    pruned for it, exactness preserved). Phase 2 probes only cells whose
+    upper bound cos(q, c_j) + max-chord-radius_j could still beat that
+    threshold: for any corpus vector p in cell j, cos(q, p) <=
+    cos(q, c_j) + ||p_hat - c_j_hat|| <= cos(q, c_j) + slack_j, so a
+    pruned cell provably contains no top-k member. Ranking uses the
+    ROUNDED (6dp) cosine + nn_id tie-break; any candidate whose rounded
+    value ties the threshold has an unrounded value within 0.5e-6 of it,
+    inside the eps=1e-6 guard — so rounding can never prune a tying cell
+    and the output equals brute force exactly, including tie-breaks.
+
+    100 TB shape: equi-joins on cell_id only (shuffle keys bounded by
+    n_cells, AQE skew-split handles fat cells) + two 1-row broadcast
+    joins; candidate volume ~ |Q|·|C|/n_cells instead of |Q|·|C|.
+
+    ``exclude_self=False`` for disjoint query/corpus id spaces (the k-NN
+    join proper); True when queries ⊆ corpus (self-match suppressed).
+
+    Returns (vec_id, nn_id, rank, cos_sim, label_match).
+    """
     assigned = c_assigned
     # per-cell radius in unit-sphere chord distance: ||p_hat - c_hat|| =
     # sqrt(2 - 2 cos(p, c)); greatest() guards FP dips below zero.
@@ -296,26 +321,43 @@ def exact_1nn_for(
         )
     )
     a, b = q_assigned.alias("a"), c_assigned.alias("b")
+    own_cond = F.col("a.cell_id") == F.col("b.cell_id")
+    if exclude_self:
+        own_cond = own_cond & (F.col("a.vec_id") != F.col("b.vec_id"))
     pair_cos = F.round(
         _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
-    own_pairs = a.join(
-        b,
-        (F.col("a.cell_id") == F.col("b.cell_id"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
+    own_pairs = a.join(b, own_cond).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("a.label").alias("label_a"),
         F.col("b.vec_id").alias("nn_id"),
         F.col("b.label").alias("label_b"),
         pair_cos.alias("cos_sim"),
     )
-    best1 = own_pairs.groupBy("vec_id").agg(F.max("cos_sim").alias("best1"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id").asc()
+    )
+    # k-th best own-cell similarity = the pruning threshold. min over the
+    # top-k window rows; a query with < k own-cell candidates keeps -2.0.
+    bestk = (
+        own_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("vec_id")
+        .agg(F.min("cos_sim").alias("bestk"), F.count(F.lit(1)).alias("own_cnt"))
+        .select(
+            "vec_id",
+            F.when(F.col("own_cnt") >= k, F.col("bestk"))
+            .otherwise(F.lit(-2.0))
+            .alias("bestk"),
+        )
+    )
     probes = (
-        q_assigned.join(best1, "vec_id", "left")
-        # a singleton cell has no phase-1 candidate: -2.0 < min cosine, so
-        # every other cell stays probed and the result is still exact.
-        .withColumn("best1", F.coalesce("best1", F.lit(-2.0)))
+        q_assigned.join(bestk, "vec_id", "left")
+        # an empty own cell has no phase-1 candidates: -2.0 < min cosine,
+        # so every other cell stays probed and the result is still exact.
+        .withColumn("bestk", F.coalesce("bestk", F.lit(-2.0)))
         .crossJoin(F.broadcast(cells_meta_row))
         .select(
             "vec_id",
@@ -330,43 +372,54 @@ def exact_1nn_for(
                     & (
                         _dot(F.col("emb"), c["centroid"]) / (F.col("nrm") * c["cnrm"])
                         + c["slack"]
-                        >= F.col("best1") - F.lit(eps)
+                        >= F.col("bestk") - F.lit(eps)
                     ),
                 )["cell_id"]
             ).alias("probe_cell"),
         )
     )
     p = probes.alias("p")
+    probe_cond = F.col("p.probe_cell") == F.col("b.cell_id")
+    if exclude_self:
+        probe_cond = probe_cond & (F.col("p.vec_id") != F.col("b.vec_id"))
     probe_cos = F.round(
         _dot(F.col("p.emb"), F.col("b.emb")) / (F.col("p.nrm") * F.col("b.nrm")), 6
     )
-    probe_pairs = p.join(
-        b,
-        (F.col("p.probe_cell") == F.col("b.cell_id"))
-        & (F.col("p.vec_id") != F.col("b.vec_id")),
-    ).select(
+    probe_pairs = p.join(b, probe_cond).select(
         F.col("p.vec_id").alias("vec_id"),
         F.col("p.label_a").alias("label_a"),
         F.col("b.vec_id").alias("nn_id"),
         F.col("b.label").alias("label_b"),
         probe_cos.alias("cos_sim"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("nn_id").asc()
-    )
     return (
         own_pairs.unionByName(probe_pairs)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= k)
         .select(
             "vec_id",
             "nn_id",
+            F.col("rn").cast("long").alias("rank"),
             "cos_sim",
             (F.col("label_a") == F.col("label_b")).alias("label_match"),
         )
     )
+
+
+def exact_1nn_for(
+    q_assigned: DataFrame,
+    c_assigned: DataFrame,
+    cents: DataFrame,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """EXACT 1-NN of every QUERY vector over the CORPUS — the incremental
+    form of exact_1nn (queries ⊆ corpus assigned against the SAME cents;
+    with q == c this is the full all-pairs operator). The k=1
+    specialization of exact_topk_join; same pruning proof.
+    Returns (vec_id, nn_id, cos_sim, label_match)."""
+    return exact_topk_join(
+        q_assigned, c_assigned, cents, k=1, eps=eps, exclude_self=True
+    ).drop("rank")
 
 
 def ann_topk(

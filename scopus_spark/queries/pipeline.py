@@ -1216,3 +1216,63 @@ def j30_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_lang") == F.col("true_lang")).alias("is_correct"),
         )
     )
+
+
+# --- j31: batched multi-query exact k-NN join (retrieval / decontamination) ----------
+@register(
+    "j31",
+    oracle="""
+    WITH pairs AS (
+      SELECT q.vec_id, q.label AS label_q, c.vec_id AS nn_id, c.label AS label_c,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON TRUE
+      WHERE ('0x' || substr(md5(CAST(q.vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 >= 90
+        AND ('0x' || substr(md5(CAST(c.vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, nn_id, CAST(rn AS BIGINT) AS rank, cos_sim,
+           (label_q = label_c) AS label_match
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def j31_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query EXACT k-NN join: top-5 corpus neighbors for
+    EVERY vector of a query table — the retrieval shape LLM pipelines
+    actually run (embedding-level eval-set decontamination, RAG-style
+    retrieval, semantic dedup across corpora). Query set = the m1-style
+    eval split (md5 bucket >= 90); corpus = the train split (bucket < 90),
+    disjoint id spaces, so this is the k-NN JOIN proper (no self-matches
+    to suppress). Routed through operators/similarity.exact_topk_join:
+    IVF cell assignment against broadcast centroids (map-side), own-cell
+    equi-join, then bound-pruned probes — provably exact at rank k (the
+    k-th-best own-cell similarity is the pruning threshold; see the
+    operator docstring for the tie-safety argument). Oracle = brute-force
+    k-NN over the full query x corpus cross product: a green hash proves
+    pruned == brute force exactly, ranks and tie-breaks included.
+
+    100 TB shape: the only corpus-scale movement is the cell_id equi-join
+    (keys bounded by n_cells ~ sqrt(|corpus|), AQE skew-split on fat
+    cells); the query table never cross-joins the corpus.
+    """
+    from scopus_spark.queries.sampling import _bucket
+
+    e = table(spark, sf_dir, "embeddings")
+    b = _bucket(F.col("vec_id"))
+    corpus = e.filter(b < 90)
+    queries = e.filter(b >= 90)
+
+    base_c = similarity.prepare_vectors(corpus)
+    n_cells = similarity.auto_n_cells(corpus.count())
+    cents = similarity._refine_centroids(base_c, n_cells).localCheckpoint(
+        eager=False
+    )
+    c_assigned = similarity.assign_cells(base_c, cents)
+    q_assigned = similarity.assign_cells(similarity.prepare_vectors(queries), cents)
+    return similarity.exact_topk_join(
+        q_assigned, c_assigned, cents, k=5, exclude_self=False
+    )

@@ -103,3 +103,56 @@ def test_j4_plan_has_no_cartesian(spark, sf_dir):
     plan = _plan(QUERIES["j4"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "cell_id" in plan, plan
+
+
+def test_j31_matches_bruteforce_knn_join(spark, sf_dir):
+    """The bound-pruned k-NN join equals the brute-force query x corpus
+    cross product at every rank, ties included."""
+    from scopus_spark.queries.sampling import _bucket
+
+    fast = QUERIES["j31"](spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    en = e.select(
+        "vec_id", "label", emb.alias("emb"), norm.alias("nrm"),
+        _bucket(F.col("vec_id")).alias("bucket"),
+    )
+    q = en.filter(F.col("bucket") >= 90).alias("a")
+    c = en.filter(F.col("bucket") < 90).alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    pairs = q.crossJoin(c).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label_a"),
+        F.col("b.vec_id").alias("nn_id"),
+        F.col("b.label").alias("label_b"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id").asc()
+    )
+    brute = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "vec_id",
+            "nn_id",
+            F.col("rn").cast("long").alias("rank"),
+            "cos_sim",
+            (F.col("label_a") == F.col("label_b")).alias("label_match"),
+        )
+    )
+    assert _rows(fast) == _rows(brute)
+
+
+def test_j31_plan_has_no_cartesian(spark, sf_dir):
+    plan = _plan(QUERIES["j31"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "cell_id" in plan, plan
