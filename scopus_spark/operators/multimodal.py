@@ -11,9 +11,14 @@ Round 4: the decode tier is split honestly in two —
   (j27, HASH-checked against a byte-level SQL oracle) and a real
   nearest-neighbor resize kernel. Raw RGB is an actual wire format
   (ffmpeg's rawvideo), so none of this is a simulation.
-- COMPRESSED codecs (PNG/JPEG/...) remain STUBBED with a clearly-marked
-  NotImplementedError: the container ships no codec libraries; a real
-  deployment plugs Pillow/ffmpeg into the same decode_pixels dispatch.
+- PNG decodes FOR REAL too (round 5): stdlib zlib + numpy scanline
+  filter reconstruction in operators/png.py — no codec library needed.
+  j32 HASH-checks it: PNGs staged from the same deterministic pixels as
+  j27 must produce byte-identical channel statistics.
+- Remaining COMPRESSED codecs (JPEG/...) stay STUBBED with a clearly-
+  marked NotImplementedError: the container ships no DCT/codec
+  libraries; a real deployment plugs Pillow/ffmpeg into the same
+  decode_pixels dispatch.
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 RAW_MIME = "image/x-raw-rgb888"
+PNG_MIME = "image/png"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -65,11 +71,13 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: real deployments plug Pillow/ffmpeg here; this container ships
-    no codec libraries (task brief: stub the decode step)."""
+    """STUB for codecs needing DCT/entropy libraries (JPEG/WebP/...): real
+    deployments plug Pillow/ffmpeg here. PNG no longer routes here — it
+    decodes for real in operators/png.py (stdlib zlib + numpy)."""
     raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this "
-        "container; plug a decoder into extract_features()'s per-batch loop"
+        "JPEG/WebP/audio decode requires codec libraries not present in "
+        "this container; plug a decoder into decode_pixels()'s dispatch "
+        "(PNG and raw RGB888 decode natively — see operators/png.py)"
     )
 
 
@@ -92,13 +100,73 @@ def attach_raw_rgb(docs: DataFrame) -> DataFrame:
 
 
 def decode_pixels(payload: bytes, mime: str) -> np.ndarray:
-    """REAL decode for raw RGB888 buffers -> (n_pixels, 3) uint8 array;
-    compressed codecs dispatch to the documented stub."""
+    """REAL decode -> (n_pixels, 3) uint8 array for raw RGB888 buffers and
+    PNG (operators/png.py, zero dependencies); the remaining compressed
+    codecs dispatch to the documented stub."""
     if mime == RAW_MIME:
         raw = bytes(payload) if payload is not None else b""
         n = (len(raw) // 3) * 3
         return np.frombuffer(raw[:n], dtype=np.uint8).reshape(-1, 3)
+    if mime == PNG_MIME:
+        from scopus_spark.operators.png import decode_png
+
+        return decode_png(payload)
     return decode_image(payload)
+
+
+def _png_dims(n_pixels: int) -> tuple[int, int]:
+    """Deterministic (width, height) for staging n_pixels into a PNG:
+    the tallest height in {4,3,2,1} dividing n_pixels exactly, so every
+    pixel is kept (stats stay equal to the raw ground truth) and
+    multi-row images exercise the Up/Average/Paeth filter paths."""
+    for h in (4, 3, 2, 1):
+        if n_pixels % h == 0 and n_pixels >= h:
+            return n_pixels // h, h
+    return n_pixels, 1
+
+
+def attach_png(docs: DataFrame) -> DataFrame:
+    """documents -> media table whose payloads are REAL PNG files encoded
+    from the text's utf-8 bytes read as RGB triples — the SAME pixel
+    buffers attach_raw_rgb exposes, so j32's channel statistics must be
+    byte-identical to j27's raw ground truth for the same rows. Encoding
+    runs Arrow-batched in mapInPandas (pure map work); the staging
+    encoder cycles all five PNG filter types row by row."""
+    from scopus_spark.operators.png import encode_png
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            widths = np.zeros(len(pdf), dtype=np.int32)
+            heights = np.zeros(len(pdf), dtype=np.int32)
+            for i, payload in enumerate(pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                n = (len(raw) // 3) * 3
+                px = np.frombuffer(raw[:n], dtype=np.uint8).reshape(-1, 3)
+                w, h = _png_dims(px.shape[0])
+                widths[i], heights[i] = w, h
+                payloads.append(encode_png(px, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    staged = attach_raw_rgb(docs).mapInPandas(
+        enc, "media_id long, payload binary, width int, height int"
+    )
+    return staged.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit(PNG_MIME).alias("mime"),
+            F.col("width"),
+            F.col("height"),
+        ).alias("meta"),
+    )
 
 
 CHANNEL_STATS_SCHEMA = (

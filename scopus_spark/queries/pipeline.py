@@ -1276,3 +1276,60 @@ def j31_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.exact_topk_join(
         q_assigned, c_assigned, cents, k=5, exclude_self=False
     )
+
+
+# --- j32: REAL PNG decode + channel statistics (compressed-codec tier) ---------------
+@register(
+    "j32",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE octet_length(encode(text)) >= 3
+    ),
+    px AS (
+      SELECT doc_id, (i - 1) % 3 AS chan,
+             ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS v
+      FROM (
+        SELECT doc_id, hx,
+               unnest(range(1, (n_bytes // 3) * 3 + 1)) AS i
+        FROM b
+      )
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) // 3 AS BIGINT) AS n_pixels,
+           sum(v) FILTER (chan = 0) / (count(*) // 3)  AS mean_r,
+           sum(v) FILTER (chan = 1) / (count(*) // 3)  AS mean_g,
+           sum(v) FILTER (chan = 2) / (count(*) // 3)  AS mean_b,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 0)
+              - sum(v) FILTER (chan = 0) * sum(v) FILTER (chan = 0))
+             / ((count(*) // 3) * (count(*) // 3))      AS var_r,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 1)
+              - sum(v) FILTER (chan = 1) * sum(v) FILTER (chan = 1))
+             / ((count(*) // 3) * (count(*) // 3))      AS var_g,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 2)
+              - sum(v) FILTER (chan = 2) * sum(v) FILTER (chan = 2))
+             / ((count(*) // 3) * (count(*) // 3))      AS var_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def j32_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: payloads are genuine PNG FILES
+    (zlib-deflated, filter types cycling Sub/Up/Average/Paeth/None row by
+    row) staged from the same deterministic pixel buffers as j27, then
+    decoded by the dependency-free PNG decoder (operators/png.py: stdlib
+    zlib inflate + numpy scanline filter reconstruction) inside the same
+    Arrow-batched channel-stats extractor. The oracle is j27's byte-level
+    ground truth on the ORIGINAL pixels — a green hash proves the full
+    encode -> inflate -> unfilter -> stats loop reconstructs every pixel
+    of every document exactly (any single-byte decode error shifts a sum
+    and breaks the hash). This closes the compressed-codec gap for PNG;
+    only DCT codecs (JPEG) remain stubbed.
+
+    100 TB shape: encode+decode+stats are pure map work (two mapInPandas
+    stages, no shuffle); a real corpus skips the staging encode and
+    scans stored PNGs via binaryFile (a21)."""
+    media = multimodal.attach_png(
+        table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 3)
+    )
+    return multimodal.image_channel_stats(media)
