@@ -253,6 +253,54 @@ def i8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_error_pairs(table(spark, sf_dir, "events"))
 
 
+def purchase_error_pairs_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER rendering of purchase_error_pairs: every purchase emits,
+    null-padded when no same-user error follows within the hour — the
+    production "purchases with no error" shape. In streaming, Spark holds
+    an unmatched purchase in state until the watermark passes p_ts + 1h
+    (the interval upper bound), THEN emits the null-padded row exactly
+    once; the scripted micro-batch test pins that emission timing. Batch
+    and streaming share this builder (batch = plain left join)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("p_id", "e_id", F.col("p_user").alias("user_id"))
+
+
+# --- i11: stream-stream LEFT OUTER interval join (batch equiv HASH) --------------
+@register(
+    "i11",
+    oracle="""
+    SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts > p.ts
+     AND e.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def i11_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases LEFT OUTER ⋈ same-user errors within 1h — i8's missing
+    outer half (unmatched-after-watermark emission). Streaming variant
+    (watermarks on both sides, interval bounds the state, null-padded row
+    emits exactly when the watermark passes the join window) exercised in
+    tests/test_streaming.py::test_i11_left_outer_emission_timing."""
+    return purchase_error_pairs_outer(table(spark, sf_dir, "events"))
+
+
 # --- i9: arbitrary stateful processing v2 (transformWithState) -------------------
 @register(
     "i9",
