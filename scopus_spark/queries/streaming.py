@@ -259,7 +259,17 @@ def purchase_error_pairs_outer(events: DataFrame) -> DataFrame:
     production "purchases with no error" shape. In streaming, Spark holds
     an unmatched purchase in state until the watermark passes p_ts + 1h
     (the interval upper bound), THEN emits the null-padded row exactly
-    once; the scripted micro-batch test pins that emission timing. Batch
+    once; the scripted micro-batch test pins that emission timing
+    (not-before / exactly-once / not-twice).
+
+    Watermark subtlety (pinned by the test): Catalyst pushes the
+    event_type filters BELOW the EventTimeWatermark node, so only rows
+    that pass a join side's filter (purchase/error) reach the event-time
+    stats collector — other event types do NOT advance the watermark.
+    Eviction (and the outer-row emission it triggers) runs in the first
+    batch that EXECUTES with the advanced watermark; under availableNow
+    that is the trigger's own trailing no-data batch, so emission lands in
+    the same run whose data advanced the watermark past the window. Batch
     and streaming share this builder (batch = plain left join)."""
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
@@ -296,7 +306,9 @@ def i11_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases LEFT OUTER ⋈ same-user errors within 1h — i8's missing
     outer half (unmatched-after-watermark emission). Streaming variant
     (watermarks on both sides, interval bounds the state, null-padded row
-    emits exactly when the watermark passes the join window) exercised in
+    emits in the first batch that executes with the watermark past the
+    join window — see purchase_error_pairs_outer for the filter-pushdown
+    and no-data-batch mechanics) exercised in
     tests/test_streaming.py::test_i11_left_outer_emission_timing."""
     return purchase_error_pairs_outer(table(spark, sf_dir, "events"))
 

@@ -366,18 +366,30 @@ def test_i10_timer_sessions(spark):
 def test_i11_left_outer_emission_timing(spark):
     """Stream-stream LEFT OUTER interval join: the null-padded row for an
     unmatched purchase must emit EXACTLY when the watermark passes
-    p_ts + 1h (the interval upper bound) — not before, not twice."""
+    p_ts + 1h (the interval upper bound) — not before, not twice.
+
+    Two subtleties this scenario pins:
+    - Watermark-advancing events must pass one of the join sides' filters
+      (purchase/error): Catalyst pushes the event_type filters BELOW the
+      EventTimeWatermark node, so a 'view' row never reaches the event-time
+      stats collector and does NOT advance the watermark. We advance with
+      'error' rows from an unrelated user.
+    - Each availableNow run appends a trailing no-data batch carrying the
+      watermark computed from the run's own data, so state eviction (and
+      the outer-row emission it triggers) happens within the SAME
+      rig.run() call whose data advanced the watermark past the window.
+    """
     build = lambda s: sq.purchase_error_pairs_outer(  # noqa: E731
         s.withWatermark("ts", "10 minutes")
     )
     cols = ["p_id", "e_id", "user_id"]
     rig = StreamRig(spark)
     try:
-        # batch 1: one matched purchase, one unmatched purchase, and a
-        # watermark-advancing event (12:30 - 10m -> WM 12:20 committed at
-        # the END of this run). Processing itself still uses WM 0, so only
-        # the INNER match may emit here — the unmatched purchase (match
-        # window closes 11:05) must NOT.
+        # batch 1: one matched purchase, one unmatched purchase (match
+        # window closes 10:05 + 1h = 11:05), and a watermark-advancing
+        # error from an unrelated user (11:00 - 10m -> WM 10:50 < 11:05).
+        # The INNER match emits; the unmatched purchase must NOT -- the
+        # watermark has not passed its window yet ("not before").
         rig.drop_file(
             _mk_events(
                 spark,
@@ -385,22 +397,23 @@ def test_i11_left_outer_emission_timing(spark):
                     (1, "2024-01-01 10:00:00", 1, "purchase", 1.0),
                     (2, "2024-01-01 10:20:00", 1, "error", 1.0),
                     (3, "2024-01-01 10:05:00", 2, "purchase", 1.0),  # no error ever
-                    (4, "2024-01-01 12:30:00", 9, "view", 1.0),      # advances WM
+                    (4, "2024-01-01 11:00:00", 9, "error", 1.0),     # WM -> 10:50
                 ],
             )
         )
         out1 = rig.run(build, output_mode="append")
         assert _rows_set(out1, cols) == [(1, 2, 1)], _rows_set(out1, cols)
-        # batch 2: runs against the committed WM 12:20 > 11:05, so the
-        # null-padded row for purchase 3 emits NOW, exactly once.
+        # batch 2: error 11:30 -> WM 11:20 > 11:05; the run's trailing
+        # no-data batch evicts purchase 3's state and the null-padded row
+        # emits NOW, exactly once.
         rig.drop_file(
-            _mk_events(spark, [(5, "2024-01-01 13:00:00", 9, "view", 1.0)])
+            _mk_events(spark, [(5, "2024-01-01 11:30:00", 9, "error", 1.0)])
         )
         out2 = rig.run(build, output_mode="append")
         assert _rows_set(out2, cols) == [(3, None, 2)], _rows_set(out2, cols)
-        # batch 3: nothing left in state to emit — no duplicate outer row.
+        # batch 3: nothing left in state to emit -- no duplicate outer row.
         rig.drop_file(
-            _mk_events(spark, [(6, "2024-01-01 14:00:00", 9, "view", 1.0)])
+            _mk_events(spark, [(6, "2024-01-01 12:30:00", 9, "error", 1.0)])
         )
         out3 = rig.run(build, output_mode="append")
         assert _rows_set(out3, cols) == [], _rows_set(out3, cols)
