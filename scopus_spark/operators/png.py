@@ -50,12 +50,17 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Vectorized Paeth predictor over int16 inputs -> uint8."""
+    """Vectorized Paeth predictor over int16 inputs -> uint8.
+
+    Tie-break order is load-bearing (RFC 2083 §6.6): a wins pa<=pb and
+    pa<=pc, THEN b wins pb<=pc, else c. Picking c on a pb==pc tie decodes
+    real-world (libpng-encoded) Paeth rows to silently wrong pixels;
+    tests/test_png.py pins an externally hand-filtered tie vector."""
     p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
     pa = np.abs(p - a)
     pb = np.abs(p - b)
     pc = np.abs(p - c)
-    out = np.where(pc <= pb, c, b)
+    out = np.where(pb <= pc, b, c)
     out = np.where((pa <= pb) & (pa <= pc), a, out)
     return out.astype(np.uint8)
 
@@ -114,10 +119,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     palette: np.ndarray | None = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + length > len(data):
+            raise ValueError("corrupt PNG: truncated chunk")
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + type + data + crc
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("corrupt PNG: bad IHDR length")
             width, height, bitdepth, colortype, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -136,7 +145,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if interlace != 0:
         raise ValueError("unsupported PNG: Adam7 interlacing")
     ch = _CHANNELS[colortype]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: bad IDAT stream ({exc})") from None
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("corrupt PNG: scanline length mismatch")

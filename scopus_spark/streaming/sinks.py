@@ -22,6 +22,7 @@ store; the table IS the state.
 
 from __future__ import annotations
 
+import hashlib
 import uuid
 from collections.abc import Callable
 
@@ -83,6 +84,7 @@ def foreach_batch_jdbc_upsert(
     driver: str,
     key_cols: list[str],
     order_col: str,
+    stream_name: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """CDC micro-batches into an RDBMS as a keyed upsert — the streaming
     rendering of the reference's terminal JDBC load (a6), without
@@ -103,14 +105,55 @@ def foreach_batch_jdbc_upsert(
     """
     from scopus_spark.sources.jdbc import write_jdbc
 
-    # One staging namespace PER STREAM (factory-scoped uuid) + per batch:
-    # a fixed "{table}_STG" lets two concurrent streams sharing the target
-    # interleave — one stream's staging overwrite between another's stage
-    # and DELETE substitutes the wrong key set.
-    stream_tag = uuid.uuid4().hex[:8].upper()
+    # One staging namespace PER STREAM + per batch: a fixed "{table}_STG"
+    # lets two concurrent streams sharing the target interleave — one
+    # stream's staging overwrite between another's stage and DELETE
+    # substitutes the wrong key set. Pass `stream_name` (e.g. the query
+    # name or checkpoint location) to make the tag DETERMINISTIC across
+    # restarts: a driver that dies between CREATE and the finally-DROP
+    # leaves an orphan scratch table, and only a restart that derives the
+    # SAME tag can recognize and sweep it (done once, on the first batch).
+    # Without a stream_name the tag is a session uuid and crash leftovers
+    # from previous processes are NOT reclaimed.
+    if stream_name is not None:
+        stream_tag = hashlib.sha1(stream_name.encode()).hexdigest()[:8].upper()
+    else:
+        stream_tag = uuid.uuid4().hex[:8].upper()
+    state = {"swept": stream_name is None}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         staging = f"{table}_STG_{stream_tag}_{batch_id}"
+        if not state["swept"]:
+            # Reclaim scratch tables a crashed prior run of THIS stream
+            # (same deterministic tag) left behind. JDBC metadata LIKE
+            # patterns treat '_' as a wildcard — fine: the tag prefix
+            # makes collisions with foreign tables implausible, and we
+            # only drop names we would have created ourselves.
+            state["swept"] = True
+            jvm0 = batch_df.sparkSession._jvm
+            conn0 = jvm0.java.sql.DriverManager.getConnection(url)
+            try:
+                # staging tables are created by Spark's JDBC writer with
+                # QUOTED exact-case names — probe both spellings, same as
+                # the target-existence check below.
+                leftovers = []
+                meta0 = conn0.getMetaData()
+                for pat in {f"{table}_STG_{stream_tag}_%",
+                            f"{table.upper()}_STG_{stream_tag}_%"}:
+                    rs = meta0.getTables(None, None, pat, None)
+                    while rs.next():
+                        leftovers.append(rs.getString("TABLE_NAME"))
+                st = conn0.createStatement()
+                try:
+                    for name in leftovers:
+                        try:
+                            st.executeUpdate(f'DROP TABLE "{name}"')
+                        except Exception:
+                            pass
+                finally:
+                    st.close()
+            finally:
+                conn0.close()
         delta = latest_per_key(batch_df, key_cols, order_col)
         spark = batch_df.sparkSession
         jvm = spark._jvm
@@ -158,8 +201,9 @@ def foreach_batch_jdbc_upsert(
                 )
             finally:
                 # drop the per-batch staging table UNCONDITIONALLY — a
-                # failed delete must not leak scratch tables (the unique
-                # name means nothing else will ever reuse it).
+                # failed delete must not leak scratch tables (a crash
+                # before this DROP is reclaimed by the deterministic-tag
+                # sweep above on restart).
                 try:
                     stmt.executeUpdate(f"DROP TABLE {staging}")
                 except Exception:

@@ -84,6 +84,61 @@ def test_paeth_tiebreak_prefers_left():
     ).tolist() == [5]
 
 
+def test_paeth_tiebreak_pb_pc_tie_prefers_up():
+    """RFC 2083 §6.6: on a pb==pc tie (a not winning) the predictor is b
+    (up), NOT c (upper-left). a=125,b=200,c=150 -> pa=50, pb=25, pc=25:
+    spec predicts 200. A c-on-tie decoder mispredicts 150 and decodes
+    real libpng-encoded Paeth rows to silently wrong pixels."""
+    assert _paeth(
+        np.array([125], np.uint8),
+        np.array([200], np.uint8),
+        np.array([150], np.uint8),
+    ).tolist() == [200]
+
+
+def test_paeth_pb_pc_tie_external_vector():
+    """End-to-end decode of a HAND-FILTERED (encoder-independent) PNG whose
+    Paeth row hits the pb==pc tie, so encoder/decoder bug-cancellation
+    cannot hide a tie-break error. Row 0 (None): pixels [150, 200].
+    Row 1 (Paeth): x0 pred=paeth(0,150,0)=150, filt=(125-150)%256=231 ->
+    125; x1 pred=paeth(125,200,150)=200 (the tie), filt=50 -> 250.
+    A c-on-tie decoder would yield 200 here instead of 250."""
+    png = _build(
+        2, 2,
+        [
+            (0, bytes([150, 150, 150, 200, 200, 200])),
+            (4, bytes([231, 231, 231, 50, 50, 50])),
+        ],
+    )
+    assert decode_png(png).tolist() == [
+        [150, 150, 150], [200, 200, 200], [125, 125, 125], [250, 250, 250]
+    ]
+
+
+def test_truncated_and_corrupt_chunks_raise_valueerror():
+    """The documented contract is ValueError for anything malformed: a
+    chunk whose declared length overruns the payload, a short IHDR, and
+    an IDAT that is not a zlib stream must not escape as struct.error /
+    zlib.error."""
+    full = _build(2, 1, [(0, bytes([1, 2, 3, 4, 5, 6]))])
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_png(full[:20])  # cut mid-IHDR
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_png(full[:-14])  # drop IEND (12B) + 2B of IDAT's CRC
+    with pytest.raises(ValueError, match="bad IHDR"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", b"\x00" * 5)
+            + _chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="bad IDAT"):
+        decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", b"not zlib at all")
+            + _chunk(b"IEND", b"")
+        )
+
+
 def test_grayscale_replicates():
     png = _build(3, 1, [(0, bytes([7, 8, 9]))], colortype=0)
     assert decode_png(png).tolist() == [[7, 7, 7], [8, 8, 8], [9, 9, 9]]

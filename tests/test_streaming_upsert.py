@@ -298,3 +298,62 @@ def test_streaming_continuous_aggregate_ohlc(spark, tmp_path):
         assert got == full
     finally:
         rig.cleanup()
+
+
+def test_jdbc_upsert_sweeps_crash_orphan_staging(spark):
+    """A driver that dies between staging CREATE and the finally-DROP
+    leaves an orphan scratch table. With a deterministic stream_name tag,
+    a restart derives the SAME staging namespace and reclaims the orphan
+    on its first batch instead of accumulating scratch tables forever."""
+    import hashlib
+
+    from scopus_spark.sources.jdbc import DERBY_DRIVER, derby_url, read_jdbc
+    from scopus_spark.streaming.sinks import foreach_batch_jdbc_upsert
+
+    tmp = tempfile.mkdtemp(prefix="scopus_derby_orphan_")
+    url = derby_url(f"{tmp}/db")
+    table = "orphan_state"
+    name = "ckpt://orphan-stream"
+    tag = hashlib.sha1(name.encode()).hexdigest()[:8].upper()
+    orphan = f"{table}_STG_{tag}_7"
+
+    def table_names():
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            rs = conn.getMetaData().getTables(None, None, "%", None)
+            out = set()
+            while rs.next():
+                out.add(rs.getString("TABLE_NAME"))
+            return out
+        finally:
+            conn.close()
+
+    try:
+        # simulate the crashed prior run's leftover scratch table
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+        try:
+            st = conn.createStatement()
+            st.executeUpdate(f'CREATE TABLE "{orphan}" ("user_id" BIGINT)')
+            st.close()
+        finally:
+            conn.close()
+        assert orphan in table_names()
+
+        sink = foreach_batch_jdbc_upsert(
+            url, table, DERBY_DRIVER,
+            key_cols=["user_id", "event_type"], order_col="ts",
+            stream_name=name,
+        )
+        sink(_mk_events(spark, [(1, 1, 1, "click", 1.0)]), 0)
+        names = table_names()
+        assert orphan not in names, names          # orphan reclaimed
+        assert not any(n.startswith(f"{table.upper()}_STG") for n in names), names
+        got = {
+            (r["user_id"], r["event_type"]): r["value"]
+            for r in read_jdbc(spark, url, table, DERBY_DRIVER).collect()
+        }
+        assert got == {(1, "click"): 1.0}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -13,6 +13,8 @@ import os
 import sys
 import types
 
+import pytest
+
 from scopus_spark import _vendor
 from scopus_spark._vendor import _VENDOR_PB, ensure_protobuf
 
@@ -69,7 +71,17 @@ def test_vendor_engages_only_when_wheel_absent():
     """With no importable `google.protobuf` (the real state of this
     container, simulated by purging google.* from sys.modules and the
     vendor dir from sys.path), the fallback arms: vendor dir lands on
-    sys.path AND executor PYTHONPATH, and the import then succeeds."""
+    sys.path AND executor PYTHONPATH, and the import then succeeds.
+
+    On a machine where a REAL protobuf wheel is installed, purging
+    sys.modules cannot make the package unimportable — ensure_protobuf
+    would (correctly) find the wheel and never arm the vendor, so the
+    absent-wheel scenario is untestable there and we skip."""
+    import importlib.util
+
+    spec = importlib.util.find_spec("google.protobuf")
+    if spec is not None and _VENDOR_PB not in (spec.origin or ""):
+        pytest.skip("real google.protobuf wheel installed; absence not simulatable")
     snap = _snapshot()
     try:
         for k in [k for k in sys.modules if k.split(".")[0] == "google"]:
