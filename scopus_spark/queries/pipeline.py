@@ -1049,6 +1049,7 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition contract holds). Oracle = brute-force 1-NN of the batch over
     the FULL corpus: a green hash proves incremental == full, exactly.
     """
+    import json
     import os
     import shutil
 
@@ -1069,12 +1070,23 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents_path, index_path = f"{root}/centroids", f"{root}/index"
     shutil.rmtree(root, ignore_errors=True)
-    # one-time index build over the existing corpus
+    # one-time index build over the existing corpus. Size n_cells from the
+    # BASE table's count (column-pruned, satisfied from parquet footers)
+    # scaled by the split fraction — counting `existing` itself would
+    # evaluate the md5 bucket per row, a full scan at plan-build time that
+    # is pure waste at 100 TB. Exactness never depends on n_cells (it only
+    # tunes pruning), so an estimate is safe; a production deployment reads
+    # the row count from catalog/index metadata with zero jobs, and the
+    # count lands in the persisted index metadata below for reuse.
     base = sim.prepare_vectors(existing)
-    n_cells = sim.auto_n_cells(existing.count())
+    n_cells = sim.auto_n_cells(int(e.count() * 0.9))
     sim._refine_centroids(base, n_cells).write.parquet(cents_path)
     cents = spark.read.parquet(cents_path)
     sim.assign_cells(base, cents).write.partitionBy("cell_id").parquet(index_path)
+    # index metadata: later invocations (or j31-style k-NN joins against
+    # this index) size n_cells from here with zero jobs.
+    with open(f"{root}/index_meta.json", "w") as fh:
+        json.dump({"n_cells": n_cells, "n_rows_est": int(e.count() * 0.9)}, fh)
 
     # incremental pass: batch assigned against the STORED centroids; eager
     # snapshot of the stored index (the maintenance MERGE below swaps its
@@ -1266,8 +1278,14 @@ def j31_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(b < 90)
     queries = e.filter(b >= 90)
 
+    # n_cells sizing deliberately avoids corpus.count(): that would
+    # evaluate the md5 bucket per row — a full pass at plan-build time.
+    # The base table's count is column-pruned (parquet footers only) and
+    # exactness never depends on n_cells, so the 0.9-split estimate is
+    # safe; production reads this from catalog/index metadata (j28
+    # persists it alongside the centroids).
     base_c = similarity.prepare_vectors(corpus)
-    n_cells = similarity.auto_n_cells(corpus.count())
+    n_cells = similarity.auto_n_cells(int(e.count() * 0.9))
     cents = similarity._refine_centroids(base_c, n_cells).localCheckpoint(
         eager=False
     )
