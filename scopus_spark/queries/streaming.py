@@ -313,6 +313,67 @@ def i11_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_error_pairs_outer(table(spark, sf_dir, "events"))
 
 
+def purchase_error_pairs_full(events: DataFrame) -> DataFrame:
+    """FULL OUTER rendering of purchase_error_pairs — both unmatched sides
+    survive: a purchase with no same-user error in the following hour
+    emits (p_id, NULL), an error with no same-user purchase in the
+    PRECEDING hour emits (NULL, e_id). This is the reconciliation shape
+    (find orphans on either side of an event correlation), and it
+    completes the streaming join matrix (i8 inner / i11 left / i12 full).
+
+    Streaming mechanics mirror purchase_error_pairs_outer exactly — each
+    side's state is held until the watermark passes the last instant it
+    could still match (p_ts + 1h for purchases; e_ts for errors, whose
+    candidate purchases all precede them), THEN the null-padded row emits
+    exactly once. Same filter-pushdown caveat: only purchase/error rows
+    advance the watermark. user_id coalesces across sides so the output
+    key is total."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "p_id",
+        "e_id",
+        F.coalesce(F.col("p_user"), F.col("e_user")).alias("user_id"),
+    )
+
+
+# --- i12: stream-stream FULL OUTER interval join (batch equiv HASH) --------------
+@register(
+    "i12",
+    oracle="""
+    SELECT p.event_id AS p_id, e.event_id AS e_id,
+           coalesce(p.user_id, e.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts > p.ts
+     AND e.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def i12_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases FULL OUTER ⋈ same-user errors within 1h — the last cell
+    of the streaming join matrix (i8 inner, i11 left, i12 full). Batch
+    equivalent HASH-checked here; the streaming variant (watermarks on
+    both sides, per-side state eviction and null-padded emission on BOTH
+    sides) is pinned by
+    tests/test_streaming.py::test_i12_full_outer_emission_timing."""
+    return purchase_error_pairs_full(table(spark, sf_dir, "events"))
+
+
 # --- i9: arbitrary stateful processing v2 (transformWithState) -------------------
 @register(
     "i9",

@@ -419,3 +419,62 @@ def test_i11_left_outer_emission_timing(spark):
         assert _rows_set(out3, cols) == [], _rows_set(out3, cols)
     finally:
         rig.cleanup()
+
+
+def test_i12_full_outer_emission_timing(spark):
+    """Stream-stream FULL OUTER interval join: BOTH sides' null-padded
+    rows must emit exactly when the watermark passes the last instant the
+    row could still match — purchases at p_ts + 1h (the interval upper
+    bound), errors at e_ts (their candidate purchases all precede them) —
+    not before, not twice.
+
+    Same watermark mechanics as the i11 test (event_type filters are
+    pushed below EventTimeWatermark, so only purchase/error rows advance
+    the watermark; each availableNow run's trailing no-data batch applies
+    the watermark its own data computed). The watermark-advancing errors
+    here are themselves join inputs that later emit as unmatched — the
+    scenario accounts for every one of them."""
+    build = lambda s: sq.purchase_error_pairs_full(  # noqa: E731
+        s.withWatermark("ts", "10 minutes")
+    )
+    cols = ["p_id", "e_id", "user_id"]
+    rig = StreamRig(spark)
+    try:
+        # batch 1: a matched pair (u1), an unmatched purchase (u2, window
+        # closes 10:05+1h = 11:05), an unmatched error (u3 at 10:10,
+        # evictable once WM > 10:10), and a WM-advancing error (u9 at
+        # 11:00 -> WM 10:50). The trailing no-data batch evicts the u3
+        # error (10:10 < 10:50) and its right-padded row emits in THIS
+        # run; purchase 3 (11:05 > 10:50) and error 5 (11:00 > 10:50)
+        # stay in state.
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:00:00", 1, "purchase", 1.0),
+                    (2, "2024-01-01 10:20:00", 1, "error", 1.0),
+                    (3, "2024-01-01 10:05:00", 2, "purchase", 1.0),  # no error ever
+                    (4, "2024-01-01 10:10:00", 3, "error", 1.0),     # no purchase ever
+                    (5, "2024-01-01 11:00:00", 9, "error", 1.0),     # WM -> 10:50
+                ],
+            )
+        )
+        rows1 = {tuple(r[c] for c in cols) for r in rig.run(build, output_mode="append")}
+        assert rows1 == {(None, 4, 3), (1, 2, 1)}, rows1
+        # batch 2: error 12:30 (u9) -> WM 12:20. Evicts purchase 3
+        # (11:05 < 12:20) AND the previous WM-advancer error 5
+        # (11:00 < 12:20, u9 has no purchases) -- both outer rows emit
+        # now, exactly once each.
+        rig.drop_file(
+            _mk_events(spark, [(6, "2024-01-01 12:30:00", 9, "error", 1.0)])
+        )
+        rows2 = {tuple(r[c] for c in cols) for r in rig.run(build, output_mode="append")}
+        assert rows2 == {(None, 5, 9), (3, None, 2)}, rows2
+        # batch 3: WM 13:20 evicts error 6; no earlier row may re-emit.
+        rig.drop_file(
+            _mk_events(spark, [(7, "2024-01-01 13:30:00", 9, "error", 1.0)])
+        )
+        rows3 = {tuple(r[c] for c in cols) for r in rig.run(build, output_mode="append")}
+        assert rows3 == {(None, 6, 9)}, rows3
+    finally:
+        rig.cleanup()
