@@ -610,3 +610,94 @@ def j29_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- n10: entity resolution end-to-end over the part-name registry -----------------
+from scopus_spark.queries.functions import H22_PAIRS_SQL, blocked_fuzzy_pairs
+
+
+@register(
+    "n10",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({H22_PAIRS_SQL}),
+    edges AS MATERIALIZED (
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION
+      SELECT name_b, name_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT node, min(src) AS comp_id FROM reach GROUP BY node),
+    reg AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ),
+    lab AS (
+      SELECT reg.p_name, reg.n_parts,
+             coalesce(c.comp_id, reg.p_name) AS cluster_id
+      FROM reg LEFT JOIN comp c ON reg.p_name = c.node
+    )
+    SELECT p_name, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           CAST(sum(n_parts) OVER (PARTITION BY cluster_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS BIGINT)
+             AS cluster_parts,
+           n_parts,
+           first_value(p_name) OVER (PARTITION BY cluster_id
+                                     ORDER BY n_parts DESC, p_name)
+             AS canonical_name,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_parts DESC, p_name) = 1)
+             AS is_canonical
+    FROM lab
+    """,
+)
+def n10_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END TO END over the part-name registry: blocked
+    fuzzy candidates (h22's prefix/suffix blocking + Levenshtein ≤ 2) →
+    transitive closure (the shared CC operator — A~B, B~C must land in one
+    entity even when A!~C) → one canonical name per cluster, chosen by
+    FREQUENCY (the variant the most part rows actually use; registry-order
+    tie-break), plus the audit counts a normalization run reports before
+    rewriting anything (variants per cluster, part rows affected). This is
+    the venue/affiliation-string disambiguation pipeline of bibliographic
+    ETL in miniature — the reference corpus's author/venue normalization
+    problem — and the h21→h22→n10 chain mirrors n2→n7 on the document
+    side (candidates → closure → quality-chosen canonical).
+
+    Scale shape: the registry aggregate is the only corpus-scale work (one
+    partial-agg shuffle on p_name); everything after runs on registry
+    cardinality — CC's O(log diameter) rounds shuffle the bounded edge
+    list, and ONE window partitioned by cluster computes size, row mass,
+    canonical, and the keep flag together. The oracle recomputes the
+    closure with a recursive CTE over the SAME shared pair SQL, so the
+    edge definition cannot drift between engines."""
+    parts = table(spark, sf_dir, "part")
+    edges = blocked_fuzzy_pairs(parts)
+    comp = graph.connected_components(edges, "name_a", "name_b")
+    reg = parts.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    lab = reg.join(comp, reg.p_name == comp.node, "left").select(
+        "p_name",
+        "n_parts",
+        F.coalesce(F.col("comp_id"), F.col("p_name")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_parts").desc(), "p_name"
+    )
+    return lab.select(
+        "p_name",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.sum("n_parts").over(w).cast("long").alias("cluster_parts"),
+        "n_parts",
+        F.first("p_name").over(w_rank).alias("canonical_name"),
+        (F.row_number().over(w_rank) == 1).alias("is_canonical"),
+    )

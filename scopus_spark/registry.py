@@ -51,7 +51,13 @@ _LOADED = False
 
 
 def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query under its SURVEY §2 key, optionally with DuckDB oracle SQL."""
+    """Register a query under its SURVEY §2 key, optionally with DuckDB
+    oracle SQL.
+
+    After adding/removing a key, run ``python tools/sync.py`` — it
+    regenerates the generated contract docs (SURVEY §2.Z + docs/COVERAGE.md)
+    from the live registry; the inventory-diff test stays red until then.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if key in _QUERIES:
