@@ -15,10 +15,18 @@ canonicalizer rather than a lenient tuple compare —
 
 Usage:
   python tools/driver_sim.py [sf_dir] [--json OUT.json] [--keys k1,k2,...]
+                             [--sample N --seed R]
+
+--sample N --seed R soaks a random N-key subset drawn with seed R (use the
+round number): the real driver samples a FIXED 50-key prefix (a-d + q3),
+so refactors to the e-o families could otherwise dodge the per-round
+check — rotate the seed each round and no family stays unsampled for long
+(VERDICT round-5 item 7).
 """
 
 import json
 import math
+import random
 import sys
 import time
 
@@ -39,7 +47,27 @@ if "--keys" in args:
     i = args.index("--keys")
     only_keys = set(args[i + 1].split(","))
     del args[i : i + 2]
+sample_n = sample_seed = None
+if "--sample" in args:
+    i = args.index("--sample")
+    sample_n = int(args[i + 1])
+    del args[i : i + 2]
+if "--seed" in args:
+    i = args.index("--seed")
+    sample_seed = int(args[i + 1])
+    del args[i : i + 2]
 SF = args[0] if args else "/root/testdata/sf0.01"
+
+if sample_n is not None:
+    if only_keys is not None:
+        sys.exit("--sample and --keys are mutually exclusive")
+    import __spark_entry__ as _e_keys
+
+    universe = sorted(_e_keys.queries().keys())
+    rng = random.Random(0 if sample_seed is None else sample_seed)
+    only_keys = set(rng.sample(universe, min(sample_n, len(universe))))
+    print(f"SAMPLE seed={sample_seed} n={len(only_keys)}: "
+          f"{','.join(sorted(only_keys))}")
 
 spark = (
     SparkSession.builder.master("local[8]")
