@@ -15,10 +15,13 @@ Round 4: the decode tier is split honestly in two —
   filter reconstruction in operators/png.py — no codec library needed.
   j32 HASH-checks it: PNGs staged from the same deterministic pixels as
   j27 must produce byte-identical channel statistics.
-- Remaining COMPRESSED codecs (JPEG/...) stay STUBBED with a clearly-
-  marked NotImplementedError: the container ships no DCT/codec
-  libraries; a real deployment plugs Pillow/ffmpeg into the same
-  decode_pixels dispatch.
+- Baseline JPEG decodes FOR REAL as of round 7: operators/jpeg.py is a
+  pure stdlib+numpy T.81 baseline codec (Huffman entropy decode, dequant,
+  zigzag, matrix IDCT, JFIF color transform). j33 HASH-checks it via
+  block-constant staged images, which survive quant=1 JPEG exactly.
+- Remaining codecs (WebP, audio/video) stay STUBBED with a clearly-
+  marked NotImplementedError: a real deployment plugs Pillow/ffmpeg into
+  the same decode_pixels dispatch.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ from pyspark.sql import types as T
 
 RAW_MIME = "image/x-raw-rgb888"
 PNG_MIME = "image/png"
+JPEG_MIME = "image/jpeg"
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -71,13 +75,15 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB for codecs needing DCT/entropy libraries (JPEG/WebP/...): real
-    deployments plug Pillow/ffmpeg here. PNG no longer routes here — it
-    decodes for real in operators/png.py (stdlib zlib + numpy)."""
+    """STUB for the remaining codecs needing external libraries (WebP,
+    audio/video): real deployments plug Pillow/ffmpeg here. PNG decodes
+    for real in operators/png.py (round 5) and baseline JPEG in
+    operators/jpeg.py (round 7) — neither routes here anymore."""
     raise NotImplementedError(
-        "JPEG/WebP/audio decode requires codec libraries not present in "
+        "WebP/audio/video decode requires codec libraries not present in "
         "this container; plug a decoder into decode_pixels()'s dispatch "
-        "(PNG and raw RGB888 decode natively — see operators/png.py)"
+        "(raw RGB888, PNG, and baseline JPEG decode natively — see "
+        "operators/png.py and operators/jpeg.py)"
     )
 
 
@@ -111,6 +117,13 @@ def decode_pixels(payload: bytes, mime: str) -> np.ndarray:
         from scopus_spark.operators.png import decode_png
 
         return decode_png(payload)
+    if mime == JPEG_MIME:
+        from scopus_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.ndim == 2:  # grayscale -> replicate to RGB
+            px = np.repeat(px.reshape(-1, 1), 3, axis=1)
+        return px.reshape(-1, 3)
     return decode_image(payload)
 
 
@@ -297,3 +310,98 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(rs, RESIZED_SCHEMA)
+
+
+def attach_jpeg(docs: DataFrame) -> DataFrame:
+    """documents -> media table whose payloads are REAL baseline JFIF
+    files: each byte of the text becomes one CONSTANT 8x8 grayscale block
+    (image = 8 x 8n, one block row). Block-constant content survives
+    quant=1 baseline JPEG exactly (only the DC coefficient is nonzero and
+    its rounding is lossless — operators/jpeg.py module docstring), so
+    j33's decoded statistics must be byte-identical to the raw text-byte
+    ground truth; any entropy/zigzag/IDCT deviation breaks the hash.
+    Encoding runs Arrow-batched in mapInPandas (pure map work). Callers
+    pre-filter to 1..8191 bytes (JPEG's 16-bit width limit at 8 px per
+    block)."""
+    from scopus_spark.operators.jpeg import encode_jpeg
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            widths = np.zeros(len(pdf), dtype=np.int32)
+            for i, payload in enumerate(pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                vals = np.frombuffer(raw, dtype=np.uint8)
+                img = np.repeat(np.repeat(vals.reshape(1, -1), 8, 0), 8, 1)
+                widths[i] = img.shape[1]
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": widths,
+                }
+            )
+
+    staged = attach_payload(docs).mapInPandas(
+        enc, "media_id long, payload binary, width int"
+    )
+    return staged.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit(JPEG_MIME).alias("mime"),
+            F.col("width"),
+            F.lit(8).alias("height"),
+        ).alias("meta"),
+    )
+
+
+BLOCK_STATS_SCHEMA = "media_id long, n_blocks long, mean_y double, var_y double"
+
+
+def jpeg_block_stats(media: DataFrame) -> DataFrame:
+    """Per-image grayscale statistics over DECODED 8x8 blocks, for
+    block-constant staged JPEGs: every block is asserted constant (all 64
+    pixels equal — a decode error anywhere in a block trips it), then the
+    per-block values feed the exact integer (n*ssq - s^2) / n^2 variance
+    with ONE double division, matching the oracle's byte-level formula
+    operand for operand (block-level sums keep every intermediate far
+    inside int64/float53 exactness; pixel-level sums at 64x the count
+    would not). A non-constant block emits the loud sentinel
+    n_blocks = -1 so the driver hash breaks instead of silently passing
+    near-miss decodes."""
+    from scopus_spark.operators.jpeg import decode_jpeg
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_out = np.zeros(len(pdf), dtype=np.int64)
+            mean = np.full(len(pdf), np.nan)
+            var = np.full(len(pdf), np.nan)
+            for i, payload in enumerate(pdf["payload"]):
+                plane = decode_jpeg(payload).astype(np.int64)
+                h, w = plane.shape
+                blocks = (
+                    plane.reshape(h // 8, 8, w // 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(-1, 64)
+                )
+                if np.ptp(blocks, axis=1).max(initial=0) != 0:
+                    n_out[i] = -1  # loud: decode broke block constancy
+                    continue
+                vals = blocks[:, 0]
+                n = vals.shape[0]
+                s, ssq = int(vals.sum()), int((vals * vals).sum())
+                n_out[i] = n
+                mean[i] = s / n
+                var[i] = (n * ssq - s * s) / (n * n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_blocks": n_out,
+                    "mean_y": mean,
+                    "var_y": var,
+                }
+            )
+
+    return media.mapInPandas(stats, BLOCK_STATS_SCHEMA)

@@ -1351,3 +1351,59 @@ def j32_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 3)
     )
     return multimodal.image_channel_stats(media)
+
+
+# --- j33: REAL baseline JPEG decode + block statistics (DCT-codec tier) --------------
+@register(
+    "j33",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+      WHERE octet_length(encode(text)) BETWEEN 1 AND 8191
+    ),
+    px AS (
+      SELECT doc_id, ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS v
+      FROM (
+        SELECT doc_id, hx, unnest(range(1, n_bytes + 1)) AS i FROM b
+      )
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT)  AS n_blocks,
+           sum(v) / count(*)         AS mean_y,
+           (count(*) * sum(v * v) - sum(v) * sum(v))
+             / (count(*) * count(*)) AS var_y
+    FROM px GROUP BY doc_id
+    """,
+)
+def j33_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DCT-codec decode — the tier j32 left stubbed: payloads are
+    genuine baseline JFIF files (operators/jpeg.py: pure stdlib+numpy
+    T.81 codec — canonical Huffman entropy coding with byte stuffing and
+    per-component DC prediction, zigzag, quantization, orthonormal matrix
+    FDCT/IDCT, JFIF markers) staged from the text bytes as CONSTANT 8x8
+    grayscale blocks, then Huffman-decoded, dequantized, and
+    inverse-transformed back to pixels inside an Arrow-batched extractor.
+    Block-constant content survives quant=1 JPEG exactly (only the DC
+    coefficient is nonzero and its rounding is lossless), so the decoded
+    block statistics must equal the byte-level ground truth the oracle
+    computes straight off the text — a green hash proves the full
+    entropy-encode -> entropy-decode -> dequant -> IDCT loop is
+    bit-faithful for every block of every document, with the extractor's
+    block-constancy guard turning any in-block deviation into a loud
+    sentinel instead of a silent near-miss. Encoder and decoder share no
+    Huffman-table constant (tables travel in DHT), and byte-level
+    decoder vectors in tests/test_jpeg.py are hand-built independent of
+    the encoder, so encode/decode bug-cancellation (the round-5 Paeth
+    lesson) cannot hide a spec deviation.
+
+    100 TB shape: encode+decode+stats are pure map work (two mapInPandas
+    stages, zero shuffle); a real corpus skips the staging encode and
+    scans stored JPEGs via binaryFile (a21). The 8191-byte filter is
+    JPEG's 16-bit width limit at 8 px per block — stated, and mirrored in
+    the oracle."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.octet_length("text").between(1, 8191)
+    )
+    return multimodal.jpeg_block_stats(multimodal.attach_jpeg(docs))
