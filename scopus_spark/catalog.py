@@ -51,6 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def row_count_estimate(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER — driver-side metadata access,
+    zero Spark jobs. This is the 'read it from the catalog' path a
+    production deployment uses to size index parameters (e.g. IVF
+    n_cells) at plan-build time; a `df.count()` would schedule a job per
+    invocation, and building the RDD of a shuffling plan under AQE even
+    materializes query stages, so plan construction must never touch
+    either (tests/test_exact_candidates.py pins this for j31)."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows)
+
+
 # Tracks which sf_dir each live session currently has registered, so repeated
 # queries() calls against the same dir skip re-registration.
 _REGISTERED: dict[int, str] = {}

@@ -1278,17 +1278,23 @@ def j31_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(b < 90)
     queries = e.filter(b >= 90)
 
-    # n_cells sizing deliberately avoids corpus.count(): that would
-    # evaluate the md5 bucket per row — a full pass at plan-build time.
-    # The base table's count is column-pruned (parquet footers only) and
-    # exactness never depends on n_cells, so the 0.9-split estimate is
-    # safe; production reads this from catalog/index metadata (j28
-    # persists it alongside the centroids).
+    # Plan construction schedules ZERO jobs (pinned by
+    # test_j31_plan_build_schedules_zero_jobs): n_cells comes from the
+    # parquet footer's row count (driver-side catalog metadata — even a
+    # column-pruned df.count() is a job) scaled by the split fraction;
+    # exactness never depends on n_cells, so the 0.9 estimate is safe.
+    # The centroid table uses a LAZY persist, not localCheckpoint: under
+    # AQE, localCheckpoint(eager=False) still builds the RDD, which
+    # materializes the refine lineage's shuffle stages at plan-build
+    # time (8 jobs); persist() defers everything to the first action and
+    # still computes the three-subtree-shared centroids exactly once.
     base_c = similarity.prepare_vectors(corpus)
-    n_cells = similarity.auto_n_cells(int(e.count() * 0.9))
-    cents = similarity._refine_centroids(base_c, n_cells).localCheckpoint(
-        eager=False
+    from scopus_spark.catalog import row_count_estimate
+
+    n_cells = similarity.auto_n_cells(
+        int(row_count_estimate(sf_dir, "embeddings") * 0.9)
     )
+    cents = similarity._refine_centroids(base_c, n_cells).persist()
     c_assigned = similarity.assign_cells(base_c, cents)
     q_assigned = similarity.assign_cells(similarity.prepare_vectors(queries), cents)
     return similarity.exact_topk_join(

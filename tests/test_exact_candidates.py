@@ -156,3 +156,21 @@ def test_j31_plan_has_no_cartesian(spark, sf_dir):
     plan = _plan(QUERIES["j31"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "cell_id" in plan, plan
+
+
+def test_j31_plan_build_schedules_zero_jobs(spark, sf_dir):
+    """The declared-lazy contract (VERDICT round-5 item 4): constructing
+    the j31 k-NN join DataFrame must schedule NO Spark jobs — n_cells is
+    sized from the base table's column-pruned count estimate and the
+    centroid checkpoints are lazy (eager=False), so the first action is
+    the query itself, not a hidden plan-build pass over the corpus."""
+    sc = spark.sparkContext
+    sc.setJobGroup("j31_plan_build", "plan construction")
+    try:
+        df = QUERIES["j31"](spark, sf_dir)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("j31_plan_build")
+    assert list(jobs) == [], f"plan build scheduled jobs: {list(jobs)}"
+    assert df.limit(1).count() >= 0  # the lazily-built plan still executes
