@@ -210,12 +210,6 @@ class _CompWriter:
             self.bw.write(code, length)
 
 
-def _pad_to_blocks(plane: np.ndarray) -> np.ndarray:
-    h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
-    return np.pad(plane, ((0, ph), (0, pw)), mode="edge") if (ph or pw) else plane
-
-
 def _marker(tag: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
 
@@ -224,15 +218,39 @@ def _dht_payload(tc: int, th: int, bits: list[int], values: list[int]) -> bytes:
     return bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
 
 
-def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    if h == ph and w == pw:
+        return plane
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _subsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 mean chroma subsampling (edge-padded to even dims first)."""
+    h, w = plane.shape
+    p = _pad_to(plane, h + h % 2, w + w % 2)
+    return (
+        p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+    )
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a baseline
-    JFIF file (4:4:4, default all-ones quantization — near-lossless, and
-    EXACTLY lossless for block-constant content; see module docstring)."""
+    JFIF file (default all-ones quantization — near-lossless, and EXACTLY
+    lossless for block-constant content; see module docstring).
+    ``subsampling``: '444' (every component 1x1) or '420' (Y at 2x2
+    factors, 2x2-mean-subsampled chroma — the layout nearly every
+    real-world JPEG uses)."""
     if qtable is None:
         qtable = np.ones((8, 8))
     qz = np.rint(qtable).astype(np.int64)
     if px.ndim == 2:
         planes = [px.astype(np.float64)]
+        factors = [(1, 1)]
     elif px.ndim == 3 and px.shape[2] == 3:
         r, g, b = (px[..., i].astype(np.float64) for i in range(3))
         planes = [
@@ -240,11 +258,21 @@ def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+        if subsampling == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]
+            planes = [planes[0], _subsample2(planes[1]), _subsample2(planes[2])]
+        elif subsampling == "444":
+            factors = [(1, 1)] * 3
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
     else:
         raise ValueError("encode_jpeg expects (h,w) gray or (h,w,3) RGB")
     h, w = px.shape[:2]
     if not (0 < h <= 65535 and 0 < w <= 65535):
         raise ValueError("image dimensions out of JPEG 16-bit range")
+    h_max = max(f[0] for f in factors)
+    v_max = max(f[1] for f in factors)
+    mcus_x, mcus_y = -(-w // (8 * h_max)), -(-h // (8 * v_max))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _marker(APP0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -252,8 +280,8 @@ def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     out += _marker(DQT, b"\x00" + zz_q)
     ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, qtable 0
+    for cid, (hi, vi) in zip(range(1, ncomp + 1), factors):
+        sof += bytes([cid, (hi << 4) | vi, 0])  # qtable 0
     out += _marker(SOF0, sof)
     out += _marker(DHT, _dht_payload(0, 0, _DC_BITS, _DC_VALUES))
     out += _marker(DHT, _dht_payload(1, 0, _AC_BITS, _AC_VALUES))
@@ -267,12 +295,18 @@ def encode_jpeg(px: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALUES)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALUES)
     writers = [_CompWriter(bw, dc_codes, ac_codes) for _ in planes]
-    padded = [_pad_to_blocks(p) for p in planes]
-    mcus_y, mcus_x = padded[0].shape[0] // 8, padded[0].shape[1] // 8
+    padded = [
+        _pad_to(p, mcus_y * vi * 8, mcus_x * hi * 8)
+        for p, (hi, vi) in zip(planes, factors)
+    ]
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for wtr, plane in zip(writers, padded):
-                wtr.block(plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8], qz)
+            for wtr, plane, (hi, vi) in zip(writers, padded, factors):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        wtr.block(plane[y0 : y0 + 8, x0 : x0 + 8], qz)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -371,9 +405,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError("subsampling (non-1x1 factors) outside scope")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        "sampling factors beyond 2 (subsampling ratios other "
+                        "than 4:4:4/4:2:2/4:2:0) outside scope"
+                    )
+                comps.append((cid, tq, hi, vi))
+            if nf == 1 and comps[0][2:] != (1, 1):
+                # single-component scans are non-interleaved: factors moot
+                comps[0] = (comps[0][0], comps[0][1], 1, 1)
             frame = (h, w, comps)
         elif tag in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                      0xCD, 0xCE, 0xCF):
@@ -421,10 +462,14 @@ def _decode_scan(data, pos, frame, qtables, htables, scan_tables) -> np.ndarray:
         i += 1
     reader = _BitReader(bytes(clean))
 
-    mcus_x, mcus_y = -(-w // 8), -(-h // 8)
-    planes = [np.zeros((mcus_y * 8, mcus_x * 8)) for _ in comps]
+    h_max = max(c[2] for c in comps)
+    v_max = max(c[3] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * h_max)), -(-h // (8 * v_max))
+    planes = [
+        np.zeros((mcus_y * vi * 8, mcus_x * hi * 8)) for _, _, hi, vi in comps
+    ]
     preds = [0] * len(comps)
-    for cid, tq in comps:
+    for cid, tq, _, _ in comps:
         if tq not in qtables:
             raise ValueError(f"corrupt JPEG: missing quant table {tq}")
         if cid not in scan_tables:
@@ -434,14 +479,24 @@ def _decode_scan(data, pos, frame, qtables, htables, scan_tables) -> np.ndarray:
             raise ValueError("corrupt JPEG: missing Huffman table")
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
                 td, ta = scan_tables[cid]
-                block = _decode_block(
-                    reader, htables[(0, td)], htables[(1, ta)], qtables[tq], preds, ci
-                )
-                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
+                for by in range(vi):
+                    for bx in range(hi):
+                        block = _decode_block(
+                            reader, htables[(0, td)], htables[(1, ta)],
+                            qtables[tq], preds, ci,
+                        )
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
 
-    out = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+    # upsample subsampled components to full resolution, then crop
+    up = [
+        np.repeat(np.repeat(p, v_max // vi, axis=0), h_max // hi, axis=1)
+        for p, (_, _, hi, vi) in zip(planes, comps)
+    ]
+    out = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in up]
     if len(out) == 1:
         return out[0].astype(np.uint8)
     y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0

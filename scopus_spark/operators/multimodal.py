@@ -357,6 +357,52 @@ def attach_jpeg(docs: DataFrame) -> DataFrame:
     )
 
 
+def attach_jpeg420(docs: DataFrame) -> DataFrame:
+    """documents -> media table of 4:2:0-subsampled COLOR baseline JPEGs:
+    Y = the text bytes as constant 8x8 blocks (j33's layout), Cb = Cr =
+    128 exactly (the staged RGB has r=g=b, and the JFIF chroma formulas
+    cancel to 128 on gray input; 2x2-mean subsampling of a constant plane
+    is lossless). Decoding therefore exercises the full 4:2:0 MCU
+    interleave (4 Y blocks + Cb + Cr per MCU), chroma upsampling, and the
+    YCbCr->RGB transform — while remaining bit-exact: zero chroma means
+    R=G=B=Y, so the decoded statistics must still equal the byte-level
+    ground truth. The h=8 image against 16-px-tall MCUs also pins the
+    bottom-half pad-and-crop path."""
+    from scopus_spark.operators.jpeg import encode_jpeg
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            widths = np.zeros(len(pdf), dtype=np.int32)
+            for i, payload in enumerate(pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                vals = np.frombuffer(raw, dtype=np.uint8)
+                g = np.repeat(np.repeat(vals.reshape(1, -1), 8, 0), 8, 1)
+                img = np.stack([g, g, g], axis=-1)
+                widths[i] = img.shape[1]
+                payloads.append(encode_jpeg(img, subsampling="420"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": widths,
+                }
+            )
+
+    staged = attach_payload(docs).mapInPandas(
+        enc, "media_id long, payload binary, width int"
+    )
+    return staged.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit(JPEG_MIME).alias("mime"),
+            F.col("width"),
+            F.lit(8).alias("height"),
+        ).alias("meta"),
+    )
+
+
 BLOCK_STATS_SCHEMA = "media_id long, n_blocks long, mean_y double, var_y double"
 
 
@@ -379,7 +425,15 @@ def jpeg_block_stats(media: DataFrame) -> DataFrame:
             mean = np.full(len(pdf), np.nan)
             var = np.full(len(pdf), np.nan)
             for i, payload in enumerate(pdf["payload"]):
-                plane = decode_jpeg(payload).astype(np.int64)
+                px = decode_jpeg(payload).astype(np.int64)
+                if px.ndim == 3:
+                    # 4:2:0 color staging: gray input must decode with all
+                    # three channels equal (zero chroma) — else loud.
+                    if np.ptp(px, axis=2).max(initial=0) != 0:
+                        n_out[i] = -1
+                        continue
+                    px = px[..., 0]
+                plane = px
                 h, w = plane.shape
                 blocks = (
                     plane.reshape(h // 8, 8, w // 8, 8)

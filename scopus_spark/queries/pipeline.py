@@ -1413,3 +1413,47 @@ def j33_jpeg_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").between(1, 8191)
     )
     return multimodal.jpeg_block_stats(multimodal.attach_jpeg(docs))
+
+
+# --- j34: 4:2:0-subsampled color JPEG decode + block statistics ----------------------
+@register(
+    "j34",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+      WHERE octet_length(encode(text)) BETWEEN 1 AND 8191
+    ),
+    px AS (
+      SELECT doc_id, ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS v
+      FROM (
+        SELECT doc_id, hx, unnest(range(1, n_bytes + 1)) AS i FROM b
+      )
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT)  AS n_blocks,
+           sum(v) / count(*)         AS mean_y,
+           (count(*) * sum(v * v) - sum(v) * sum(v))
+             / (count(*) * count(*)) AS var_y
+    FROM px GROUP BY doc_id
+    """,
+)
+def j34_jpeg420_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled COLOR JPEG decode — the layout nearly every
+    real-world JPEG ships — hash-proven bit-exact via the gray-in-color
+    construction: staged payloads carry Y = the text bytes as constant
+    blocks and exactly-zero chroma (r=g=b input cancels the JFIF Cb/Cr
+    formulas to 128, and 2x2-mean subsampling of a constant plane is
+    lossless), so the decoder's full 4:2:0 path — interleaved MCUs of
+    four Y blocks plus Cb plus Cr, per-component DC prediction across a
+    multi-block MCU, chroma upsampling, YCbCr->RGB — must reproduce the
+    byte-level ground truth channel-for-channel or the extractor's
+    equality guards emit a loud sentinel. Complements j33 (4:4:4
+    grayscale): between them the two keys pin both MCU geometries the
+    baseline decoder supports. Same zero-shuffle two-mapInPandas-stage
+    plan as j32/j33."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.octet_length("text").between(1, 8191)
+    )
+    return multimodal.jpeg_block_stats(multimodal.attach_jpeg420(docs))

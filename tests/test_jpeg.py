@@ -149,11 +149,45 @@ def test_scope_and_corruption_rejects(mutate, msg):
         decode_jpeg(data)
 
 
-def test_subsampling_rejected():
+def test_sampling_factors_beyond_two_rejected():
     img = np.full((8, 8), 10, dtype=np.uint8)
     data = bytearray(encode_jpeg(img))
     i = data.find(b"\xff\xc0")
     # sampling byte of component 1 lives at SOF0 payload offset 7
-    data[i + 4 + 7] = 0x22
-    with pytest.raises(ValueError, match="subsampling"):
+    data[i + 4 + 7] = 0x33
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(data))
+
+
+def test_420_constant_macroblocks_near_lossless():
+    """Per-16x16-macroblock constant color survives 4:2:0 within the
+    YCbCr round-trip rounding (chroma subsampling itself is lossless on
+    constant 2x2 cells)."""
+    rng = np.random.RandomState(3)
+    mb = rng.randint(0, 256, size=(2, 3, 3))
+    img = np.repeat(np.repeat(mb, 16, 0), 16, 1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_420_gray_block_constant_is_exact():
+    """The j34 contract: r=g=b input -> zero chroma -> constant Y blocks
+    decode EXACTLY through the full 4:2:0 MCU interleave, including the
+    bottom-pad crop (8-px-tall image against 16-px MCUs) and an odd block
+    count (right-half Y pad in the final MCU)."""
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 256, size=13)
+    g = np.repeat(np.repeat(vals.reshape(1, -1), 8, 0), 8, 1)
+    img = np.stack([g, g, g], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert np.array_equal(dec, img)
+
+
+def test_420_odd_dims_crop_and_tolerance():
+    rng = np.random.RandomState(17)
+    y = rng.randint(0, 256, size=(19, 21))
+    img = np.stack([y, y, y], -1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert dec.shape == (19, 21, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
