@@ -19,9 +19,13 @@ Round 4: the decode tier is split honestly in two —
   pure stdlib+numpy T.81 baseline codec (Huffman entropy decode, dequant,
   zigzag, matrix IDCT, JFIF color transform). j33 HASH-checks it via
   block-constant staged images, which survive quant=1 JPEG exactly.
-- Remaining codecs (WebP, audio/video) stay STUBBED with a clearly-
-  marked NotImplementedError: a real deployment plugs Pillow/ffmpeg into
-  the same decode_pixels dispatch.
+- AUDIO decodes FOR REAL as of round 7: operators/wav.py parses
+  RIFF/WAVE integer-PCM containers with stdlib struct; j35 HASH-checks
+  the decode->feature loop (PCM is lossless, so no staging construction
+  is needed for exactness).
+- Remaining codecs (WebP, compressed audio, video containers) stay
+  STUBBED with a clearly-marked NotImplementedError: a real deployment
+  plugs Pillow/ffmpeg into the same decode dispatch.
 """
 
 from __future__ import annotations
@@ -459,3 +463,95 @@ def jpeg_block_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(stats, BLOCK_STATS_SCHEMA)
+
+
+WAV_MIME = "audio/wav"
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_samples long, sample_rate long, peak_abs long, "
+    "mean_amp double, rms double, zero_crossings long"
+)
+
+
+def attach_wav(docs: DataFrame) -> DataFrame:
+    """documents -> media table whose payloads are REAL RIFF/WAVE files:
+    the text's utf-8 bytes read as little-endian int16 PCM samples (pairs
+    of bytes; a trailing odd byte is dropped, mirroring PCM frame
+    truncation). PCM is lossless, so unlike the image tiers no staging
+    construction is needed for exactness — container encode/decode must
+    be byte-faithful or j35's hash breaks. Callers pre-filter to >= 2
+    bytes (at least one complete sample)."""
+    from scopus_spark.operators.wav import encode_wav
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                n = (len(raw) // 2) * 2
+                samples = np.frombuffer(raw[:n], dtype="<i2")
+                payloads.append(encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    staged = attach_payload(docs).mapInPandas(
+        enc, "media_id long, payload binary"
+    )
+    return staged.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit(WAV_MIME).alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio features over DECODED PCM samples — the audio
+    analog of image_channel_stats (decode -> ndarray -> per-item feature
+    vector, Arrow-batched, zero shuffle): sample count, peak amplitude,
+    mean amplitude, RMS energy, and zero-crossing count (the classic
+    cheap voicing/noisiness signal). Determinism contract: sums
+    accumulate in int64 (exact), mean/rms are ONE double division (plus
+    one IEEE sqrt for rms) from exact integers, crossings are integer
+    comparisons — all bit-identical cross-engine, so j35 is
+    HASH-checkable with no rounding."""
+    from scopus_spark.operators.wav import decode_wav
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = len(pdf)
+            n_out = np.zeros(k, dtype=np.int64)
+            rate_out = np.zeros(k, dtype=np.int64)
+            peak = np.zeros(k, dtype=np.int64)
+            mean = np.full(k, np.nan)
+            rms = np.full(k, np.nan)
+            zc = np.zeros(k, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                samples, rate = decode_wav(payload)
+                v = samples[:, 0]  # staged mono
+                n = v.shape[0]
+                n_out[i], rate_out[i] = n, rate
+                if n == 0:
+                    continue
+                s, ssq = int(v.sum()), int((v * v).sum())
+                peak[i] = int(np.abs(v).max())
+                mean[i] = s / n
+                rms[i] = np.sqrt(ssq / n)
+                zc[i] = int(((v[:-1] < 0) != (v[1:] < 0)).sum())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_samples": n_out,
+                    "sample_rate": rate_out,
+                    "peak_abs": peak,
+                    "mean_amp": mean,
+                    "rms": rms,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return media.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)

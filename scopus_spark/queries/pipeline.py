@@ -1457,3 +1457,62 @@ def j34_jpeg420_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").between(1, 8191)
     )
     return multimodal.jpeg_block_stats(multimodal.attach_jpeg420(docs))
+
+
+# --- j35: REAL WAV (RIFF PCM) audio decode + feature extraction ----------------------
+@register(
+    "j35",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE octet_length(encode(text)) >= 2
+    ),
+    s AS (
+      SELECT doc_id, i,
+             ('0x' || substr(hx, 4 * i - 3, 2))::BIGINT
+             + 256 * ('0x' || substr(hx, 4 * i - 1, 2))::BIGINT AS u
+      FROM (
+        SELECT doc_id, hx, unnest(range(1, n_bytes // 2 + 1)) AS i FROM b
+      )
+    ),
+    v AS (
+      SELECT doc_id, i,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM s
+    ),
+    x AS (
+      SELECT doc_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM v
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT)               AS n_samples,
+           CAST(8000 AS BIGINT)                   AS sample_rate,
+           CAST(max(abs(v)) AS BIGINT)            AS peak_abs,
+           sum(v) / count(*)                      AS mean_amp,
+           sqrt(sum(v * v) / count(*))            AS rms,
+           CAST(count(*) FILTER (pv IS NOT NULL AND ((v < 0) != (pv < 0)))
+                AS BIGINT)                        AS zero_crossings
+    FROM x GROUP BY doc_id
+    """,
+)
+def j35_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode — the multimodal tier's third modality: payloads
+    are genuine RIFF/WAVE files (operators/wav.py: stdlib-struct
+    container framing, fmt/data chunk walk with halfword alignment,
+    little-endian int16 PCM) staged from the text bytes as PCM samples,
+    then decoded and reduced to the classic per-clip features (sample
+    count, peak amplitude, mean amplitude, RMS energy, zero-crossing
+    count). PCM is lossless, so — unlike the image tiers' block-constant
+    constructions — exactness needs no staging trick: the oracle
+    reconstructs the same int16 samples byte-by-byte in SQL, and a green
+    hash proves the container encode -> parse -> sample-decode ->
+    feature loop is byte-faithful (mean/rms are one double division and
+    one IEEE sqrt from exact int64 sums; everything else is integer).
+
+    100 TB shape: encode+decode+features are pure map work (two
+    mapInPandas stages, zero shuffle); a real corpus scans stored WAVs
+    via binaryFile (a21)."""
+    docs = table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 2)
+    return multimodal.audio_features(multimodal.attach_wav(docs))

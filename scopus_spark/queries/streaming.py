@@ -374,6 +374,53 @@ def i12_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_error_pairs_full(table(spark, sf_dir, "events"))
 
 
+def purchase_error_pairs_right(events: DataFrame) -> DataFrame:
+    """RIGHT OUTER rendering of purchase_error_pairs: every error emits,
+    null-padded when no same-user purchase preceded it within the hour —
+    the orphan-effect shape (errors with no identifiable cause). Streaming
+    eviction mirrors i12's error side: an error's candidate purchases all
+    precede it, so its null-padded row emits once the watermark passes
+    e_ts."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") > F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "right_outer",
+    ).select("p_id", "e_id", F.col("e_user").alias("user_id"))
+
+
+# --- i13: stream-stream RIGHT OUTER interval join (batch equiv HASH) -------------
+@register(
+    "i13",
+    oracle="""
+    SELECT p.event_id AS p_id, e.event_id AS e_id, e.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts > p.ts
+     AND e.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
+def i13_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases RIGHT OUTER ⋈ same-user errors within 1h — the mirror of
+    i11, filling in the last cell of the streaming join matrix (i8 inner,
+    i11 left, i12 full, i13 right). Streaming eviction semantics are the
+    error side of i12's scripted test; the batch equivalent is HASH-
+    checked here."""
+    return purchase_error_pairs_right(table(spark, sf_dir, "events"))
+
+
 # --- i9: arbitrary stateful processing v2 (transformWithState) -------------------
 @register(
     "i9",
