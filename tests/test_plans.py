@@ -273,3 +273,36 @@ def test_j30_profiles_broadcast_to_scoring(spark, sf_dir):
     p = _plan(df)
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_h22_pair_join_is_broadcast(spark, sf_dir):
+    """Blocked fuzzy matching: the per-block self-join of the distinct
+    registry must be a broadcast hash join (the registry is bounded by
+    construction; shuffling the corpus for it would be wrong), and the
+    corpus-scale distinct must keep its map-side partial aggregate."""
+    p = _plan(QUERIES["h22"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_n10_audit_counts_share_one_window(spark, sf_dir):
+    """Entity resolution's cluster_size / cluster_parts / canonical /
+    keep-flag must all come from windows over ONE cluster_id partitioning
+    — the plan may sort within partitions twice (unordered + ordered
+    frames) but must not re-shuffle between window groups."""
+    p = _plan(QUERIES["n10"](spark, sf_dir))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(cluster_id", p)
+    assert len(exchanges) == 1, (len(exchanges), p)
+
+
+def test_multimodal_codec_keys_zero_shuffle(spark, sf_dir):
+    """j33/j34 (JPEG) and j35 (WAV): stage-encode, decode, and feature
+    extraction are pure map work — two mapInPandas stages, no Exchange
+    anywhere in the plan. At 100 TB this is the difference between a
+    pipeline that streams through executors and one that shuffles
+    payload bytes."""
+    for key in ("j33", "j34", "j35"):
+        p = _plan(QUERIES[key](spark, sf_dir))
+        assert "Exchange" not in p, (key, p)
