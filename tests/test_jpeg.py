@@ -191,3 +191,29 @@ def test_420_odd_dims_crop_and_tolerance():
     dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
     assert dec.shape == (19, 21, 3)
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+# --- hypothesis property: block-constant exactness over the full byte range ---------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        vals=st.lists(st.integers(0, 255), min_size=1, max_size=40),
+        sub=st.sampled_from(["gray444", "color420"]),
+    )
+    def test_property_block_constant_exact(vals, sub):
+        """Any byte sequence staged as constant blocks survives quant=1
+        baseline JPEG exactly, in both MCU geometries."""
+        g = np.repeat(np.repeat(np.array(vals).reshape(1, -1), 8, 0), 8, 1)
+        if sub == "gray444":
+            img = g.astype(np.uint8)
+            dec = decode_jpeg(encode_jpeg(img))
+        else:
+            img = np.stack([g, g, g], -1).astype(np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+        assert np.array_equal(dec, img)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

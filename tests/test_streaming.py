@@ -478,3 +478,44 @@ def test_i12_full_outer_emission_timing(spark):
         assert rows3 == {(None, 6, 9)}, rows3
     finally:
         rig.cleanup()
+
+
+def test_i13_right_outer_emission_timing(spark):
+    """Stream-stream RIGHT OUTER interval join: only the error side
+    null-pads, and its row emits exactly when the watermark passes e_ts
+    (candidate purchases all precede an error). Same scenario as the i12
+    test — here the unmatched purchase must NEVER surface."""
+    build = lambda s: sq.purchase_error_pairs_right(  # noqa: E731
+        s.withWatermark("ts", "10 minutes")
+    )
+    cols = ["p_id", "e_id", "user_id"]
+    rig = StreamRig(spark)
+    try:
+        rig.drop_file(
+            _mk_events(
+                spark,
+                [
+                    (1, "2024-01-01 10:00:00", 1, "purchase", 1.0),
+                    (2, "2024-01-01 10:20:00", 1, "error", 1.0),
+                    (3, "2024-01-01 10:05:00", 2, "purchase", 1.0),  # no error ever
+                    (4, "2024-01-01 10:10:00", 3, "error", 1.0),     # no purchase ever
+                    (5, "2024-01-01 11:00:00", 9, "error", 1.0),     # WM -> 10:50
+                ],
+            )
+        )
+        rows1 = {tuple(r[c] for c in cols) for r in rig.run(build, output_mode="append")}
+        assert rows1 == {(1, 2, 1), (None, 4, 3)}, rows1
+        # WM 12:20: error 5 (u9, unmatched) evicts and null-pads; purchase
+        # 3's window closing must emit NOTHING on the right-outer side.
+        rig.drop_file(
+            _mk_events(spark, [(6, "2024-01-01 12:30:00", 9, "error", 1.0)])
+        )
+        rows2 = {tuple(r[c] for c in cols) for r in rig.run(build, output_mode="append")}
+        assert rows2 == {(None, 5, 9)}, rows2
+        rig.drop_file(
+            _mk_events(spark, [(7, "2024-01-01 13:30:00", 9, "error", 1.0)])
+        )
+        rows3 = {tuple(r[c] for c in cols) for r in rig.run(build, output_mode="append")}
+        assert rows3 == {(None, 6, 9)}, rows3
+    finally:
+        rig.cleanup()

@@ -81,3 +81,22 @@ def test_roundtrip_int16_and_uint8():
 def test_scope_and_corruption_rejects(data, msg):
     with pytest.raises(ValueError, match=msg):
         decode_wav(data)
+
+
+# --- hypothesis property: PCM container round-trip is byte-faithful -----------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        vals=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_property_pcm_roundtrip(vals, rate):
+        v = np.array(vals, dtype=np.int16)
+        dec, r = decode_wav(encode_wav(v, sample_rate=rate))
+        assert r == rate and dec[:, 0].tolist() == vals
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
