@@ -23,7 +23,12 @@ Round 4: the decode tier is split honestly in two —
   RIFF/WAVE integer-PCM containers with stdlib struct; j35 HASH-checks
   the decode->feature loop (PCM is lossless, so no staging construction
   is needed for exactness).
-- Remaining codecs (WebP, compressed audio, video containers) stay
+- VIDEO decodes FOR REAL as of round 7: operators/avi.py parses
+  uncompressed BI_RGB AVI containers (ffmpeg's rawvideo output) with the
+  DIB quirks implemented faithfully (bottom-up rows, BGR order, 4-byte
+  stride); j36 HASH-checks frame-sampled statistics against byte-level
+  ground truth.
+- Remaining codecs (WebP, compressed audio/video: H.264, AAC, ...) stay
   STUBBED with a clearly-marked NotImplementedError: a real deployment
   plugs Pillow/ffmpeg into the same decode dispatch.
 """
@@ -555,3 +560,95 @@ def audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+AVI_MIME = "video/x-msvideo"
+
+VIDEO_STATS_SCHEMA = (
+    "media_id long, n_frames long, n_sampled long, n_px long, "
+    "mean_r double, mean_g double, mean_b double, "
+    "var_r double, var_g double, var_b double"
+)
+
+
+def attach_avi(docs: DataFrame) -> DataFrame:
+    """documents -> media table whose payloads are REAL uncompressed AVI
+    files: the text's utf-8 bytes read as RGB triples (j27's pixel
+    buffers), grouped 4 pixels per 2x2 frame (incomplete trailing
+    triples/frames dropped). Raw BI_RGB frames are lossless, so decode
+    must reproduce every staged pixel byte-for-byte — including the DIB
+    bottom-up row order, BGR swap, and 4-byte row stride the container
+    mandates (a decoder that gets any of them wrong scrambles pixels and
+    breaks j36's hash). Callers pre-filter to >= 12 bytes (one complete
+    frame)."""
+    from scopus_spark.operators.avi import encode_avi
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                n = (len(raw) // 3) * 3
+                px = np.frombuffer(raw[:n], dtype=np.uint8).reshape(-1, 3)
+                nf = px.shape[0] // 4
+                frames = px[: nf * 4].reshape(nf, 2, 2, 3)
+                payloads.append(encode_avi(frames, fps=10))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    staged = attach_payload(docs).mapInPandas(
+        enc, "media_id long, payload binary"
+    )
+    return staged.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit(AVI_MIME).alias("mime"),
+            F.lit(2).alias("width"),
+            F.lit(2).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-SAMPLED per-clip channel statistics over DECODED video — the
+    video analog of image_channel_stats and the canonical cheap treatment
+    of video in a training-data pipeline (decode, keep every n-th frame,
+    featurize the kept frames). Same exactness contract: int64 sums over
+    the sampled pixels, population variance as ONE double division from
+    exact integers, so j36 is HASH-checkable."""
+    from scopus_spark.operators.avi import decode_avi
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = len(pdf)
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "n_frames": np.zeros(k, dtype=np.int64),
+                "n_sampled": np.zeros(k, dtype=np.int64),
+                "n_px": np.zeros(k, dtype=np.int64),
+            }
+            cols = {}
+            for c in ("r", "g", "b"):
+                cols[f"mean_{c}"] = np.full(k, np.nan)
+                cols[f"var_{c}"] = np.full(k, np.nan)
+            for i, payload in enumerate(pdf["payload"]):
+                frames, _ = decode_avi(payload)
+                sampled = frames[::every_n]
+                px = sampled.reshape(-1, 3).astype(np.int64)
+                n = px.shape[0]
+                out["n_frames"][i] = frames.shape[0]
+                out["n_sampled"][i] = sampled.shape[0]
+                out["n_px"][i] = n
+                if n == 0:
+                    continue
+                s = px.sum(axis=0)
+                ssq = (px * px).sum(axis=0)
+                for ci, c in enumerate(("r", "g", "b")):
+                    sc, qc = int(s[ci]), int(ssq[ci])
+                    cols[f"mean_{c}"][i] = sc / n
+                    cols[f"var_{c}"][i] = (n * qc - sc * sc) / (n * n)
+            yield pd.DataFrame({**out, **cols})
+
+    return media.mapInPandas(stats, VIDEO_STATS_SCHEMA)

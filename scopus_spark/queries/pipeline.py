@@ -1516,3 +1516,67 @@ def j35_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     via binaryFile (a21)."""
     docs = table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 2)
     return multimodal.audio_features(multimodal.attach_wav(docs))
+
+
+# --- j36: REAL uncompressed-AVI video decode + frame-sampled statistics --------------
+@register(
+    "j36",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE octet_length(encode(text)) >= 12
+    ),
+    px AS (
+      SELECT doc_id, (i - 1) % 3 AS chan, (i - 1) // 3 AS t,
+             (n_bytes // 3) // 4 AS n_frames,
+             ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT AS v
+      FROM (
+        SELECT doc_id, hx, n_bytes,
+               unnest(range(1, (n_bytes // 3) * 3 + 1)) AS i
+        FROM b
+      )
+    ),
+    sel AS (
+      SELECT * FROM px
+      WHERE t < 4 * n_frames AND (t // 4) % 2 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(max(n_frames) AS BIGINT)           AS n_frames,
+           CAST((max(n_frames) + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(count(*) // 3 AS BIGINT)           AS n_px,
+           sum(v) FILTER (chan = 0) / (count(*) // 3) AS mean_r,
+           sum(v) FILTER (chan = 1) / (count(*) // 3) AS mean_g,
+           sum(v) FILTER (chan = 2) / (count(*) // 3) AS mean_b,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 0)
+              - sum(v) FILTER (chan = 0) * sum(v) FILTER (chan = 0))
+             / ((count(*) // 3) * (count(*) // 3))     AS var_r,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 1)
+              - sum(v) FILTER (chan = 1) * sum(v) FILTER (chan = 1))
+             / ((count(*) // 3) * (count(*) // 3))     AS var_g,
+           ((count(*) // 3) * sum(v * v) FILTER (chan = 2)
+              - sum(v) FILTER (chan = 2) * sum(v) FILTER (chan = 2))
+             / ((count(*) // 3) * (count(*) // 3))     AS var_b
+    FROM sel GROUP BY doc_id
+    """,
+)
+def j36_video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling — the multimodal tier's fourth
+    modality: payloads are genuine uncompressed AVI files
+    (operators/avi.py: RIFF walk, avih/strh/strf headers, BI_RGB '00db'
+    frame chunks) staged from the text bytes as 2x2 RGB frames, then
+    decoded and reduced to channel statistics over EVERY SECOND frame —
+    the canonical cheap treatment of video in a training-data pipeline
+    (decode, keep every n-th frame, featurize the kept frames). Raw
+    BI_RGB frames are lossless, so exactness needs no staging trick, but
+    the container's DIB quirks (bottom-up row order, BGR byte swap,
+    4-byte row stride) must all be decoded faithfully: any of them wrong
+    scrambles pixels and breaks the hash against the byte-level oracle,
+    which reconstructs the sampled frames' pixels straight off the text.
+
+    100 TB shape: encode+decode+sample+stats are pure map work (two
+    mapInPandas stages, zero shuffle; plan-asserted); a real corpus scans
+    stored AVIs via binaryFile (a21) and the sampling ratio is the knob
+    that trades feature fidelity for decode cost."""
+    docs = table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 12)
+    return multimodal.video_frame_stats(multimodal.attach_avi(docs), every_n=2)

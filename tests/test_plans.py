@@ -298,11 +298,11 @@ def test_n10_audit_counts_share_one_window(spark, sf_dir):
 
 
 def test_multimodal_codec_keys_zero_shuffle(spark, sf_dir):
-    """j33/j34 (JPEG) and j35 (WAV): stage-encode, decode, and feature
+    """j33/j34 (JPEG), j35 (WAV), j36 (AVI): stage-encode, decode, and feature
     extraction are pure map work — two mapInPandas stages, no Exchange
     anywhere in the plan. At 100 TB this is the difference between a
     pipeline that streams through executors and one that shuffles
     payload bytes."""
-    for key in ("j33", "j34", "j35"):
+    for key in ("j33", "j34", "j35", "j36"):
         p = _plan(QUERIES[key](spark, sf_dir))
         assert "Exchange" not in p, (key, p)
