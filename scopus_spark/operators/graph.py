@@ -214,9 +214,20 @@ def pagerank(
     same node key every round (co-partition with the edge list), and each
     round localCheckpoints like connected_components above — plan depth
     stays O(1) in iters instead of unrolling iters joins+aggs into one
-    lineage (a plan-depth bomb past a handful of rounds). The checkpoints
-    are LAZY (eager=False) so merely constructing this DataFrame schedules
-    zero jobs — the repo's declared-lazy query contract. Note for
+    lineage (a plan-depth bomb past a handful of rounds).
+
+    Honesty correction (round 7, measured): the round-5 claim that
+    eager=False makes construction schedule zero jobs was WRONG.
+    localCheckpoint — eager or not — builds the checkpoint RDD via
+    queryExecution.toRdd, and under AQE that materializes the prior
+    round's shuffle stages, so constructing this DataFrame runs the
+    iteration jobs up front (~58 jobs for 5 rounds at sf0.001) and the
+    returned plan then executes in milliseconds. That cost is inherent to
+    mid-lineage checkpointing, paid exactly once, and equals work the
+    first action would have done anyway — but it is NOT lazy, and code
+    that must stay action-free at plan-build time (the j31 contract)
+    cannot use localCheckpoint at all; it uses persist() + footer-count
+    metadata instead (queries/pipeline.py::j31_knn_join). Note for
     production runs with executor churn: localCheckpoint blocks are not
     fault-tolerant; swap in reliable `checkpoint()` (HDFS/S3 dir) when an
     executor loss mid-run must be recoverable.
