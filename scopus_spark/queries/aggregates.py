@@ -753,3 +753,71 @@ def d24_percentile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- d25: mergeable HLL sketch rollup (incremental distinct counts) ------------------
+@register(
+    "d25",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS merged_within_2pct,
+           TRUE AS oneshot_within_2pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d25_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (Apache DataSketches, built
+    into Spark as hll_sketch_agg/hll_union_agg) — the production shape
+    for incremental distinct counts at 100 TB: each daily/monthly batch
+    persists a tiny fixed-size sketch (2^lgK registers, here lgK=14 →
+    ~16 KB, ≤0.52% rse) instead of its raw keys, and any rollup window is
+    answered by UNIONING stored sketches — never by re-scanning the
+    corpus, and unlike approx_count_distinct the partial state is a
+    first-class storable/mergeable column. This key builds per-month
+    sketches of distinct part keys, merges them per returnflag, and
+    checks BOTH the merged and the one-shot estimate land within 2% of
+    the exact distinct count (lgK=14 gives 3.8 sigma of slack at the
+    declared tolerance). The hashed output carries the exact count plus
+    the two tolerance verdicts, so DuckDB (which has no DataSketches
+    HLL) can reproduce it exactly; tests/test_aggregates.py additionally
+    property-checks sketch-union associativity on splits of the data.
+    Relationship to d22: d22 declares the union LAW (per-flag sketches +
+    an ALL row, ROWS-only because estimates are approximate); d25 is the
+    law's production rollup shape made HASH-auditable — time-bucketed
+    partial sketches, merged, and VERIFIED against exact counts inside
+    the query itself.
+
+    Plan: two partial+final hash-agg passes (sketch build, sketch merge)
+    plus one exact-distinct pass for the audit column; in production only
+    the first pass touches data — the merge reads stored 16 KB sketches."""
+    li = table(spark, sf_dir, "lineitem")
+    per_month = li.groupBy(
+        "l_returnflag", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sk"))
+    merged = per_month.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("est_merged")
+    )
+    oneshot = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14))).alias(
+            "est_oneshot"
+        ),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    tol = 0.02
+    return (
+        merged.join(oneshot, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("est_merged") - F.col("exact_parts"))
+                <= tol * F.col("exact_parts")
+            ).alias("merged_within_2pct"),
+            (
+                F.abs(F.col("est_oneshot") - F.col("exact_parts"))
+                <= tol * F.col("exact_parts")
+            ).alias("oneshot_within_2pct"),
+        )
+    )

@@ -615,3 +615,58 @@ def c16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("asof_c_ts").cast("timestamp"))
         ).alias("us_since_click"),
     )
+
+
+# --- c17: runtime Bloom-filter join pruning ------------------------------------------
+@register(
+    "c17",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 5
+    GROUP BY l_returnflag
+    """,
+)
+def c17_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning — the shuffle-join regime where
+    the dim side is TOO BIG to broadcast (the 100 TB reality for
+    customer/part-sized dims, simulated here by a session-scoped
+    autoBroadcastJoinThreshold=-1): Catalyst's InjectRuntimeFilter builds
+    a bloom_filter_agg over the FILTERED dim keys (p_size < 5 keeps ~10%
+    of parts) and injects might_contain(l_partkey) into the fact side
+    BEFORE its shuffle, so ~90% of lineitem rows drop at the scan instead
+    of crossing the wire — the runtime analogue of a15's dynamic
+    partition pruning, but row-level and layout-independent. The bloom
+    configs live on a spark.newSession() clone (shared SparkContext, own
+    SQLConf), so the shared session's planning — every other key in a
+    soak — is untouched, and they stay in force for the returned
+    DataFrame's own execution. tests/test_plans.py asserts
+    bloom_filter_agg + might_contain appear in the executed plan and the
+    broadcast regime really was off. At 100 TB the creation-side
+    threshold guards the build cost: the filter is built map-side in one
+    pass over the already-filtered dim and OR-merged at the driver
+    (bytes ~ 8M bits default), then shipped with the fact scan tasks."""
+    ns = spark.newSession()
+    for k in (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.session.timeZone",
+    ):
+        ns.conf.set(k, spark.conf.get(k))
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = table(ns, sf_dir, "lineitem")
+    part = table(ns, sf_dir, "part").filter(F.col("p_size") < 5)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )

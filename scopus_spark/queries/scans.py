@@ -549,3 +549,110 @@ def a21_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("payload_sha"),
     )
+
+
+# --- a22: ORC round-trip -------------------------------------------------------------
+@register(
+    "a22",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_orderkey % 25 = 0
+    """,
+)
+def a22_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write a lineitem sample as ORC (Spark-native
+    columnar sibling of parquet — the interchange format a Hive-heritage
+    warehouse hands us), read it back with the explicit source schema,
+    hash-compared against the ORIGINAL parquet rows. DuckDB has no ORC
+    reader, so — as with every staged-format key — the oracle recomputes
+    the slice from source parquet and the hash proves round-trip
+    fidelity, not reader agreement. Scale notes: ORC scans get the same
+    vectorized columnar read + predicate pushdown as parquet
+    (plan-asserted PushedFilters in tests/test_sources.py), so a 100 TB
+    ORC landing zone reads with per-stripe pruning; steady state should
+    still convert to the engine's parquet layout (one format, one
+    stats-collection path)."""
+    path = _stage(sf_dir, "lineitem_orc")
+    sample = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            "l_shipdate",
+        )
+    )
+    sample.write.mode("overwrite").orc(path)
+    return spark.read.schema(sample.schema).orc(path)
+
+
+# --- a23: Z-order clustered layout + 2-D data skipping -------------------------------
+def _zvalue(x, y, bits: int = 16):
+    """Morton/Z-value: interleave the low `bits` of two non-negative
+    integer columns (x -> even bit positions, y -> odd). Pure JVM column
+    arithmetic (shift/and/add) — whole-stage-codegen'd, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@register(
+    "a23",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+      AND l_partkey <= 400
+    """,
+)
+def a23_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered parquet layout + two-dimensional data skipping —
+    the plain-parquet answer to Delta/Iceberg OPTIMIZE ZORDER. The fact
+    table is rewritten clustered by the Morton interleave of its two hot
+    filter dimensions (ship date, part key): repartitionByRange on the
+    z-value plus sortWithinPartitions gives every output file AND every
+    parquet row group a tight min/max envelope on BOTH columns at once,
+    so the ordinary footer-stats pruning a parquet reader already does
+    (no table format needed) skips most of the corpus for 2-D predicates.
+    The returned query re-reads the clustered layout with a 2-D
+    predicate; the oracle recomputes it from the source table, proving
+    the rewrite is lossless and pruning drops nothing it shouldn't.
+    tests/test_sources.py asserts the skipping itself: row-group stats of
+    the z-layout prune strictly more than a natural (orderkey-sorted)
+    layout for the same predicate. Scale notes: the one-time rewrite is a
+    single range-shuffle sort (the layout job a nightly compaction runs);
+    16 interleave bits quantize each dimension to 65k buckets — at 100 TB
+    widen to 21 bits/dim (42-bit z fits a long with room for a third
+    dimension). Clustering cost is amortized across every subsequent
+    pruned scan."""
+    path = _stage(sf_dir, "lineitem_zorder")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    days = F.datediff(F.col("l_shipdate"), F.lit("1995-01-01")).cast("long")
+    z = _zvalue(days, F.col("l_partkey").cast("long"))
+    (
+        li.withColumn("zval", z)
+        .repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.schema(li.schema).parquet(path)
+    return back.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        & (F.col("l_partkey") <= 400)
+    )

@@ -306,3 +306,25 @@ def test_multimodal_codec_keys_zero_shuffle(spark, sf_dir):
     for key in ("j33", "j34", "j35", "j36"):
         p = _plan(QUERIES[key](spark, sf_dir))
         assert "Exchange" not in p, (key, p)
+
+
+def test_c17_bloom_filter_injected_without_polluting_session(spark, sf_dir):
+    """c17's runtime bloom filter must appear in ITS executed plan (built
+    on a newSession clone) while the shared session's planning regime —
+    broadcast joins on, default bloom thresholds — stays untouched."""
+    df = QUERIES["c17"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    # no broadcast anywhere in c17's plan: the whole point is the
+    # too-big-to-broadcast regime
+    assert "BroadcastHashJoin" not in plan
+    # the shared session still broadcasts and keeps default bloom thresholds
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        != "0"
+    )

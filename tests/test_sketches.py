@@ -95,3 +95,22 @@ def test_d22_hll_union_within_sketch_accuracy(spark, sf_dir):
     assert abs(direct - exact) / exact < 0.05
     # per-group estimates must each be sane too (superset sanity)
     assert all(v <= rows["ALL"] * 1.05 for k, v in rows.items() if k != "ALL")
+
+
+def test_d25_sketch_union_is_split_invariant(spark, sf_dir):
+    """d25's production claim: sketches built over ANY partition of the
+    data and unioned estimate the same cardinality (within tolerance) as
+    a one-shot sketch — here an orderkey-parity split, a different
+    partition than d25's month buckets."""
+    li = table(spark, sf_dir, "lineitem")
+    halves = li.groupBy((F.col("l_orderkey") % 2).alias("h")).agg(
+        F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sk")
+    )
+    est = halves.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("e")
+    ).collect()[0]["e"]
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(est - exact) / exact < 0.02
+    # and the registered key's own audit columns all hold
+    rows = Q["d25"](spark, sf_dir).collect()
+    assert rows and all(r["merged_within_2pct"] and r["oneshot_within_2pct"] for r in rows)

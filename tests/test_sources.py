@@ -83,3 +83,71 @@ def test_a16_observation_metrics(spark, sf_dir):
     assert got["rows_in"] == expected_rows == n_lines_total
     assert got["null_qty_rows"] == 0
     assert got["total_qty"] == li.agg(F.sum("l_quantity")).first()[0]
+
+
+def test_a22_orc_scan_gets_pushdown(spark, sf_dir):
+    """The ORC read must be the vectorized columnar scan with predicate
+    pushdown — same guarantees the parquet path gets (a1)."""
+    df = QUERIES["a22"](spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Format: ORC" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+    assert "Batched: true" in plan
+
+
+def test_a23_zorder_prunes_more_rowgroups_than_natural_layout(spark, sf_dir):
+    """The point of the z-order rewrite: for a 2-D predicate, parquet
+    row-group min/max stats must prune MORE of the z-clustered layout
+    than of a natural (orderkey-sorted) layout of the same rows — and
+    stats-pruned row groups must be provably empty of matches."""
+    import datetime
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scopus_spark.queries.scans import _stage
+
+    # materialize the z layout (the registered query writes then reads it)
+    QUERIES["a23"](spark, sf_dir).count()
+    zpath = _stage(sf_dir, "lineitem_zorder")
+
+    npath = _stage(sf_dir, "lineitem_natural")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(npath)
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+    pk_max = 400
+
+    def prunable_rowgroups(path):
+        total, pruned = 0, 0
+        for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                total += 1
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(
+                        i
+                    )
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                sd = cols["l_shipdate"].statistics
+                pk = cols["l_partkey"].statistics
+                if sd is None or pk is None:
+                    continue
+                if sd.max < lo or sd.min >= hi or pk.min > pk_max:
+                    pruned += 1
+        return pruned, total
+
+    z_pruned, z_total = prunable_rowgroups(zpath)
+    n_pruned, n_total = prunable_rowgroups(npath)
+    assert z_total >= 16 and n_total >= 16
+    # the natural layout is clustered on neither dimension -> ~nothing prunes;
+    # the z layout must prune at least half its row groups for this predicate
+    assert z_pruned > n_pruned
+    assert z_pruned >= z_total // 2
