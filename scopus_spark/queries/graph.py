@@ -701,3 +701,74 @@ def n10_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("p_name").over(w_rank).alias("canonical_name"),
         (F.row_number().over(w_rank) == 1).alias("is_canonical"),
     )
+
+
+# --- n11: GraphFrames-style motif finding ---------------------------------------------
+_N11_EDGES_SQL = """
+    SELECT cn.n_name AS src, sn.n_name AS dst
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c ON o.o_custkey   = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    HAVING count(*) >= 20
+"""
+
+
+@register(
+    "n11",
+    oracle=f"""
+    WITH e AS ({_N11_EDGES_SQL})
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    LEFT JOIN e e4 ON e4.src = e2.dst AND e4.dst = e1.src
+    WHERE e4.src IS NULL
+    """,
+)
+def n11_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style motif finding (operators/motif.py): the declared
+    pattern `(a)-[]->(b); (b)-[]->(c); (a)-[]->(c); !(c)-[]->(a)` — OPEN
+    feed-forward triangles — over the nation trade graph (edge cust-nation
+    → supp-nation wherever ≥20 lineitems flow that way; ~25 vertices, so
+    motif cardinality stays bounded while the edge build scans the fact
+    table once). The motif API compiles the pattern into exactly the
+    Catalyst join chain the oracle writes by hand: one equi-join per
+    positive term, a LEFT ANTI join for the negation — so the green hash
+    certifies the compiler, not just this pattern. Scale: the edge-build
+    agg dominates (one lineitem shuffle); the motif joins run over the
+    realized edge list, broadcastable at any real-world graph density
+    where motif search is sane; dense-vertex skew falls to AQE."""
+    from scopus_spark.operators import motif
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    cn = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nk"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), sup.s_nationkey == F.col("s_nk"))
+        .filter(F.col("c_nk") != F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+        .select("src", "dst")
+    )
+    m = motif.find(edges, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c); !(c)-[]->(a)")
+    return m.select(
+        F.col("a.id").alias("a"), F.col("b.id").alias("b"), F.col("c.id").alias("c")
+    )

@@ -137,3 +137,69 @@ def test_pagerank_plan_depth_bounded_in_iters(spark):
     p20 = graph.pagerank(nodes, edges, iters=20)._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in p20 or "LogicalRDD" in p20 or "Scan" in p20
     assert len(p20) < 2 * len(p5), (len(p5), len(p20))
+
+
+# --- operators/motif.py -------------------------------------------------------------
+
+
+def _motif_graph(spark):
+    from scopus_spark.operators import motif  # noqa: F401
+
+    edges = spark.createDataFrame(
+        [(1, 2, "x"), (2, 3, "y"), (1, 3, "z"), (3, 1, "w"), (4, 1, "v")],
+        "src long, dst long, tag string",
+    )
+    vertices = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3"), (4, "a4")], "id long, name string"
+    )
+    return edges, vertices
+
+
+def test_motif_chain_binds_named_vertices_and_edges(spark):
+    from scopus_spark.operators import motif
+
+    edges, _ = _motif_graph(spark)
+    rows = motif.find(edges, "(a)-[e1]->(b); (b)-[e2]->(c)").collect()
+    got = {(r["a"]["id"], r["b"]["id"], r["c"]["id"], r["e1"]["tag"]) for r in rows}
+    # paths of length 2: 1->2->3(x), 2->3->1(y), 1->3->1(z), 3->1->2(w),
+    # 3->1->3(w), 4->1->2(v), 4->1->3(v)
+    assert (1, 2, 3, "x") in got and (4, 1, 3, "v") in got
+    assert len(rows) == 7
+
+
+def test_motif_negation_and_anonymous_vertex(spark):
+    from scopus_spark.operators import motif
+
+    edges, _ = _motif_graph(spark)
+    # asymmetric edges: (a)->(b) with no (b)->(a)
+    rows = motif.find(edges, "(a)-[]->(b); !(b)-[]->(a)").collect()
+    got = {(r["a"]["id"], r["b"]["id"]) for r in rows}
+    assert got == {(1, 2), (2, 3), (4, 1)}  # 1<->3 both ways drops out
+    # anonymous source: every vertex with an out-neighbor of 3
+    rows = motif.find(edges, "()-[]->(b)").collect()
+    assert {r["b"]["id"] for r in rows} == {1, 2, 3}
+
+
+def test_motif_vertex_attributes_join(spark):
+    from scopus_spark.operators import motif
+
+    edges, vertices = _motif_graph(spark)
+    rows = motif.find(edges, "(a)-[]->(b)", vertices=vertices).collect()
+    assert all(r["a"]["name"] == f"a{r['a']['id']}" for r in rows)
+
+
+def test_motif_rejects_bad_patterns(spark):
+    from scopus_spark.operators import motif
+
+    edges, _ = _motif_graph(spark)
+    for bad in (
+        "(a)-[e]->",                      # unparseable
+        "(a)-[]->(a)",                    # self-loop term
+        "!(a)-[]->(b)",                   # all-negative pattern
+        "(a)-[]->(b); !(a)-[e]->(b)",     # named edge in negation
+        "(a)-[]->(b); (c)-[]->(d)",       # disconnected terms
+        "(a)-[]->(b); !(b)-[]->(z)",      # negation on unbound vertex
+        "(a)-[e]->(b); (b)-[e]->(c)",     # duplicate edge name
+    ):
+        with pytest.raises(ValueError):
+            motif.find(edges, bad).collect()
