@@ -656,3 +656,67 @@ def a23_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-07-01"))
         & (F.col("l_partkey") <= 400)
     )
+
+
+# --- a24: corrupt-record quarantine on JSON ingest -----------------------------------
+@register(
+    "a24",
+    oracle="""
+    SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    WHERE doc_id % 7 <> 3
+    """,
+)
+def a24_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on JSON-lines ingest — the 100 TB landing
+    zone reality: some fraction of a feed is malformed, and the job must
+    QUARANTINE those rows, not die (FAILFAST) or silently drop them
+    (DROPMALFORMED). A deterministic ~14% of a staged documents feed
+    (doc_id % 7 == 3) is written as truncated JSON; the read is PERMISSIVE
+    with columnNameOfCorruptRecord, so bad lines land with the raw line
+    captured in the quarantine column and every parsed column NULL. The
+    declared output is the clean rows (oracle recomputes them from
+    source); tests/test_sources.py asserts the quarantine side: exactly
+    the corrupt subset is captured, raw lines intact, and the good/bad
+    split partitions the input. Scale notes: PERMISSIVE parsing is
+    map-side (no extra pass); the quarantine column must be materialized
+    via an explicit schema (Spark requires the corrupt-record column
+    declared StringType) — schema inference would cost a second scan and
+    is disabled here anyway (a1 policy)."""
+    path = _stage(sf_dir, "docs_json_corrupt")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("text_len")
+    )
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "lang": "tru')),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang", "text_len")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text_len", T.LongType()),
+            T.StructField("_quarantine", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_quarantine")
+        .json(path)
+    )
+    # The good-side filter must reference a parsed column BESIDE the
+    # corrupt-record column: Spark refuses any query over raw JSON whose
+    # referenced set prunes down to the corrupt column alone
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — e.g. `.count()` on this result
+    # would prune the select away and crash. doc_id IS NOT NULL is also
+    # the feed's real key contract, so the predicate is honest, not a
+    # workaround artifact.
+    return parsed.filter(
+        F.col("_quarantine").isNull() & F.col("doc_id").isNotNull()
+    ).select("doc_id", "lang", "text_len")

@@ -151,3 +151,55 @@ def test_a23_zorder_prunes_more_rowgroups_than_natural_layout(spark, sf_dir):
     # the z layout must prune at least half its row groups for this predicate
     assert z_pruned > n_pruned
     assert z_pruned >= z_total // 2
+
+
+def test_a24_quarantine_captures_exactly_the_corrupt_subset(spark, sf_dir):
+    """The quarantine side of a24: PERMISSIVE + columnNameOfCorruptRecord
+    must capture exactly the malformed lines (raw text intact, parsed
+    columns NULL) and the good/bad split must partition the input."""
+    from pyspark.sql import types as T
+
+    from scopus_spark.queries.scans import _stage
+
+    QUERIES["a24"](spark, sf_dir).count()  # materializes the staged feed
+    path = _stage(sf_dir, "docs_json_corrupt")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text_len", T.LongType()),
+            T.StructField("_quarantine", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_quarantine")
+        .json(path)
+    )
+    n_docs = table(spark, sf_dir, "documents").count()
+    n_corrupt_expected = (
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 3).count()
+    )
+    # Spark refuses any query over raw JSON whose referenced columns
+    # reduce to the corrupt-record column alone
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — even count() after cache() in
+    # this Spark build. So every probe below references parsed columns in
+    # the SAME query, which is both legal and the one-pass shape a real
+    # quarantine job uses (one parse, good/bad stats together).
+    stats = parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("_quarantine").alias("n_bad"),
+        F.count("doc_id").alias("n_good"),
+    ).first()
+    assert stats["n_total"] == n_docs
+    assert stats["n_bad"] == n_corrupt_expected
+    assert stats["n_good"] == n_docs - n_corrupt_expected
+    # raw line captured verbatim, parsed columns all NULL on the bad side
+    r = (
+        parsed.select("doc_id", "lang", "text_len", "_quarantine")
+        .filter(F.col("_quarantine").isNotNull())
+        .first()
+    )
+    assert r["doc_id"] is None and r["lang"] is None and r["text_len"] is None
+    assert r["_quarantine"].startswith('{"doc_id": ')
