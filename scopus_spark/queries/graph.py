@@ -705,16 +705,19 @@ def n10_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n11: GraphFrames-style motif finding ---------------------------------------------
 _N11_EDGES_SQL = """
-    SELECT cn.n_name AS src, sn.n_name AS dst
-    FROM lineitem l
-    JOIN orders o   ON l.l_orderkey  = o.o_orderkey
-    JOIN customer c ON o.o_custkey   = c.c_custkey
-    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
-    JOIN supplier s ON l.l_suppkey   = s.s_suppkey
-    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
-    WHERE cn.n_nationkey <> sn.n_nationkey
-    GROUP BY cn.n_name, sn.n_name
-    HAVING count(*) >= 20
+    WITH w AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS n
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey  = o.o_orderkey
+      JOIN customer c ON o.o_custkey   = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_nationkey <> sn.n_nationkey
+      GROUP BY cn.n_name, sn.n_name
+    ),
+    tot AS (SELECT sum(n) AS total FROM w)
+    SELECT src, dst FROM w, tot WHERE 480 * n >= total
 """
 
 
@@ -734,9 +737,14 @@ def n11_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphFrames-style motif finding (operators/motif.py): the declared
     pattern `(a)-[]->(b); (b)-[]->(c); (a)-[]->(c); !(c)-[]->(a)` — OPEN
     feed-forward triangles — over the nation trade graph (edge cust-nation
-    → supp-nation wherever ≥20 lineitems flow that way; ~25 vertices, so
-    motif cardinality stays bounded while the edge build scans the fact
-    table once). The motif API compiles the pattern into exactly the
+    → supp-nation wherever at least 1.25× the average pair volume flows
+    that way; the SCALE-FREE integer rule `480·n ≥ Σn` keeps the graph
+    similarly sparse at every sf — a fixed absolute cutoff saturates to
+    the complete graph as volume grows and the motif count collapses to
+    zero — and stays float-free on both engines. ~25 vertices, so motif
+    cardinality stays bounded while the edge build scans the fact table
+    once; the Σn denominator rides in as the adjudicated broadcast 1-row
+    aggregate crossJoin). The motif API compiles the pattern into exactly the
     Catalyst join chain the oracle writes by hand: one equi-join per
     positive term, a LEFT ANTI join for the negation — so the green hash
     certifies the compiler, not just this pattern. Scale: the edge-build
@@ -765,7 +773,11 @@ def n11_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nk") != F.col("s_nk"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 20)
+    )
+    total = edges.agg(F.sum("n").alias("total"))
+    edges = (
+        edges.crossJoin(F.broadcast(total))
+        .filter(480 * F.col("n") >= F.col("total"))
         .select("src", "dst")
     )
     m = motif.find(edges, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c); !(c)-[]->(a)")

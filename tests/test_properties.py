@@ -392,3 +392,62 @@ def test_asof_join_equals_bruteforce(spark, left, right):
         else:
             want.add((i, None, None))
     assert got == want
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@given(edges=_EDGES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_motif_find_equals_bruteforce_enumeration(spark, edges):
+    """operators/motif.py must return EXACTLY the bindings a brute-force
+    enumeration finds, for any directed graph: the n11 pattern (open
+    feed-forward triangle, with negation) and a 2-chain with a named
+    edge."""
+    from scopus_spark.operators import motif
+
+    eset = set(edges)
+    df = spark.createDataFrame(sorted(eset), "src long, dst long")
+
+    got = {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+        for r in motif.find(
+            df, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c); !(c)-[]->(a)"
+        ).collect()
+    }
+    verts = {v for e in eset for v in e}
+    want = {
+        (a, b, c)
+        for a in verts
+        for b in verts
+        for c in verts
+        if (a, b) in eset
+        and (b, c) in eset
+        and (a, c) in eset
+        and (c, a) not in eset
+        # pattern terms forbid src==dst per term; distinct names may still
+        # bind the same vertex unless an edge term separates them
+        and a != b and b != c and a != c
+    }
+    assert got == want
+
+    got2 = {
+        (r["a"]["id"], r["b"]["id"], r["c"]["id"], (r["e"]["src"], r["e"]["dst"]))
+        for r in motif.find(df, "(a)-[e]->(b); (b)-[]->(c)").collect()
+    }
+    want2 = {
+        (a, b, c, (a, b))
+        for (a, b) in eset
+        for c in verts
+        if (b, c) in eset and a != b and b != c
+    }
+    assert got2 == want2

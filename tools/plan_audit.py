@@ -59,6 +59,8 @@ ALLOW: dict[tuple[str, str], str] = {
     ("j31", "BroadcastNestedLoopJoin"): "broadcast centroid row for IVF "
     "cell assignment (k-NN join index, bounded)",
     ("m4", "BroadcastNestedLoopJoin"): _ONE_ROW + " (sampling fraction)",
+    ("n11", "BroadcastNestedLoopJoin"): _ONE_ROW + " (trade-graph scale-"
+    "free edge threshold Σn)",
     ("q11", "BroadcastNestedLoopJoin"): _ONE_ROW + " (TPC-H Q11 global "
     "value threshold)",
     ("q22", "BroadcastNestedLoopJoin"): _ONE_ROW + " (TPC-H Q22 global "
