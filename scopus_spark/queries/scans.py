@@ -6,9 +6,9 @@ oracle recomputes the same slice from the original parquet — so the hash
 check proves round-trip fidelity, not just that two readers agree on a
 staged file. Stage dir is per-sf under /tmp.
 
-The JDBC sink (a6) is implemented in scopus_spark/sources/jdbc.py and
-covered by unit tests only (no RDBMS driver jar in this container —
-SURVEY §2.A a6).
+The JDBC sink/source (a6 round-trip, a25 partition-parallel ingest) is
+implemented over scopus_spark/sources/jdbc.py and EXECUTES end-to-end
+against embedded Apache Derby (on Spark's classpath) — SURVEY §2.A.
 """
 
 from __future__ import annotations
@@ -720,3 +720,64 @@ def a24_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
     return parsed.filter(
         F.col("_quarantine").isNull() & F.col("doc_id").isNotNull()
     ).select("doc_id", "lang", "text_len")
+
+
+# --- a25: partitioned-parallel JDBC ingest -------------------------------------------
+@register(
+    "a25",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 8 = 5
+    """,
+)
+def a25_jdbc_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-PARALLEL JDBC ingest — how an RDBMS-resident corpus
+    actually moves into the lake: `read.jdbc` with partitionColumn/
+    lowerBound/upperBound/numPartitions makes Spark generate one stride
+    `WHERE o_orderkey >= lo AND < hi` predicate per task, so N executor
+    connections each stream a disjoint key range concurrently — the
+    single-connection read a6 declares becomes a parallel scan with the
+    range predicate PUSHED to the database (it walks its PK index, not a
+    full table scan per task). An orders slice is loaded into embedded
+    Derby, then ingested back through 8 stride partitions;
+    tests/test_sources.py asserts the ingest really has 8 partitions and
+    each task's rows honor its stride. Scale notes: pick a
+    partitionColumn that is indexed and near-uniform (surrogate PK);
+    skewed business keys make stragglers — mitigate with more, narrower
+    strides (Spark plans them, the DB serves index ranges either way).
+    Bounds come from the SOURCE metadata (min/max of the slice) — never
+    hardcoded, or rows outside [lower, upper) silently pile into the
+    first/last stride."""
+    from scopus_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        derby_url,
+        jdbc_available,
+        write_jdbc,
+    )
+
+    if not jdbc_available(spark, DERBY_DRIVER):  # pragma: no cover
+        raise RuntimeError("embedded Derby driver unavailable")
+    url = derby_url(_stage(sf_dir, "derby_ingest_db"))
+    sample = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 8 == 5)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+    write_jdbc(
+        sample, url, "orders_src", DERBY_DRIVER, mode="overwrite", num_partitions=4
+    )
+    bounds = sample.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    return (
+        spark.read.format("jdbc")
+        .option("driver", DERBY_DRIVER)
+        .option("url", url)
+        .option("dbtable", "orders_src")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", str(bounds["lo"]))
+        .option("upperBound", str(bounds["hi"] + 1))
+        .option("numPartitions", "8")
+        .load()
+    )

@@ -203,3 +203,21 @@ def test_a24_quarantine_captures_exactly_the_corrupt_subset(spark, sf_dir):
     )
     assert r["doc_id"] is None and r["lang"] is None and r["text_len"] is None
     assert r["_quarantine"].startswith('{"doc_id": ')
+
+
+def test_a25_jdbc_ingest_is_partition_parallel(spark, sf_dir):
+    """a25's JDBC ingest must really be 8 stride partitions whose key
+    ranges are pairwise disjoint (each task streamed its own WHERE
+    range over its own connection)."""
+    df = QUERIES["a25"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 8
+    ranges = (
+        df.select(F.spark_partition_id().alias("pid"), "o_orderkey")
+        .groupBy("pid")
+        .agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    assert len(ranges) >= 2  # parallel in fact, not just in plan
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] < cur["lo"]
