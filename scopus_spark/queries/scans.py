@@ -551,46 +551,6 @@ def a21_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- a22: ORC round-trip -------------------------------------------------------------
-@register(
-    "a22",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-           l_returnflag, l_shipdate
-    FROM lineitem
-    WHERE l_orderkey % 25 = 0
-    """,
-)
-def a22_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC round-trip: write a lineitem sample as ORC (Spark-native
-    columnar sibling of parquet — the interchange format a Hive-heritage
-    warehouse hands us), read it back with the explicit source schema,
-    hash-compared against the ORIGINAL parquet rows. DuckDB has no ORC
-    reader, so — as with every staged-format key — the oracle recomputes
-    the slice from source parquet and the hash proves round-trip
-    fidelity, not reader agreement. Scale notes: ORC scans get the same
-    vectorized columnar read + predicate pushdown as parquet
-    (plan-asserted PushedFilters in tests/test_sources.py), so a 100 TB
-    ORC landing zone reads with per-stripe pruning; steady state should
-    still convert to the engine's parquet layout (one format, one
-    stats-collection path)."""
-    path = _stage(sf_dir, "lineitem_orc")
-    sample = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 25 == 0)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_returnflag",
-            "l_shipdate",
-        )
-    )
-    sample.write.mode("overwrite").orc(path)
-    return spark.read.schema(sample.schema).orc(path)
-
-
 # --- a23: Z-order clustered layout + 2-D data skipping -------------------------------
 def _zvalue(x, y, bits: int = 16):
     """Morton/Z-value: interleave the low `bits` of two non-negative

@@ -85,13 +85,15 @@ def test_a16_observation_metrics(spark, sf_dir):
     assert got["total_qty"] == li.agg(F.sum("l_quantity")).first()[0]
 
 
-def test_a22_orc_scan_gets_pushdown(spark, sf_dir):
-    """The ORC read must be the vectorized columnar scan with predicate
-    pushdown — same guarantees the parquet path gets (a1)."""
-    df = QUERIES["a22"](spark, sf_dir).filter(F.col("l_returnflag") == "R")
+def test_a8_orc_scan_gets_pushdown(spark, sf_dir):
+    """The a8 ORC read must be the vectorized columnar scan with
+    predicate pushdown — same guarantees the parquet path gets (a1)."""
+    df = QUERIES["a8"](spark, sf_dir).filter(F.col("o_orderstatus") == "F")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Format: ORC" in plan
-    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+    assert (
+        "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+    )
     assert "Batched: true" in plan
 
 
