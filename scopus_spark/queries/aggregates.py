@@ -821,3 +821,63 @@ def d25_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oneshot_within_2pct"),
         )
     )
+
+
+# --- d26: PIVOT (long -> wide conditional aggregation) -------------------------------
+@register(
+    "d26",
+    oracle="""
+    SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS ship_month,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)))
+                FILTER (l_returnflag = 'A') AS DOUBLE) AS rev_a,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)))
+                FILTER (l_returnflag = 'N') AS DOUBLE) AS rev_n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)))
+                FILTER (l_returnflag = 'R') AS DOUBLE) AS rev_r,
+           CAST(count(*) FILTER (l_returnflag = 'A') AS BIGINT) AS n_a,
+           CAST(count(*) FILTER (l_returnflag = 'N') AS BIGINT) AS n_n,
+           CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_r
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def d26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — the long->wide reshape d15 unpivots: revenue and row count
+    per ship mode, one column pair per return flag. The inverse surface of
+    d15's unpivot completes the reshape pair.
+
+    The pivot VALUES are passed explicitly (['A','N','R']): Spark's
+    implicit variant first runs a separate distinct-scan job over the pivot
+    column to discover them — an extra full pass over the fact table at
+    100 TB, and a plan whose output schema isn't even known until runtime.
+    With explicit values Catalyst compiles the pivot into exactly the plan
+    the oracle spells out: ONE partial+final hash aggregate whose aggregate
+    list is `sum(CASE WHEN flag = v ...)` per value — no extra pass, no
+    wide shuffle, output schema static. Money sums follow the _fp exact-
+    decimal rule; counts use a 0/1 conditional sum so the pivoted cell for
+    an absent (mode, flag) combination matches the oracle's FILTER count
+    of 0 rather than null.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.select(
+            F.date_trunc("month", "l_shipdate").alias("ship_month"),
+            "l_returnflag",
+            _fp.m("l_extendedprice").alias("price"),
+        )
+        .groupBy("ship_month")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(
+            F.sum("price").cast("double").alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "ship_month",
+        F.col("A_rev").alias("rev_a"),
+        F.col("N_rev").alias("rev_n"),
+        F.col("R_rev").alias("rev_r"),
+        F.coalesce(F.col("A_n"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("N_n"), F.lit(0)).cast("long").alias("n_n"),
+        F.coalesce(F.col("R_n"), F.lit(0)).cast("long").alias("n_r"),
+    )

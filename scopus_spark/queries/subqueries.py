@@ -176,3 +176,64 @@ def l7_lateral_view_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
         """,
     )
+
+
+# --- l8: recursive CTE (linear chain walk over the next-event graph) -----------------
+# Both engines run genuine WITH RECURSIVE fixpoint iteration (Spark 4's
+# recursive-CTE operator is UNION ALL-only, so the walked graph must be
+# acyclic; the next-event edge is strictly time-increasing, hence a DAG,
+# and functional — out-degree <= 1 — so row volume per level is bounded
+# by the seed count and the recursion depth by the longest <=10-min run).
+_L8_CORE = """
+    WITH RECURSIVE hops AS (
+      SELECT event_id,
+             user_id,
+             lead(event_id) OVER w AS next_id,
+             lead(event_type) OVER w AS next_type,
+             CASE WHEN lead(ts) OVER w <= ts + INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS hop_ok
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chain (seed_id, user_id, cur_id, cur_type, depth) AS (
+      SELECT event_id, user_id, event_id, CAST('error' AS {strtype}), 0
+      FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT c.seed_id, c.user_id, h.next_id, h.next_type, c.depth + 1
+      FROM chain c
+      JOIN hops h ON h.event_id = c.cur_id AND h.hop_ok = 1
+    )
+    SELECT seed_id, user_id,
+           CAST(max(depth) AS BIGINT) AS chain_len,
+           max_by(cur_id, depth) AS terminal_id,
+           max_by(cur_type, depth) AS terminal_type
+    FROM chain
+    GROUP BY seed_id, user_id
+"""
+
+
+@register(
+    "l8",
+    oracle=_L8_CORE.format(strtype="VARCHAR"),
+)
+def l8_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE — Spark 4's WITH RECURSIVE operator (SPARK-24497),
+    declared through the SQL entry point like the rest of §2.M: from every
+    'error' event, walk the user's next-event edge (the immediate successor
+    within 10 minutes) to the end of the burst, reporting chain length and
+    the terminal event. The walk is the incident-triage question "what did
+    the user do right after the error, and where did the burst end?".
+
+    Scale shape: each recursion level is ONE equi-join of the frontier
+    against the (precomputed, reusable) hops edge table — the same
+    pointer-chase shape as n2's pointer-jumping, but expressed in the
+    language surface so Catalyst owns the loop. The edge is functional
+    (out-degree <= 1 via lead()) and strictly time-increasing, so the
+    frontier never grows past the seed count, levels are bounded by the
+    longest dense run (4 at sf0.1, ~burst length generally), and UNION
+    ALL-only recursion (no dedup pass per level) is semantically exact.
+    The aggregation collapses each walk to its terminus with max_by —
+    both engines agree because (seed_id, depth) is unique per row.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_L8_CORE.format(strtype="STRING"))
