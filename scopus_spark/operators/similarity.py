@@ -462,3 +462,84 @@ def ann_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def threshold_pair_join(
+    assigned: DataFrame,
+    cents: DataFrame,
+    tau: float,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """EXACT cosine-threshold self-join: ALL unordered pairs with
+    round(cos, 6) >= tau — embedding-level near-duplicate detection as a
+    similarity JOIN (the epsilon-neighborhood companion of the top-k join
+    above; SemDeDup-style semantic dedup runs exactly this shape).
+
+    Pruning is at the CELL-PAIR level, and provably lossless: for unit
+    vectors, cos(x, y) >= tau implies chord ||x_hat - y_hat|| <= delta =
+    sqrt(2 - 2*(tau - eps)) (eps absorbs the 6dp rounding of the emitted
+    similarity), and by the triangle inequality on the unit sphere
+    chord(c_a, c_b) <= slack_a + delta + slack_b for the two members'
+    cells (slack = the cell's max member-to-centroid chord). Any cell
+    pair violating that bound cannot contain a qualifying pair and is
+    never joined. Surviving candidates are re-scored with the exact
+    rounded cosine, so output == brute force exactly.
+
+    100 TB shape: the cell-pair bound is evaluated on the n_cells^2
+    centroid table (tiny, broadcast nested-loop by design); corpus-scale
+    movement is ONE equi-join keyed on cell_id per side (bounded key
+    space, AQE skew-split). With clustered data — the only regime where
+    near-dups exist — delta is small and the surviving pair list
+    collapses toward the diagonal, so candidate volume ~ sum of
+    same-neighborhood cell sizes, never all-pairs.
+
+    ``assigned`` / ``cents`` are assign_cells/_refine_centroids output.
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
+    """
+    delta = math.sqrt(max(0.0, 2.0 - 2.0 * (tau - eps)))
+    slack = assigned.groupBy("cell_id").agg(
+        F.max(
+            F.sqrt(
+                F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * F.col("cos_centroid"))
+            )
+        ).alias("slack")
+    )
+    # empty cells drop out of the inner join — they can't host a pair.
+    meta = cents.join(slack, "cell_id").select("cell_id", "centroid", "cnrm", "slack")
+    ca, cb = meta.alias("ca"), meta.alias("cb")
+    cent_cos = _dot(F.col("ca.centroid"), F.col("cb.centroid")) / (
+        F.col("ca.cnrm") * F.col("cb.cnrm")
+    )
+    cent_chord = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * cent_cos))
+    cell_pairs = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("ca.cell_id") <= F.col("cb.cell_id"))
+            & (cent_chord <= F.col("ca.slack") + F.col("cb.slack") + F.lit(delta)),
+        )
+        .select(
+            F.col("ca.cell_id").alias("cell_a"),
+            F.col("cb.cell_id").alias("cell_b"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    # cell_a == cell_b would otherwise emit both (x,y) and (y,x): the id
+    # order constraint keeps exactly one; across distinct cells the pair
+    # appears once by construction and least/greatest orders the output.
+    same_cell_once = F.when(
+        F.col("cell_a") == F.col("cell_b"),
+        F.col("a.vec_id") < F.col("b.vec_id"),
+    ).otherwise(F.lit(True))
+    pair_cos = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(F.broadcast(cell_pairs), F.col("a.cell_id") == F.col("cell_a"))
+        .join(b, (F.col("b.cell_id") == F.col("cell_b")) & same_cell_once)
+        .filter(pair_cos >= F.lit(tau))
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
+            pair_cos.alias("cos_sim"),
+        )
+    )

@@ -1580,3 +1580,68 @@ def j36_video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that trades feature fidelity for decode cost."""
     docs = table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 12)
     return multimodal.video_frame_stats(multimodal.attach_avi(docs), every_n=2)
+
+
+# --- j37: exact cosine-threshold near-dup pair join (semantic dedup shape) -----------
+@register(
+    "j37",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             [CAST(embedding[1] AS DOUBLE) + 0.05] || CAST(embedding[2:] AS DOUBLE[])
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.99
+    """,
+)
+def j37_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs — the epsilon-neighborhood
+    similarity join (ALL pairs with cos >= 0.99), the semantic-dedup
+    primitive the MinHash/SimHash tier (j2/j11) provides for lexical
+    near-dups. The corpus is the embeddings table plus one deterministic
+    perturbed copy per vector (+0.05 on the first coordinate, id offset
+    1e6) — the staged-payload pattern of the codec keys (j32-j36): the
+    synthetic vectors are near-orthogonal (max natural cosine 0.60 at
+    sf0.1), so the planted twins are what a near-dup-bearing corpus looks
+    like, and the staging is declared identically in both engines.
+
+    Routed through operators/similarity.threshold_pair_join: IVF cell
+    assignment, then a provably lossless CELL-PAIR bound (triangle
+    inequality on unit-sphere chords; see the operator docstring) prunes
+    the n_cells^2 pair space down to near the diagonal before any
+    corpus-scale join runs; survivors re-score with the exact rounded
+    cosine. Oracle = brute-force all-pairs, so a green hash proves
+    pruned == brute force exactly. tests/test_threshold_pairs.py
+    property-checks the operator against numpy brute force on clustered
+    data and asserts the pruning actually bites (cell pairs kept <<
+    n_cells^2) and that no corpus-scale cartesian appears in the plan.
+
+    100 TB shape: corpus-side movement is one equi-join per side keyed on
+    cell_id (bounded key space, AQE skew-split); the only nested-loop is
+    the n_cells^2 centroid-pair bound, which is broadcast-tiny. Plan
+    construction schedules zero jobs (n_cells from the parquet footer,
+    j31's fix; centroids LAZY-persisted).
+    """
+    from scopus_spark.catalog import row_count_estimate
+
+    e = table(spark, sf_dir, "embeddings")
+    emb_d = similarity.as_double("embedding")
+    orig = e.select("vec_id", "label", emb_d.alias("embedding"))
+    pert = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at(emb_d, 1) + F.lit(0.05)),
+            F.slice(emb_d, 2, F.size(emb_d) - 1),
+        ).alias("embedding"),
+    )
+    base = similarity.prepare_vectors(orig.unionByName(pert))
+    n_cells = similarity.auto_n_cells(2 * row_count_estimate(sf_dir, "embeddings"))
+    cents = similarity._refine_centroids(base, n_cells).persist()
+    assigned = similarity.assign_cells(base, cents)
+    return similarity.threshold_pair_join(assigned, cents, tau=0.99)
