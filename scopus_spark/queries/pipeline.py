@@ -1645,3 +1645,86 @@ def j37_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = similarity._refine_centroids(base, n_cells).persist()
     assigned = similarity.assign_cells(base, cents)
     return similarity.threshold_pair_join(assigned, cents, tau=0.99)
+
+
+# --- j38: bigram language-model perplexity scoring (statistical quality filter) ------
+@register(
+    "j38",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM bc GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(w) AS tok FROM toks)),
+    scored AS (
+      SELECT bg.doc_id,
+             -ln((bc.c_bg + 1.0) / (ctx.c_ctx + v.vocab)) AS nll
+      FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1), v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def j38_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity scoring — the statistical quality
+    filter tier above j14's surface heuristics: train a Laplace-smoothed
+    bigram LM on the corpus itself (the C4/CCNet-style wellformedness
+    proxy), then score every document by its mean negative log-likelihood
+    under that model. High avg_nll = improbable word sequences = boilerplate
+    / garble candidates for the quality cut (d24 picks the percentile).
+
+    Train and score are ONE pass each over the exploded bigram relation:
+    counts are two hash aggregates (map-side partials), scoring joins each
+    document bigram back to its count — shuffle keys are vocabulary terms,
+    whose cardinality is corpus-bounded (Zipf), with AQE skew-split
+    handling stopword-heavy keys; the vocab size rides along as a 1-row
+    broadcast. Per-bigram NLL is identical-double arithmetic in both
+    engines (same integer counts, same ops); only the per-doc MEAN is
+    order-dependent, so it rounds to 4dp (C3 inexact rule).
+
+    At 100 TB the model tables are exactly the reusable artifact a real
+    pipeline persists: score a NEW batch by broadcast-joining the stored
+    counts — no retrain, the j25/j28 incremental pattern.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    toks = d.select("doc_id", w.alias("w"))
+    # sequence(1, size-1) would run DESCENDING for 1-token docs; gate it.
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i).alias("w1"),
+                    F.element_at(F.col("w"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bc.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = toks.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    nll = -F.log((F.col("c_bg") + F.lit(1.0)) / (F.col("c_ctx") + F.col("vocab")))
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+    )
