@@ -511,3 +511,135 @@ def o7_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "user_id", "gap_start", "gap_end", gap_us.alias("gap_us")
     ).filter(F.col("gap_us") > 43_200_000_000)
+
+
+# --- o8: exponential moving average via order-identical folds ------------------------
+@register(
+    "o8",
+    oracle=f"""
+    WITH {_EV_CTE},
+    s AS (
+      SELECT user_id,
+             list(value ORDER BY ts) AS vals,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) AS ema
+    FROM s
+    """,
+)
+def o8_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (alpha = 0.3) per user — the inherently
+    SEQUENTIAL smoother (y_i = a*x_i + (1-a)*y_{i-1}) that window
+    aggregates cannot express, implemented WITHOUT a Python UDF: the
+    per-user series is collected into a time-ordered array (sort_array
+    over (ts, value) structs — ts is unique per user after the G1 dedup)
+    and folded with the JVM higher-order `aggregate`, seeded with the
+    first observation. DuckDB's list_reduce folds the same list with the
+    same accumulator-first lambda, so BOTH engines execute the identical
+    IEEE-754 op sequence and the UNROUNDED double matches bit-for-bit —
+    the strongest form of the C3 per-row determinism rule (no round()
+    anywhere).
+
+    Scale shape: one shuffle (groupBy user_id, map-side partials); the
+    fold is map-side array work. The array holds ONE entity's series —
+    the per-entity-bounded state every streaming EMA keeps anyway; for
+    unbounded per-entity history, chunk by (user, month) and chain the
+    chunk EMAs with the same fold (the operator is associative over
+    segments via y_chunk = a-weighted affine maps — each chunk reduces
+    to (gain, offset) pairs that compose)."""
+    ev = _events_dedup(spark, sf_dir)
+    collected = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "value"))),
+            lambda s: s["value"],
+        ).alias("vals"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    ema = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return collected.select("user_id", "n_obs", ema.alias("ema"))
+
+
+# --- o9: multi-stage conversion funnel (ordered event-sequence analytics) ------------
+@register(
+    "o9",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_type FROM events
+    ),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT date_trunc('day', s1.t1) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_signup,
+           CAST(count(s2.t2) AS BIGINT) AS n_clicked,
+           CAST(count(s3.t3) AS BIGINT) AS n_purchased,
+           round(avg(CAST(epoch_us(s3.t3) - epoch_us(s1.t1) AS DOUBLE))
+                 / 3600000000.0, 4) AS avg_hours_to_purchase
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    GROUP BY 1
+    """,
+)
+def o9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage conversion funnel (signup -> first later click
+    -> first later purchase), cohorted by signup day — the event-sequence
+    analytic that needs ORDER between stages, not just co-occurrence
+    (a user whose clicks all precede signup does not convert). Stage
+    anchors resolve in sequence: first signup, first click strictly
+    after it, first purchase strictly after that; cohort rows report the
+    surviving population per stage and the mean signup->purchase latency
+    (an avg of doubles — C3 round(.,4)).
+
+    Scale shape: three per-user hash aggregates chained by equi-joins on
+    user_id — every join keyed on the entity, each stage's table no
+    larger than the survivors, no window over the raw stream; at 100 TB
+    the stage tables are tiny relative to events and AQE broadcasts the
+    later stages. Timestamp comparisons happen on the shimmed µs values
+    in both engines (G1), so strict inequalities agree."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    hours = (
+        F.unix_micros(F.col("t3").cast("timestamp"))
+        - F.unix_micros(F.col("t1").cast("timestamp"))
+    ).cast("double")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .groupBy(F.date_trunc("day", "t1").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t2").alias("n_clicked"),
+            F.count("t3").alias("n_purchased"),
+            F.round(F.avg(hours) / 3600000000.0, 4).alias(
+                "avg_hours_to_purchase"
+            ),
+        )
+    )
