@@ -65,3 +65,41 @@ def lang_score(text: str | Column, lang: str) -> Column:
     markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
     return hits / F.size(toks)
+
+
+def winnow_fingerprints(text: str | Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing selection (Schleimer et al., MOSS): array of
+    struct<pos, fp> — per window of ``w`` consecutive char-``k``-gram md5
+    hashes, the minimum hash (rightmost on ties), 1-based gram position.
+    Pure map-side array expressions; texts shorter than w + k - 1 yield
+    an empty array. Used by j39; duplicates across overlapping windows
+    are collapsed by the caller's DISTINCT."""
+    c = F.col(text) if isinstance(text, str) else text
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(0))),
+        lambda i: F.md5(F.substring(c, i, k)),
+    )
+    def _sel(grams):
+        win = lambda i: F.slice(grams, i, w)  # noqa: E731
+        return F.when(
+            F.size(grams) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+                lambda i: F.struct(
+                    (
+                        i
+                        - 1
+                        + (
+                            F.lit(w + 1)
+                            - F.array_position(
+                                F.reverse(win(i)), F.array_min(win(i))
+                            )
+                        )
+                    )
+                    .cast("long")
+                    .alias("pos"),
+                    F.array_min(win(i)).alias("fp"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:bigint,fp:string>>"))
+    return _sel(grams_expr)

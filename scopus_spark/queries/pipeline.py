@@ -1728,3 +1728,60 @@ def j38_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nll"), 4).alias("avg_nll"),
         )
     )
+
+
+# --- j39: winnowing fingerprints (rolling-hash document sketch) ----------------------
+@register(
+    "j39",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                            i -> md5(substr(text, CAST(i AS INT), 5))) AS grams
+      FROM documents WHERE length(text) >= 8
+    ),
+    w AS (
+      SELECT doc_id, grams, unnest(range(1, len(grams) - 4 + 2)) AS i
+      FROM g
+    ),
+    sel AS (
+      SELECT doc_id,
+             CAST(i - 1 + (4 + 1 - list_position(
+                    list_reverse(grams[CAST(i AS INT):CAST(i AS INT) + 3]),
+                    list_min(grams[CAST(i AS INT):CAST(i AS INT) + 3])))
+                  AS BIGINT) AS pos,
+             list_min(grams[CAST(i AS INT):CAST(i AS INT) + 3]) AS fp
+      FROM w
+    )
+    SELECT DISTINCT doc_id, pos, fp FROM sel
+    """,
+)
+def j39_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm) — the rolling-hash document sketch with a POSITIONAL
+    guarantee the j16 min-hash sketch lacks: every shared substring of
+    length >= w + k - 1 (here 8) between two documents is certain to
+    share at least one selected fingerprint, because each window of w
+    consecutive char-5-gram hashes selects its minimum (rightmost on
+    ties — the deterministic simplification of the paper's
+    same-as-left-window preference), and selections repeated by
+    overlapping windows collapse via DISTINCT. Downstream, fingerprints
+    bucket-join exactly like LSH bands (j9): shared (pos-free) fp values
+    are near-dup/plagiarism candidates with a guarantee, not a
+    probability.
+
+    Map-side only until the final DISTINCT: gram hashing and per-window
+    argmin are array expressions over each document row (no explode of
+    the gram relation — the w-sized windows never leave the row), and
+    the one shuffle is the dedup on (doc_id, pos, fp). Both engines
+    compare md5 hex strings lexicographically, so min and tie-break
+    agree exactly.
+    """
+    from scopus_spark.operators.text import winnow_fingerprints
+
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    return (
+        d.select("doc_id", F.explode(winnow_fingerprints("text")).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
