@@ -827,7 +827,8 @@ def d25_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d26",
     oracle="""
-    SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS ship_month,
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS TIMESTAMP)
+             AS ship_month,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)))
                 FILTER (l_returnflag = 'A') AS DOUBLE) AS rev_a,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)))
@@ -880,4 +881,104 @@ def d26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("A_n"), F.lit(0)).cast("long").alias("n_a"),
         F.coalesce(F.col("N_n"), F.lit(0)).cast("long").alias("n_n"),
         F.coalesce(F.col("R_n"), F.lit(0)).cast("long").alias("n_r"),
+    )
+
+
+# --- d27: relational count-min sketch, bit-identical cross-engine --------------------
+_CMS_W, _CMS_D = 64, 4
+
+
+def _cms_bucket(depth: int, key):
+    """Row d of the CMS: top-60-bit md5 of "d:key", mod the sketch width.
+    Same idiom as m1's split bucket, so DuckDB reproduces it exactly."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(depth)), key)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@register(
+    "d27",
+    oracle=f"""
+    WITH probes AS (
+      SELECT event_type, d,
+             ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || event_type), 1, 15))
+               ::BIGINT % {_CMS_W} AS bucket
+      FROM events, range({_CMS_D}) t(d)
+    ),
+    cells AS (
+      SELECT d, bucket, count(*) AS cnt FROM probes GROUP BY d, bucket
+    ),
+    keys AS (
+      SELECT DISTINCT event_type, d, bucket FROM probes
+    ),
+    est AS (
+      SELECT k.event_type, min(c.cnt) AS est
+      FROM keys k JOIN cells c ON k.d = c.d AND k.bucket = c.bucket
+      GROUP BY k.event_type
+    ),
+    exact AS (
+      SELECT event_type, count(*) AS exact_cnt FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.est AS BIGINT) AS est,
+           e.est >= x.exact_cnt AS est_ge_exact
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def d27_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch POINT-ESTIMATE tier (Cormode/Muthukrishnan 2005)
+    — the probe side d17 stops short of: d17 builds and hash-checks the
+    counter MATRIX but its estimates live only in a unit test; here the
+    estimate (min over depths of the key's bucket counter) is computed
+    IN the query by joining the distinct-key probe rows back to the
+    4x64 cell relation, so the estimate VALUES themselves — not just an
+    audit verdict — hash-identically against DuckDB running the same
+    md5-bucket construction. The CMS one-sided guarantee (est >= exact,
+    always; est <= exact + N*2/64 w.h.p.) rides along as an audited
+    column next to the exact counts. Complements d25: HLL answers
+    distinct-count rollups; CMS answers point-frequency lookups over a
+    fixed O(1)-size state.
+
+    Scale: the sketch relation is bounded at depth*width rows no matter
+    the corpus — per-batch sketches merge by counter ADDITION (exact,
+    unlike HLL's lossy union), so the production shape stores
+    per-partition cells and rolls up by sum. The probe explode is
+    map-side; its agg collapses to <= depth*width rows in the partial
+    stage, so the shuffle moves KBs at any scale. The estimate join
+    probes depth rows per distinct key against the tiny cell table
+    (broadcast)."""
+    ev = table(spark, sf_dir, "events")
+    probes = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(d, F.col("event_type")).alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+    cells = probes.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = probes.select("event_type", "d", "bucket").distinct()
+    est = (
+        keys.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("est").cast("long").alias("est"),
+        (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact"),
     )

@@ -389,3 +389,112 @@ def j8_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("payload_sha"),
         F.col("lang").alias("meta_lang"),
     )
+
+
+# --- j41: int8 scalar-quantized ANN candidates + exact re-rank ------------------------
+@register(
+    "j41",
+    oracle="""
+    WITH s AS (
+      SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> abs(x)))) AS mx
+      FROM embeddings
+    ),
+    q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    quant AS (
+      SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb,
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 127 / s.mx, 0) AS BIGINT)) AS qv
+      FROM embeddings e, s
+    ),
+    qq AS (
+      SELECT list_transform(q.qe,
+                            x -> CAST(round(x * 127 / s.mx, 0) AS BIGINT)) AS qv
+      FROM q, s
+    ),
+    cand AS (
+      SELECT quant.vec_id, quant.label, quant.emb,
+             list_sum(list_transform(range(1, len(quant.qv) + 1),
+                                     i -> quant.qv[i] * qq.qv[i])) AS qdot
+      FROM quant, qq
+      WHERE quant.vec_id <> 0
+      ORDER BY qdot DESC, quant.vec_id ASC
+      LIMIT 20
+    )
+    SELECT c.vec_id, c.label, CAST(c.qdot AS BIGINT) AS qdot,
+           round(list_cosine_similarity(c.emb, q.qe), 6) AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.vec_id ASC
+    LIMIT 10
+    """,
+)
+def j41_quantized_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization for ANN — the memory/bandwidth tier every
+    production vector store runs before exact math: embeddings are
+    symmetric-quantized to int8 with ONE corpus-wide scale (127/max|x|),
+    candidates are ranked by the INTEGER quantized dot product (4x less
+    memory traffic, SIMD int8 lanes on real hardware), and only the top-20
+    candidates pay the exact double-precision cosine for the final top-10.
+    Everything is HASH-exact cross-engine because the quantized values are
+    integers: round() ties break away-from-zero on both engines (SURVEY
+    C3), and integer products/sums have no ulp drift — so the oracle
+    reproduces the candidate set bit-for-bit, not approximately.
+
+    Scale: the scale factor is a 1-row agg broadcast into the scan (the
+    repo's bounded-crossJoin idiom); quantization + integer dot are
+    map-side higher-order fns (no UDF, no shuffle); top-20 is a
+    TakeOrdered (per-partition partial top-k, no global sort); the exact
+    re-rank touches 20 rows. At 100 TB the int8 corpus is what lives in
+    executor memory — the double corpus is read only by the re-rank's
+    20-row fetch. Complements j3 (exact anchor), j17 (IVF recall tier),
+    j31 (batched k-NN): this is the compressed-candidates tier."""
+    e = table(spark, sf_dir, "embeddings")
+    ck = _j3_cache_key(sf_dir)
+    if ck not in _J3_QUERY_VECTOR_CACHE:
+        _J3_QUERY_VECTOR_CACHE[ck] = (
+            e.filter(F.col("vec_id") == 0)
+            .select(_emb_double().alias("qe"))
+            .collect()[0]["qe"]
+        )
+    qvec = _J3_QUERY_VECTOR_CACHE[ck]
+    qe = F.array(*[F.lit(float(x)) for x in qvec])
+
+    scale = e.agg(
+        F.max(
+            F.array_max(F.transform(_emb_double(), lambda x: F.abs(x)))
+        ).alias("mx")
+    )
+
+    def _quant(arr):
+        return F.transform(
+            arr, lambda x: F.round(x * F.lit(127.0) / F.col("mx"), 0).cast("long")
+        )
+
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(scale))
+        .select(
+            "vec_id",
+            "label",
+            _emb_double().alias("emb"),
+            F.aggregate(
+                F.zip_with(_quant(_emb_double()), _quant(qe), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+        .orderBy(F.col("qdot").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "qdot",
+            F.round(_cosine(F.col("emb"), qe), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -1785,3 +1785,121 @@ def j39_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
         .distinct()
     )
+
+
+# --- j40: exact duplicate n-gram span coverage (substring-level dedup) ----------------
+@register(
+    "j40",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(n_tokens - 3, 1))) AS start,
+             unnest(list_transform(range(1, greatest(n_tokens - 3, 1)),
+                    i -> md5(array_to_string(w[i : i + 4], chr(31))))) AS h
+      FROM base
+      WHERE n_tokens >= 5
+    ),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    pos AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id, unnest(range(g.start, g.start + 5)) AS p
+        FROM grams g JOIN dup USING (h)
+      )
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS dup_tokens FROM pos GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+             AS dup_frac
+    FROM base b LEFT JOIN cov USING (doc_id)
+    """,
+)
+def j40_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring coverage (the span-level dedup tier of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") — for every document, the fraction of token POSITIONS that
+    sit inside at least one word 5-gram appearing verbatim in some OTHER
+    document. This is the metric the suffix-array ExactSubstr pass
+    computes; relationally the same answer falls out of a gram-hash
+    equi-group: any cross-doc repeated substring of >= 5 tokens is a run
+    of cross-doc repeated 5-grams, so the union of duplicated-gram spans
+    IS the duplicated-substring coverage (granularity 5 — spans shorter
+    than the gram width are invisible by design, exactly as ExactSubstr's
+    minimum match length). Complements j1 (whole-doc exact), j2/j9
+    (whole-doc near-dup) and j39 (fingerprint sketch): those say WHICH
+    docs overlap; j40 says HOW MUCH of each doc is boilerplate, the
+    number a training-data pipeline thresholds on before dropping or
+    trimming documents.
+
+    Scale: gram building is map-side array work (transform over the
+    token array — the gram relation explodes only into the groupBy);
+    the one corpus-scale shuffle is the gram-hash agg, whose key space
+    is bounded and uniform (md5) so no skew; duplicated hashes are a
+    small set joined back on the same uniform key; position coverage
+    re-aggregates per doc_id. No window, no sort, no driver action —
+    at 100 TB this is exactly 3 hash shuffles, and the gram agg's
+    map-side partial collapses within-doc repeats before the wire.
+    md5 grams (never murmur) keep the DuckDB oracle bit-identical.
+    """
+    n = 5
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(F.concat_ws("\x1f", F.slice("w", i, n))).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.h").alias("h"))
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        grams.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

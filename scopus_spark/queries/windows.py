@@ -285,3 +285,66 @@ def e9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
     )
+
+
+# --- e10: SCD Type-2 dimension build (validity intervals from change events) ---------
+@register(
+    "e10",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT * FROM marked WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           event_type AS attr,
+           make_timestamp(epoch_us(ts)) AS effective_from,
+           make_timestamp(epoch_us(lead(ts) OVER w)) AS effective_to,
+           CAST(row_number() OVER w AS INT) AS version,
+           (lead(ts) OVER w) IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def e10_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build — the warehouse ETL staple:
+    from a change-event feed, one half-open validity interval
+    [effective_from, effective_to) per RUN of equal attribute values per
+    key, with version numbers and the is_current flag (effective_to NULL
+    on the open run). Two steps, both over the SAME (user_id; ts,
+    event_id) window: lag() marks run starts (consecutive-duplicate
+    collapse — the gaps-and-islands reduction), then lead()/row_number()
+    over the surviving run-start rows close each interval at the next
+    run's start. Ordering is made total by appending the unique event_id,
+    so interval boundaries are deterministic on both engines.
+
+    Scale: both windows hash-partition on user_id — ONE shuffle (Catalyst
+    reuses the partitioning across the two sorts since the keys match);
+    no global sort, no self-join (the naive SCD2 rendering joins the feed
+    to itself on "next change", which is a second corpus shuffle this
+    formulation never pays). At 100 TB the run-collapse drops the row
+    count BEFORE the second window's sort buffers see it. Incremental
+    maintenance composes with a19's keyed MERGE: re-derive intervals only
+    for keys present in the new batch, upsert, and the is_current row of
+    an unchanged key is never rewritten."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -114,3 +114,46 @@ def test_d25_sketch_union_is_split_invariant(spark, sf_dir):
     # and the registered key's own audit columns all hold
     rows = Q["d25"](spark, sf_dir).collect()
     assert rows and all(r["merged_within_2pct"] and r["oneshot_within_2pct"] for r in rows)
+
+
+def test_d27_estimates_never_undercount_and_merge_is_addition(spark, sf_dir):
+    rows = Q["d27"](spark, sf_dir).collect()
+    assert rows
+    n_events = table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r["est_ge_exact"] is True
+        assert r["est"] >= r["exact_cnt"]
+        # loose CMS overestimate bound: e*N per depth, min over 4 depths
+        assert r["est"] - r["exact_cnt"] <= 0.1 * n_events
+    # merge law: per-half counter cells SUM to the full sketch's cells
+    # (CMS merge is exact counter addition, unlike HLL's lossy union)
+    from scopus_spark.queries.aggregates import _cms_bucket, _CMS_D
+
+    ev = table(spark, sf_dir, "events")
+
+    def cells(df):
+        probes = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_bucket(d, F.col("event_type")).alias("bucket"),
+                        )
+                        for d in range(_CMS_D)
+                    ]
+                )
+            ).alias("p")
+        ).select("p.d", "p.bucket")
+        return {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in probes.groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    full = cells(ev)
+    a = cells(ev.filter(F.col("event_id") % 2 == 0))
+    b = cells(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == full
