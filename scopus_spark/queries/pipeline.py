@@ -1903,3 +1903,130 @@ def j40_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# --- j42: BM25 ranked retrieval over the document corpus ------------------------------
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "j42",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    tfp AS (
+      SELECT doc_id, dl,
+             count(*) FILTER (token = 'spark')  AS tf_spark,
+             count(*) FILTER (token = 'join')   AS tf_join,
+             count(*) FILTER (token = 'window') AS tf_window
+      FROM toks
+      WHERE token IN ('spark', 'join', 'window')
+      GROUP BY doc_id, dl
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+      FROM documents
+    ),
+    dfs AS (
+      SELECT count(*) FILTER (tf_spark  > 0) AS df_spark,
+             count(*) FILTER (tf_join   > 0) AS df_join,
+             count(*) FILTER (tf_window > 0) AS df_window
+      FROM tfp
+    )
+    SELECT t.doc_id,
+           CAST((t.tf_spark > 0)::INT + (t.tf_join > 0)::INT
+                + (t.tf_window > 0)::INT AS INT) AS n_hits,
+           round(
+             (CASE WHEN t.tf_spark > 0 THEN
+                ln(1 + (s.n_docs - d.df_spark + 0.5) / (d.df_spark + 0.5))
+                * t.tf_spark * ({_BM25_K1} + 1)
+                / (t.tf_spark + {_BM25_K1}
+                   * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl))
+              ELSE 0.0 END)
+             + (CASE WHEN t.tf_join > 0 THEN
+                ln(1 + (s.n_docs - d.df_join + 0.5) / (d.df_join + 0.5))
+                * t.tf_join * ({_BM25_K1} + 1)
+                / (t.tf_join + {_BM25_K1}
+                   * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl))
+              ELSE 0.0 END)
+             + (CASE WHEN t.tf_window > 0 THEN
+                ln(1 + (s.n_docs - d.df_window + 0.5) / (d.df_window + 0.5))
+                * t.tf_window * ({_BM25_K1} + 1)
+                / (t.tf_window + {_BM25_K1}
+                   * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl))
+              ELSE 0.0 END), 4) AS bm25
+    FROM tfp t, stats s, dfs d
+    """,
+)
+def j42_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones, the Lucene-default
+    scoring used by every search-backed RAG pipeline): score each document
+    against the fixed 3-term query via the Okapi formula — Lucene's
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1=1.2, length
+    normalization b=0.75. The query terms PIVOT into fixed columns (one
+    conditional-count agg), so the per-doc score is a FIXED-ORDER 3-term
+    sum — no order-dependent double reduction anywhere; the only cross-
+    engine wobble is ln's last ulp, absorbed by the j38 4dp convention.
+    avgdl is exact-integer sum(dl)/N, never a float avg() (whose partial-
+    aggregation order differs per engine).
+
+    Scale: the token explode filters to the query vocabulary BEFORE its
+    one shuffle (grouping only docs that contain a hit — at 100 TB the
+    filter drops ~everything at the scan); corpus stats (N, sum dl) and
+    document frequencies are two 1-row aggs broadcast into the score
+    projection. Production shape: persist per-term postings (doc_id, tf)
+    partitioned by term — this query IS the probe plan over them.
+    Complements j5 (TF-IDF weights) and j38 (LM quality): j42 is the
+    query-time RANKER."""
+    k1, b = _BM25_K1, _BM25_B
+    terms = _BM25_TERMS
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    toks = d.select(
+        "doc_id", F.size(w).alias("dl"), F.explode(w).alias("token")
+    ).filter(F.col("token").isin(*terms))
+    tfp = toks.groupBy("doc_id", "dl").agg(
+        *[
+            F.count(F.when(F.col("token") == t, 1)).alias(f"tf_{t}")
+            for t in terms
+        ]
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(w)).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfs = tfp.agg(
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+
+    def _term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        sat = (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        return F.when(tf > 0, idf * sat).otherwise(F.lit(0.0))
+
+    scored = tfp.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    n_hits = sum(
+        (F.col(f"tf_{t}") > 0).cast("int") for t in terms
+    )
+    return scored.select(
+        "doc_id",
+        n_hits.cast("int").alias("n_hits"),
+        F.round(
+            _term_score(terms[0]) + _term_score(terms[1]) + _term_score(terms[2]), 4
+        ).alias("bm25"),
+    )

@@ -741,3 +741,65 @@ def a25_jdbc_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", "8")
         .load()
     )
+
+
+# --- a26: native XML ingest round-trip (Spark 4 built-in XML source) ------------------
+@register(
+    "a26",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+)
+def a26_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest via Spark 4's NATIVE xml data source (SPARK-44265 folded
+    the spark-xml package into the engine): write an orders sample as
+    <order> elements, read it back with rowTag + an EXPLICIT schema, and
+    hash against the ORIGINAL parquet rows — typed end-to-end fidelity
+    (long/double/date survive the text encode), not just row counts. The
+    oracle reads the source parquet (DuckDB has no XML reader), so the
+    check is write+parse lossless-ness, same contract as a8's ORC.
+
+    Scale: XML is a line-oriented-ish text source Spark splits by rowTag
+    scan — parsing distributes per-split like JSON (a6); the explicit
+    schema skips the double-pass schema inference a naive load pays.
+    PERMISSIVE-mode quarantine (a24's pattern) composes unchanged."""
+    path = _stage(sf_dir, "orders_xml")
+    sample = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+    )
+    sample.write.mode("overwrite").format("xml").option("rowTag", "order").option(
+        "rootTag", "orders"
+    ).save(path)
+    # the XML writer renders the timestamp as an ISO string
+    # (yyyy-MM-dd'T'HH:mm:ss.SSS); reading it back as TIMESTAMP matches
+    # what was written, is parser-policy-independent, and keeps the
+    # output on the hashable surface (no DateType — source parquet also
+    # carries o_orderdate as timestamp)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(schema)
+        .load(path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        )
+    )

@@ -223,3 +223,20 @@ def test_a25_jdbc_ingest_is_partition_parallel(spark, sf_dir):
     assert len(ranges) >= 2  # parallel in fact, not just in plan
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev["hi"] < cur["lo"]
+
+
+def test_a26_xml_roundtrip_is_lossless_and_typed(spark, sf_dir):
+    """Native XML write->read must reproduce the source rows exactly,
+    with the declared types (not inferred strings)."""
+    got = QUERIES["a26"](spark, sf_dir)
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint", "bigint", "string", "double", "timestamp",
+    ]
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, src.collect()))
