@@ -2030,3 +2030,104 @@ def j42_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             _term_score(terms[0]) + _term_score(terms[1]) + _term_score(terms[2]), 4
         ).alias("bm25"),
     )
+
+
+# --- j43: semantic dedup end-to-end (SemDeDup: cluster near-dups, keep one) -----------
+@register(
+    "j43",
+    oracle="""
+    WITH RECURSIVE base AS MATERIALIZED (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+             [CAST(embedding[1] AS DOUBLE) + 0.05] || CAST(embedding[2:] AS DOUBLE[])
+      FROM embeddings
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.99
+    ),
+    edges AS MATERIALIZED (
+      SELECT va AS a, vb AS b FROM pairs UNION SELECT vb, va FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT node, min(src) AS comp_id FROM reach GROUP BY node),
+    lab AS (
+      SELECT base.vec_id, base.label,
+             coalesce(c.comp_id, base.vec_id) AS cluster_id
+      FROM base LEFT JOIN comp c ON base.vec_id = c.node
+    )
+    SELECT vec_id, label, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           vec_id = min(vec_id) OVER (PARTITION BY cluster_id) AS is_kept
+    FROM lab
+    """,
+)
+def j43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup END TO END (the SemDeDup recipe, Abbas et al. 2023):
+    epsilon-neighborhood cosine pairs (j37's provably-lossless IVF
+    cell-pair pruning, tau=0.99 on the twin-planted corpus) → transitive
+    closure into near-dup CLUSTERS (the shared min-label CC operator —
+    A~B, B~C must dedup together even when A!~C drifted past the
+    threshold) → ONE kept representative per cluster (min vec_id —
+    deterministic, engine-independent), with cluster sizes as the audit
+    column a dedup run reports before dropping anything. This is the
+    embedding-space sibling of the lexical j9→n2→n7 chain, and the last
+    composition the LLM-dedup tier was missing: j37 finds PAIRS, j43
+    decides which ROWS survive.
+
+    Scale: pair generation is j37's bounded cell-pair join (no corpus
+    cartesian, plan-asserted there); CC shuffles only the near-dup EDGE
+    LIST (tiny vs corpus — near-dup graphs are sparse by construction)
+    for O(log diameter) rounds; the final labeling is one broadcast-able
+    left join back to the corpus plus ONE window per cluster_id. Isolated
+    vectors never enter the closure — they label themselves via
+    coalesce, so the 99%-unique bulk of a real corpus pays only the scan
+    and the cell join."""
+    from scopus_spark.catalog import row_count_estimate
+    from scopus_spark.operators.graph import connected_components
+
+    e = table(spark, sf_dir, "embeddings")
+    emb_d = similarity.as_double("embedding")
+    orig = e.select("vec_id", "label", emb_d.alias("embedding"))
+    pert = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at(emb_d, 1) + F.lit(0.05)),
+            F.slice(emb_d, 2, F.size(emb_d) - 1),
+        ).alias("embedding"),
+    )
+    corpus = orig.unionByName(pert)
+    base = similarity.prepare_vectors(corpus)
+    n_cells = similarity.auto_n_cells(2 * row_count_estimate(sf_dir, "embeddings"))
+    cents = similarity._refine_centroids(base, n_cells).persist()
+    assigned = similarity.assign_cells(base, cents)
+    pairs = similarity.threshold_pair_join(assigned, cents, tau=0.99)
+
+    comp = connected_components(
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    lab = (
+        corpus.select("vec_id", "label")
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("comp_id"), F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "vec_id",
+        "label",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("is_kept"),
+    )

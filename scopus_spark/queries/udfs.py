@@ -266,3 +266,56 @@ def k8_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", score("text").alias("scored"))
+
+
+# --- k9: mapInArrow — the zero-pandas Arrow batch API ---------------------------------
+@register(
+    "k9",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(length(text) AS BIGINT) AS measured_chars,
+           length(text) = n_chars AS len_agrees
+    FROM documents
+    """,
+)
+def k9_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the LOWEST-overhead Python batch API: raw
+    pyarrow.RecordBatch in, RecordBatch out, no pandas materialization at
+    all (mapInPandas pays Arrow->pandas->Arrow per batch; for
+    numeric/string columnar compute pyarrow.compute kernels run directly
+    on the Arrow buffers, C++-vectorized, zero-copy). The batch here
+    recomputes each document's length with pa.compute.utf8_length and
+    audits it against the stored n_chars column — a pure columnar kernel,
+    no Python per-row code anywhere.
+
+    Scale: pure map work — no shuffle, executor-parallel, and the Arrow
+    batch size rides spark.sql.execution.arrow.maxRecordsPerBatch exactly
+    like the pandas tiers (k2-k8); the saved pandas conversion is ~30-50%
+    of UDF overhead on wide string batches. Declared as the k-family's
+    floor: k1 row-UDF > k2 pandas > k9 arrow in per-row cost."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def measure(batches):
+        for batch in batches:
+            t = batch.column(batch.schema.get_field_index("text"))
+            measured = pc.cast(pc.utf8_length(t), pa.int64())
+            n_chars = pc.cast(
+                batch.column(batch.schema.get_field_index("n_chars")), pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    n_chars,
+                    measured,
+                    pc.equal(measured, n_chars),
+                ],
+                names=["doc_id", "n_chars", "measured_chars", "len_agrees"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return d.mapInArrow(
+        measure,
+        "doc_id bigint, n_chars bigint, measured_chars bigint, len_agrees boolean",
+    )

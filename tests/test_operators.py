@@ -236,3 +236,14 @@ def test_resize_is_real_nearest_neighbor(spark):
     )
     out = bytes(multimodal.resize_media(media, 4, 1).collect()[0]["payload"])
     assert out == bytes(src[j * 16 // 4] for j in range(4))
+
+
+def test_k9_map_in_arrow_is_shuffle_free_and_audits_true(spark, sf_dir):
+    """mapInArrow is pure map work: no Exchange in the plan, and the
+    columnar recompute agrees with the stored n_chars for every row."""
+    df = QUERIES["k9"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
+    rows = df.collect()
+    assert rows and all(r["len_agrees"] for r in rows)

@@ -55,3 +55,30 @@ def test_j41_plan_is_broadcast_only(spark, sf_dir):
     # the 1-row scale factor rides a broadcast nested loop (bounded), never
     # a shuffled join of the corpus against itself
     assert "SortMergeJoin" not in plan
+
+
+def test_j43_semantic_dedup_clusters_and_keep_one(spark, sf_dir):
+    """Every planted twin (vec_id, vec_id+1e6) must share a cluster, every
+    cluster keeps EXACTLY one representative (its min id), and dropped
+    rows equal total - n_clusters."""
+    from collections import defaultdict
+
+    rows = Q["j43"](spark, sf_dir).collect()
+    by_cluster = defaultdict(list)
+    cluster_of = {}
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+        cluster_of[r["vec_id"]] = r["cluster_id"]
+    # planted twins co-cluster
+    for vid, cid in cluster_of.items():
+        if vid >= 1000000:
+            assert cluster_of[vid - 1000000] == cid, vid
+    for cid, rs in by_cluster.items():
+        assert len(rs) == rs[0]["cluster_size"]
+        kept = [r for r in rs if r["is_kept"]]
+        assert len(kept) == 1
+        assert kept[0]["vec_id"] == min(r["vec_id"] for r in rs)
+        assert cid == min(r["vec_id"] for r in rs)  # min-label CC contract
+    n_kept = sum(1 for r in rows if r["is_kept"])
+    assert n_kept == len(by_cluster)
+    assert len(rows) - n_kept >= len(rows) // 2 - 1  # twins halve the corpus
