@@ -58,6 +58,16 @@ ALLOW: dict[tuple[str, str], str] = {
     "profiles (top-40 per language, bounded)",
     ("j31", "BroadcastNestedLoopJoin"): "broadcast centroid row for IVF "
     "cell assignment (k-NN join index, bounded)",
+    ("j37", "BroadcastNestedLoopJoin"): "broadcast centroid-PAIR bound "
+    "table (n_cells² rows of 2 doubles — tiny; prunes the corpus join)",
+    ("j38", "BroadcastNestedLoopJoin"): _ONE_ROW + " (vocab size for "
+    "Laplace smoothing)",
+    ("j41", "BroadcastNestedLoopJoin"): _ONE_ROW + " (corpus-wide int8 "
+    "quantization scale)",
+    ("j42", "BroadcastNestedLoopJoin"): _ONE_ROW + " (corpus stats N/avgdl "
+    "and the 1-row df table)",
+    ("j43", "BroadcastNestedLoopJoin"): "broadcast centroid-pair bound "
+    "table via the shared j37 pair stage (bounded by n_cells²)",
     ("m4", "BroadcastNestedLoopJoin"): _ONE_ROW + " (sampling fraction)",
     ("n11", "BroadcastNestedLoopJoin"): _ONE_ROW + " (trade-graph scale-"
     "free edge threshold Σn)",
