@@ -216,3 +216,53 @@ def m5_temperature_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
         ).alias("copy_no"),
     )
+
+
+# --- m6: exact-k-per-stratum deterministic sample -------------------------------------
+@register(
+    "m6",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS stratum_n
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(rk AS INT) AS rk,
+           CAST(stratum_n AS BIGINT) AS stratum_n
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def m6_exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k stratified sample — the eval-set builder m1/m2 can't
+    express: m1's hash split gives each doc an independent Bernoulli
+    bucket (stratum sizes only EXPECTED, never exact); here every lang
+    stratum yields EXACTLY min(k, n) rows, chosen by md5(doc_id) priority
+    order — the distributed analogue of a per-stratum reservoir, with no
+    RNG state, reproducible on any engine/partitioning (both engines
+    compare the same md5 hex lexicographically; doc_id breaks ties).
+    stratum_n rides along so the sampling RATE per stratum is auditable.
+
+    Scale: ONE shuffle on the stratum key, and Catalyst pushes rk<=20
+    into the window sort as a per-partition top-k (the e1 rank-pushdown,
+    asserted there) — per-stratum state is k rows, never the stratum.
+    For strata too hot for one task, pre-aggregate a per-partition top-k
+    by the same priority first (associative, like j23's two-level
+    cumsum); the declared composition stays identical."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("stratum_n"),
+        )
+        .filter(F.col("rk") <= 20)
+    )

@@ -65,3 +65,16 @@ def test_m4_materialized_replicas_match_audit(spark, sf_dir):
     for r in Q["m4"](spark, sf_dir).collect():
         assert r["n_after"] == r["n_before"] * r["rep_factor"]
         assert r["rep_factor"] >= 1
+
+
+def test_m6_exactly_k_per_stratum_and_deterministic(spark, sf_dir):
+    rows = Q["m6"](spark, sf_dir).collect()
+    from collections import Counter
+
+    per_lang = Counter(r["lang"] for r in rows)
+    sizes = {r["lang"]: r["stratum_n"] for r in rows}
+    for lang, n in per_lang.items():
+        assert n == min(20, sizes[lang]), (lang, n, sizes[lang])
+    # rerun == same sample (no RNG state anywhere)
+    again = {(r["lang"], r["doc_id"]) for r in Q["m6"](spark, sf_dir).collect()}
+    assert again == {(r["lang"], r["doc_id"]) for r in rows}
