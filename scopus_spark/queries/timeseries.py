@@ -579,7 +579,7 @@ def o8_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 AS (SELECT e.user_id, min(e.ts) AS t3
            FROM e JOIN s2 ON e.user_id = s2.user_id
            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
-    SELECT date_trunc('day', s1.t1) AS cohort_day,
+    SELECT CAST(date_trunc('day', s1.t1) AS TIMESTAMP) AS cohort_day,
            CAST(count(*) AS BIGINT) AS n_signup,
            CAST(count(s2.t2) AS BIGINT) AS n_clicked,
            CAST(count(s3.t3) AS BIGINT) AS n_purchased,
