@@ -643,3 +643,64 @@ def o9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- o10: day-N retention cohort matrix ------------------------------------------------
+@register(
+    "o10",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_type FROM events
+    ),
+    cohort AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM e WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS act_day FROM e
+    )
+    SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN date_diff('day', c.cohort_day, a.act_day) = 1
+                                    THEN c.user_id END) AS BIGINT) AS ret_d1,
+           CAST(count(DISTINCT CASE WHEN date_diff('day', c.cohort_day, a.act_day) = 3
+                                    THEN c.user_id END) AS BIGINT) AS ret_d3,
+           CAST(count(DISTINCT CASE WHEN date_diff('day', c.cohort_day, a.act_day) = 7
+                                    THEN c.user_id END) AS BIGINT) AS ret_d7
+    FROM cohort c JOIN act a ON c.user_id = a.user_id
+    GROUP BY 1
+    """,
+)
+def o10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention cohort matrix — the product-analytics staple next
+    to o9's funnel: users cohorted by FIRST-signup day, with the count
+    still active exactly N days later (N = 1, 3, 7) as conditional
+    distinct counts per cohort row. Day arithmetic happens on
+    day-TRUNCATED timestamps via integer day diffs, so both engines
+    agree exactly (no tz/epoch-division drift).
+
+    Scale: activity collapses to DISTINCT (user, day) FIRST — one
+    map-side-partial shuffle that shrinks the corpus to bounded
+    user-days before the join; the cohort table is one agg over the
+    signup slice; the join is keyed on user_id (co-partitioned with the
+    activity agg's shuffle, AQE-broadcastable when the cohort window is
+    narrow). The retention matrix itself is one hash-agg — no window,
+    no per-day self-join fan-out (the naive rendering joins events
+    against events once per offset)."""
+    ev = table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("act_day")
+    ).distinct()
+    j = cohort.join(act, "user_id")
+    dd = F.datediff(F.col("act_day"), F.col("cohort_day"))
+    return j.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(dd == 1, F.col("user_id"))).alias("ret_d1"),
+        F.countDistinct(F.when(dd == 3, F.col("user_id"))).alias("ret_d3"),
+        F.countDistinct(F.when(dd == 7, F.col("user_id"))).alias("ret_d7"),
+    )

@@ -128,3 +128,16 @@ def test_lerp_interpolates_between_brackets(spark):
     assert out[15] == 15.0  # quarter of the 20-minute bracket
     assert out[20] == 20.0  # midpoint
     assert out[35] is None  # after last observation
+
+
+def test_o10_retention_counts_are_monotone_and_bounded(spark, sf_dir):
+    rows = timeseries.o10_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_users"] >= 1
+        for k in ("ret_d1", "ret_d3", "ret_d7"):
+            assert 0 <= r[k] <= r["n_users"], r
+    # cohort days cover the signup span and are day-truncated
+    for r in rows:
+        t = r["cohort_day"]
+        assert (t.hour, t.minute, t.second, t.microsecond) == (0, 0, 0, 0)
