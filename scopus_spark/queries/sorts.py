@@ -102,3 +102,53 @@ def f3_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(20)
     )
+
+
+# --- f4: global sort positions WITHOUT a single-partition window ----------------------
+@register(
+    "f4",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS pos
+    FROM orders
+    """,
+)
+def f4_distributed_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL sort positions computed the way 1000 executors must:
+    range-partition on the sort key (disjoint key ranges per partition),
+    local sort, then pos = per-partition row_number + the exclusive
+    cumulative count of all EARLIER partitions — the two-level rank
+    (same associative trick as j23's shard-packing cumsum). The only
+    single-point work is the 32-row partition-size ledger; the corpus
+    never converges on one task the way f1's declared-exception global
+    window does. Correct for ANY partition boundary choice (boundaries
+    are range-disjoint over the total (price, orderkey) order, so
+    offset + local rank IS the global rank — AQE coalescing included),
+    hence deterministic even though RangePartitioner samples.
+
+    Scale: one range shuffle (Spark's own global-sort plan), one tiny
+    agg over partition ids, one broadcast join back. The window that
+    computes local ranks partitions by partition_id — maximal
+    parallelism, state = one counter per task."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = o.repartitionByRange(
+        32, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    # exclusive prefix over the bounded (<= 32-row) partition ledger
+    offsets = sizes.select(
+        "pid",
+        (F.sum("n").over(Window.orderBy("pid")) - F.col("n")).alias("offset"),
+    )
+    w_local = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.row_number().over(w_local) + F.col("offset")).cast("long").alias("pos"),
+        )
+    )

@@ -328,3 +328,25 @@ def test_c17_bloom_filter_injected_without_polluting_session(spark, sf_dir):
         )
         != "0"
     )
+
+
+def test_f4_global_rank_avoids_corpus_single_partition_window(spark, sf_dir):
+    """f4's point: global positions WITHOUT funneling the corpus through
+    one task. The only Window over a non-partitioned spec must be the
+    bounded partition-size ledger (<= 32 rows), never the orders scan —
+    so the executed plan's unpartitioned window must sit above the
+    pid-aggregated relation, and results must equal the naive global
+    rank."""
+    df = QUERIES["f4"](spark, sf_dir)
+    rows = df.collect()
+    n = len(rows)
+    assert sorted(r["pos"] for r in rows) == list(range(1, n + 1))
+    got = [r["o_orderkey"] for r in sorted(rows, key=lambda r: r["pos"])]
+    want = [
+        r["o_orderkey"]
+        for r in table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey")
+        .collect()
+    ]
+    assert got == want
