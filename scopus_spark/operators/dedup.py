@@ -253,3 +253,94 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
         )
         .distinct()
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT directional containment pairs: C(A->B) = |A∩B| / |A| >= t
+    over word-3-gram shingle sets — the ASYMMETRIC near-dup tier.
+
+    Symmetric Jaccard (prefix_filter_pairs / j2) misses the partial-copy
+    shape that dominates real web corpora: a short document wholly embedded
+    in a much longer one (quote farms, boilerplate wrappers, article +
+    comment-thread mirrors) has Jaccard |A|/|B| ~ 0 but containment 1.0.
+    Emitting (src, dst) directionally also tells the dedup policy WHICH doc
+    is the subsumed one — the src of a >= t edge is the drop candidate.
+
+    Candidate generation adapts the prefix-filter lemma to the asymmetric
+    overlap bound o = ceil(t*|A|): if |A∩B| >= o then at least one of A's
+    first |A| - o + 1 rarity-sorted shingles lies in A∩B ⊆ B, so joining
+    the SRC prefix against the full DST postings has zero false negatives.
+    Only the src side can be prefix-pruned (B carries no size-dependent
+    bound on its own elements), so unlike the symmetric join the dst side
+    posts every shingle — but the join still only fires where a RARE src
+    prefix shingle matches, and the |B| >= o size filter drops small-dst
+    candidates before verification. Verification recomputes the exact
+    containment from the full sorted shingle arrays map-side.
+
+    Scale: same bounded-key shuffles as prefix_filter_pairs (explode + df
+    count + two groupBys + equi-joins, all AQE-skew-splittable); the dst
+    postings list is the corpus shingle relation already materialized for
+    the df count — no new corpus-scale state. Returns
+    (src_doc, dst_doc, containment) rounded to 6dp.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col)).alias("shingle"),
+    )
+    shingle_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(shingle_df, "shingle")
+    docsets = ranked.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+            lambda s: s.shingle,
+        ).alias("sh_sorted"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    # src prefix: the first |A| - ceil(t*|A|) + 1 rarity-sorted shingles.
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    pref = docsets.select(
+        F.col("doc_id").alias("src_doc"),
+        F.col("n_sh").alias("na"),
+        F.explode(F.slice("sh_sorted", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    post = docsets.select(
+        F.col("doc_id").alias("dst_doc"),
+        F.col("n_sh").alias("nb"),
+        F.explode("sh_sorted").alias("shingle"),
+    )
+    min_overlap = F.ceil(F.lit(threshold) * F.col("na"))
+    cand = (
+        pref.join(
+            post,
+            (pref["shingle"] == post["shingle"])
+            & (pref["src_doc"] != post["dst_doc"])
+            # |A∩B| <= |B|, so |B| >= ceil(t*|A|) is necessary.
+            & (post["nb"] >= min_overlap),
+        )
+        .select("src_doc", "dst_doc")
+        .distinct()
+    )
+    sets_a = docsets.select(
+        F.col("doc_id").alias("src_doc"),
+        F.col("sh_sorted").alias("set_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sets_b = docsets.select(
+        F.col("doc_id").alias("dst_doc"),
+        F.col("sh_sorted").alias("set_b"),
+    )
+    n_inter = F.size(F.array_intersect("set_a", "set_b"))
+    cont = n_inter / F.col("na")
+    return (
+        cand.join(sets_a, "src_doc")
+        .join(sets_b, "dst_doc")
+        .filter(cont >= threshold)
+        .select("src_doc", "dst_doc", F.round(cont, 6).alias("containment"))
+    )

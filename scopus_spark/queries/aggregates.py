@@ -982,3 +982,72 @@ def d27_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("long").alias("est"),
         (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact"),
     )
+
+
+# --- d28: robust outlier detection via grouped median + MAD -------------------------
+@register(
+    "d28",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med_v FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med_v) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad_v FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(m2.med_v), 4) AS med_value,
+           round(any_value(m.mad_v), 4) AS mad_value,
+           CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad_v) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM dev d
+    JOIN mad m USING (event_type)
+    JOIN med m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def d28_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier audit: exact median + MAD (median absolute
+    deviation), flagging values beyond the 3-sigma-equivalent robust fence
+    ``|x - med| > 3 * 1.4826 * MAD`` (1.4826 = 1/Phi^-1(3/4) makes MAD a
+    consistent sigma estimator under normality). Mean/stddev fences (the o6
+    z-score tier) are themselves dragged by the outliers they hunt; the
+    median/MAD pair has a 50% breakdown point, which is why production data
+    quality monitors prefer it on heavy-tailed columns like events.value.
+
+    Two-pass shape d7 (single exact percentile) can't express: pass 1
+    computes each group's exact median (sort-based, matching DuckDB's
+    interpolated median bit-for-bit on doubles); the 5-row result
+    broadcast-joins back onto the fact scan so deviations are map-side;
+    pass 2 takes the median of deviations (MAD) per group; the final
+    broadcast join counts fence-breakers. Scale: the fact table is scanned
+    twice (the price of EXACT medians — the approx tier is d20) but never
+    shuffled on a wide key: every exchange carries <= n_groups rows, both
+    join-backs are broadcasts, and the outlier count aggregates map-side.
+    """
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_v")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med_v")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_v")
+    )
+    fence = F.lit(3 * 1.4826) * F.col("mad_v")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med_v"), 4).alias("med_value"),
+            F.round(F.first("mad_v"), 4).alias("mad_value"),
+            F.count_if(F.col("adev") > fence).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

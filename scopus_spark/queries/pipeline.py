@@ -2131,3 +2131,47 @@ def j43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("vec_id") == F.min("vec_id").over(w)).alias("is_kept"),
     )
+
+
+# --- j44: asymmetric containment near-dup pairs (partial-copy detection) -------------
+@register(
+    "j44",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               AS shingle
+      FROM toks
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY src_doc, dst_doc
+    )
+    SELECT p.src_doc, p.dst_doc,
+           round(p.n_inter / sa.n_sh, 6) AS containment
+    FROM pair_inter p JOIN sizes sa ON p.src_doc = sa.doc_id
+    WHERE p.n_inter / sa.n_sh >= 0.8
+    """,
+)
+def j44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup pairs: C(A->B) = |A∩B|/|A| >= 0.8
+    over word-3-gram shingles — the partial-copy tier j2's symmetric
+    Jaccard structurally misses (a short doc embedded in a long one has
+    Jaccard ~ |A|/|B| but containment 1.0), and the direction names the
+    subsumed (drop-candidate) side. Candidates via the asymmetric
+    prefix-filter adaptation in operators/dedup.containment_pairs — src
+    prefix joined against full dst postings, provably zero false
+    negatives, verified by exact intersection over the sorted shingle
+    arrays. The oracle recomputes every pair by brute-force shingle
+    self-join; at sf0.01 both sides agree pair-for-pair at 6dp."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, threshold=0.8)

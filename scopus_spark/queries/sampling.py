@@ -266,3 +266,54 @@ def m6_exact_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 20)
     )
+
+
+# --- m7: leakage-free temporal split with embargo gap --------------------------------
+_M7_TRAIN_END = "2024-01-21 00:00:00"
+_M7_TEST_START = "2024-01-24 00:00:00"
+
+
+@register(
+    "m7",
+    oracle=f"""
+    SELECT CASE WHEN ts < TIMESTAMP '{_M7_TRAIN_END}' THEN 'train'
+                ELSE 'test' END AS split,
+           event_type,
+           CAST(count(*) AS BIGINT)                AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(ts) AS t_min,
+           max(ts) AS t_max
+    FROM events
+    WHERE ts < TIMESTAMP '{_M7_TRAIN_END}'
+       OR ts >= TIMESTAMP '{_M7_TEST_START}'
+    GROUP BY 1, 2
+    """,
+)
+def m7_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap — the split m1-m6
+    cannot express: when the model will be used on FUTURE data, a hash
+    split leaks (train and test interleave in time, and features built
+    from trailing windows straddle the boundary). The fix is the
+    quant-finance purged split: train strictly before T_train_end, test
+    strictly after T_test_start, and the embargo band between them
+    (here 3 days — sized to the longest feature lookback, e.g. o1/o6's
+    rolling windows) DROPPED so no trailing aggregate computed on a train
+    row can overlap a test row's window. The per-split t_min/t_max ride
+    along as the audit: max(train.t_max) < min(test.t_min) minus the gap
+    is checked in tests/test_sampling.py.
+
+    Scale: split assignment is a map-side predicate on the partition
+    column a 100 TB event lake is laid out on (dt=...), so Catalyst prunes
+    whole partitions per side — neither a shuffle nor an RNG draw anywhere;
+    the audit agg exchanges <= 2 * n_event_types rows."""
+    ev = table(spark, sf_dir, "events")
+    train_end = F.lit(_M7_TRAIN_END).cast("timestamp")
+    test_start = F.lit(_M7_TEST_START).cast("timestamp")
+    kept = ev.filter((F.col("ts") < train_end) | (F.col("ts") >= test_start))
+    split = F.when(F.col("ts") < train_end, "train").otherwise("test")
+    return kept.groupBy(split.alias("split"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("ts").alias("t_min"),
+        F.max("ts").alias("t_max"),
+    )

@@ -247,3 +247,54 @@ def test_k9_map_in_arrow_is_shuffle_free_and_audits_true(spark, sf_dir):
     assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
     rows = df.collect()
     assert rows and all(r["len_agrees"] for r in rows)
+
+
+def test_d28_mad_robust_to_contamination(spark, sf_dir):
+    """The point of MAD over stddev: injecting a 1% block of extreme
+    values must leave the median/MAD fence (nearly) unmoved while a
+    mean/stddev fence would chase the contamination. Checked by
+    recomputing d28 over events with 1% of rows multiplied 100x: med/mad
+    per group shift by < 5%, and the original outlier counts are > 0 on
+    the heavy-tailed value column."""
+    from scopus_spark.queries.aggregates import d28_mad_outliers
+
+    base = {r.event_type: r for r in d28_mad_outliers(spark, sf_dir).collect()}
+    assert all(r.n_outliers > 0 for r in base.values())
+    assert all(r.mad_value > 0 for r in base.values())
+
+    ev = table(spark, sf_dir, "events")
+    poisoned = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 100 == 0, F.col("value") * 100).otherwise(
+            F.col("value")
+        ),
+    )
+    med = poisoned.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_v")
+    )
+    dev = poisoned.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med_v")).alias("adev")
+    )
+    mad = {
+        r.event_type: r.mad_v
+        for r in dev.groupBy("event_type")
+        .agg(F.percentile("adev", F.lit(0.5)).alias("mad_v"))
+        .collect()
+    }
+    for et, r in base.items():
+        assert abs(mad[et] - r.mad_value) / r.mad_value < 0.05
+
+
+def test_d28_join_backs_are_broadcast(spark, sf_dir):
+    """Scale contract: the fact scan is never shuffled on a wide key —
+    both median join-backs are broadcasts."""
+    from scopus_spark.queries.aggregates import d28_mad_outliers
+
+    plan = (
+        d28_mad_outliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

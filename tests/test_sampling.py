@@ -78,3 +78,29 @@ def test_m6_exactly_k_per_stratum_and_deterministic(spark, sf_dir):
     # rerun == same sample (no RNG state anywhere)
     again = {(r["lang"], r["doc_id"]) for r in Q["m6"](spark, sf_dir).collect()}
     assert again == {(r["lang"], r["doc_id"]) for r in rows}
+
+
+def test_m7_embargo_gap_enforced(spark, sf_dir):
+    """The leakage contract: every train row precedes every test row by at
+    least the 3-day embargo, and no event inside the embargo band survives."""
+    from datetime import timedelta
+
+    from scopus_spark.queries.sampling import m7_temporal_embargo_split
+
+    rows = m7_temporal_embargo_split(spark, sf_dir).collect()
+    train_max = max(r.t_max for r in rows if r.split == "train")
+    test_min = min(r.t_min for r in rows if r.split == "test")
+    assert test_min - train_max >= timedelta(days=3)
+    # both sides non-empty at every declared event type
+    assert sorted({r.event_type for r in rows if r.split == "train"}) == sorted(
+        {r.event_type for r in rows if r.split == "test"}
+    )
+
+
+def test_m7_split_is_pure_predicate(spark, sf_dir):
+    """Scale contract: assignment adds no shuffle beyond the audit agg —
+    exactly one Exchange in the plan."""
+    from scopus_spark.queries.sampling import m7_temporal_embargo_split
+
+    plan = m7_temporal_embargo_split(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # partial->final agg pair at most
