@@ -272,3 +272,80 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """(node, coreness) — EXACT k-core number for every node that appears
+    in at least one edge, via distributed ascending-k peeling
+    (Matula–Beck degeneracy ordering, batched).
+
+    coreness(v) = the largest k such that v belongs to a subgraph whose
+    every node has degree >= k inside it. The peel: for k = 1, 2, ...
+    repeatedly delete all nodes whose CURRENT degree is < k; a node
+    deleted while peeling toward the k-core has coreness k-1. Deleting
+    whole low-degree WAVES per round (not one min-degree node at a time,
+    as the sequential algorithm does) is what makes the algorithm
+    distributed: every wave is a degree aggregation plus two anti-joins,
+    and correctness is unaffected because deleting a node never raises
+    another node's degree.
+
+    Scale: rounds = sum over k of the peel-wave count, bounded by
+    O(degeneracy * diameter-of-waves) — small for the power-law graphs
+    dedup/citation pipelines produce (degeneracy ~ tens). Each round
+    shuffles only the LIVE edge set (monotonically shrinking) on node
+    keys; removed nodes accumulate in a checkpointed label table; the
+    driver sees nothing but 1-row emptiness probes. Lineage is cut per
+    round with localCheckpoint (the connected_components argument; swap
+    for checkpoint() on a real cluster for executor-loss tolerance).
+    """
+    live = undirected(edges, src, dst).localCheckpoint()
+    # Track live NODES separately from live edges: a node whose last edge
+    # was peeled away still exists (degree 0) and must receive a label —
+    # reading degrees off the edge table alone would silently drop it.
+    nodes = live.select("src").distinct().select(F.col("src").alias("node"))
+    nodes = nodes.localCheckpoint()
+    assigned: DataFrame | None = None
+    spark = edges.sparkSession
+    k = 1
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        if nodes.limit(1).count() == 0:
+            break
+        deg = live.groupBy(F.col("src").alias("node_d")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        low = (
+            nodes.join(deg, nodes.node == deg.node_d, "left")
+            .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+            .filter(F.col("deg") < k)
+            .select("node")
+        )
+        if low.limit(1).count() == 0:
+            k += 1
+            continue
+        labeled = low.select(
+            "node", F.lit(k - 1).cast("long").alias("coreness")
+        )
+        assigned = (
+            labeled
+            if assigned is None
+            else assigned.union(labeled)
+        ).localCheckpoint()
+        nodes = nodes.join(low, "node", "left_anti").localCheckpoint()
+        live = (
+            live.join(low, live.src == low.node, "left_anti")
+            .join(low, F.col("dst") == low.node, "left_anti")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
+    if assigned is None:
+        schema = "node long, coreness long"
+        return spark.createDataFrame([], schema)
+    return assigned

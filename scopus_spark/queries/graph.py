@@ -784,3 +784,36 @@ def n11_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("a.id").alias("a"), F.col("b.id").alias("b"), F.col("c.id").alias("c")
     )
+
+
+# --- n12: k-core decomposition of the dup graph (ROWS + brute-force property) -------
+@register("n12")  # no oracle: iterative peeling is not expressible in one SQL
+def n12_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT coreness per dup-graph node (operators/graph.coreness) — the
+    governance signal that separates TEMPLATE FAMILIES from chain
+    artifacts: a node with coreness >= 2 sits in a mutually-similar
+    clique-ish blob (boilerplate/template spam — safe to collapse hard),
+    while coreness 1 marks chains of borderline pairwise matches where
+    transitive collapse (n2/n9) is the risky move. Degree alone cannot
+    make that call (a chain hub and a clique member can have equal
+    degree); the k-core number is the standard graph-density fix.
+
+    No DuckDB oracle: ascending-k peeling is inherently iterative with a
+    data-dependent round count (aggregate-in-recursion is outside SQL's
+    recursive CTE fragment — same adjudication as i4/i5/m3). Instead
+    tests/test_coreness.py proves the operator EQUAL to single-node
+    brute-force peeling on constructed graphs and on this exact dup graph
+    at sf0.01 — node-for-node, value-for-value, which is the HASH check
+    in all but transport."""
+    from scopus_spark.operators.graph import coreness, degrees
+
+    edges = _dup_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    core = coreness(edges)
+    deg = degrees(edges)
+    return core.join(deg, "node").select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("coreness").cast("long").alias("coreness"),
+        F.col("degree").cast("long").alias("degree"),
+    )

@@ -1,0 +1,90 @@
+"""operators/graph.coreness — exact k-core numbers via distributed peeling.
+
+The contract: node-for-node equality with single-node brute-force peeling
+(the sequential Matula–Beck algorithm), on constructed graphs that exercise
+every edge case and on the real dup graph the n12 key declares.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from scopus_spark.operators.graph import coreness
+
+
+def _brute(edges: list[tuple[int, int]]) -> dict[int, int]:
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    live = set(adj)
+    deg = {v: len(adj[v]) for v in live}
+    core: dict[int, int] = {}
+    k = 1
+    while live:
+        low = {v for v in live if deg[v] < k}
+        if not low:
+            k += 1
+            continue
+        for v in low:
+            core[v] = k - 1
+            live.discard(v)
+            for u in adj[v]:
+                if u in live:
+                    deg[u] -= 1
+    return core
+
+
+def _spark_coreness(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.coreness for r in coreness(df).collect()}
+
+
+def test_textbook_graph(spark):
+    """Triangle + pendant + chain + isolated-pair: coreness 2/2/2 for the
+    triangle, 1 for everything attached by single edges, and the
+    degree-0-after-peel node (chain middle) must still get labeled."""
+    edges = [
+        (1, 2), (2, 3), (1, 3),     # triangle: core 2
+        (3, 4),                     # pendant off the triangle: core 1
+        (5, 6), (6, 7),             # path: all core 1
+        (8, 9),                     # isolated edge: core 1
+    ]
+    assert _spark_coreness(spark, edges) == _brute(edges)
+    assert _brute(edges)[1] == 2 and _brute(edges)[4] == 1
+
+
+def test_two_cliques_joined_by_bridge(spark):
+    """The bridge must NOT inflate coreness: K4 members stay 3, the
+    bridge endpoints keep their clique coreness."""
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14) if i < j]
+    edges = k4a + k4b + [(0, 10)]
+    got = _spark_coreness(spark, edges)
+    assert got == _brute(edges)
+    assert all(got[v] == 3 for v in [0, 1, 2, 3, 10, 11, 12, 13])
+
+
+def test_deep_peel_chain(spark):
+    """A long path forces many peel waves at k=2 — exercises the
+    multi-round convergence and the label accumulator."""
+    edges = [(i, i + 1) for i in range(30)]
+    got = _spark_coreness(spark, edges)
+    assert got == _brute(edges)
+    assert set(got.values()) == {1}
+
+
+def test_n12_matches_brute_force_on_dup_graph(spark, sf_dir):
+    """The declared key equals sequential peeling on the REAL edge set —
+    the HASH check in all but transport."""
+    from scopus_spark.queries.graph import _dup_edges, n12_coreness
+
+    edge_rows = _dup_edges(spark, sf_dir).collect()
+    edges = [(r.doc_a, r.doc_b) for r in edge_rows]
+    expected = _brute(edges)
+    got = {r.doc_id: r.coreness for r in n12_coreness(spark, sf_dir).collect()}
+    assert got == expected
+    assert len(got) > 0
