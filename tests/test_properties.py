@@ -451,3 +451,38 @@ def test_motif_find_equals_bruteforce_enumeration(spark, edges):
         if (b, c) in eset and a != b and b != c
     }
     assert got2 == want2
+
+
+@given(texts=_DOCS)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_containment_pairs_equals_bruteforce(spark, texts):
+    """The asymmetric prefix filter (j44) must find EXACTLY the brute-force
+    containment>=t DIRECTED pairs for any corpus — including the repeated
+    short-words regime where many docs share most shingles."""
+    from scopus_spark.operators.dedup import containment_pairs
+    from scopus_spark.operators.text import word_shingles
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    fast = {
+        (r.src_doc, r.dst_doc, r.containment)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    sh = {r.doc_id: set(r.sh) for r in docs.select(
+        "doc_id", word_shingles("text").alias("sh")).collect()}
+    brute = set()
+    for a in sh:
+        if not sh[a]:
+            continue
+        for b in sh:
+            if a == b:
+                continue
+            cont = len(sh[a] & sh[b]) / len(sh[a])
+            if cont >= 0.8:
+                brute.add((a, b, round(cont, 6)))
+    assert fast == brute
