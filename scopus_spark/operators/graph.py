@@ -302,6 +302,13 @@ def coreness(
     driver sees nothing but 1-row emptiness probes. Lineage is cut per
     round with localCheckpoint (the connected_components argument; swap
     for checkpoint() on a real cluster for executor-loss tolerance).
+
+    Like connected_components/pagerank — and unlike the declared-lazy
+    relational keys — CONSTRUCTION runs the peeling jobs: the loop's
+    emptiness probes are driver-side control flow, inherent to any
+    data-dependent iteration. Callers that need a lazy handle should
+    persist the returned label table and hand that out (j31's
+    persisted-index pattern).
     """
     live = undirected(edges, src, dst).localCheckpoint()
     # Track live NODES separately from live edges: a node whose last edge
