@@ -274,41 +274,88 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("pagerank"))
 
 
+def _peel_component_pdf(pdf):
+    """Sequential Batagelj–Zaveršnik bucket peel over ONE component's edge
+    list (both directions present). O(E): process nodes in ascending
+    current-degree order; a node's degree at removal IS its coreness,
+    because decrements never drop a live node below the current peel
+    level. Runs inside applyInPandas — pure per-group map work."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        if a != b:
+            adj[a].append(b)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    buckets = defaultdict(set)
+    for v, d in deg.items():
+        buckets[d].add(v)
+    out_nodes, out_core = [], []
+    done = set()
+    d = 0
+    maxd = max(deg.values(), default=0)
+    while len(done) < len(deg):
+        while d <= maxd and not buckets[d]:
+            d += 1
+        v = buckets[d].pop()
+        done.add(v)
+        out_nodes.append(v)
+        out_core.append(d)
+        for u in adj[v]:
+            if u not in done and deg[u] > d:
+                buckets[deg[u]].discard(u)
+                deg[u] -= 1
+                buckets[deg[u]].add(u)
+    import pandas as pd
+
+    return pd.DataFrame({"node": out_nodes, "coreness": out_core})
+
+
 def coreness(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 200,
+    wave_rounds: int = 8,
 ) -> DataFrame:
     """(node, coreness) — EXACT k-core number for every node that appears
-    in at least one edge, via distributed ascending-k peeling
-    (Matula–Beck degeneracy ordering, batched).
+    in at least one edge. Hybrid two-phase peel with a DETERMINISTIC
+    round bound (no data-dependent failure mode):
 
-    coreness(v) = the largest k such that v belongs to a subgraph whose
-    every node has degree >= k inside it. The peel: for k = 1, 2, ...
-    repeatedly delete all nodes whose CURRENT degree is < k; a node
-    deleted while peeling toward the k-core has coreness k-1. Deleting
-    whole low-degree WAVES per round (not one min-degree node at a time,
-    as the sequential algorithm does) is what makes the algorithm
-    distributed: every wave is a degree aggregation plus two anti-joins,
-    and correctness is unaffected because deleting a node never raises
-    another node's degree.
+    Phase 1 — distributed ascending-k wave peel (Matula–Beck, batched):
+    for k = 1, 2, ... repeatedly delete all nodes whose CURRENT degree is
+    < k; a node deleted while peeling toward the k-core has coreness k-1.
+    Whole low-degree WAVES per round (a degree aggregation plus two
+    anti-joins each) make it distributed; deleting a node never raises
+    another's degree, so wave batching preserves exactness. At 100 TB
+    this phase does the heavy lifting: the first few waves remove the
+    long tail of low-coreness nodes, and the live edge set shrinks
+    monotonically.
 
-    Scale: rounds = sum over k of the peel-wave count, bounded by
-    O(degeneracy * diameter-of-waves) — small for the power-law graphs
-    dedup/citation pipelines produce (degeneracy ~ tens). Each round
-    shuffles only the LIVE edge set (monotonically shrinking) on node
-    keys; removed nodes accumulate in a checkpointed label table; the
-    driver sees nothing but 1-row emptiness probes. Lineage is cut per
-    round with localCheckpoint (the connected_components argument; swap
-    for checkpoint() on a real cluster for executor-loss tolerance).
+    Phase 2 — after `wave_rounds` rounds, the residual (pathological
+    shapes: long chains need O(length) waves at k=2) is finished exactly
+    per CONNECTED COMPONENT: pointer-jumping CC (O(log d) rounds) keys
+    the residual edges, then a sequential O(E) bucket peel runs inside
+    applyInPandas — parallel across components, linear within one.
+    Exactness of the splice: abandoning the k-cascade mid-wave leaves a
+    residual that is a legitimate intermediate state of sequential
+    peeling, every node already labeled has exact coreness k-1, every
+    residual node survived the finished (k-1)-cascade so its true
+    coreness is >= k-1, and continuing the peel on the residual equals
+    clamping its within-residual coreness to that floor:
+    label(v) = max(k-1, coreness_residual(v)).
+    Residual component size is the phase-2 memory bound — dup graphs
+    shed their giant low-core mass in phase 1, so components reaching
+    pandas are the dense cores plus chain fragments; raise wave_rounds
+    if a profiled corpus still funnels a huge component through.
 
     Like connected_components/pagerank — and unlike the declared-lazy
     relational keys — CONSTRUCTION runs the peeling jobs: the loop's
     emptiness probes are driver-side control flow, inherent to any
     data-dependent iteration. Callers that need a lazy handle should
     persist the returned label table and hand that out (j31's
-    persisted-index pattern).
+    persisted-index pattern). Lineage is cut per round with
+    localCheckpoint (swap for checkpoint() on a real cluster for
+    executor-loss tolerance).
     """
     live = undirected(edges, src, dst).localCheckpoint()
     # Track live NODES separately from live edges: a node whose last edge
@@ -319,10 +366,10 @@ def coreness(
     assigned: DataFrame | None = None
     spark = edges.sparkSession
     k = 1
-    rounds = 0
-    while rounds < max_rounds:
-        rounds += 1
+    drained = False
+    for _ in range(wave_rounds):
         if nodes.limit(1).count() == 0:
+            drained = True
             break
         deg = live.groupBy(F.col("src").alias("node_d")).agg(
             F.count(F.lit(1)).alias("deg")
@@ -350,8 +397,36 @@ def coreness(
             .join(low, F.col("dst") == low.node, "left_anti")
             .localCheckpoint()
         )
-    else:
-        raise RuntimeError(f"coreness did not converge in {max_rounds} rounds")
+    if not drained and nodes.limit(1).count() > 0:
+        floor = k - 1
+        node_t = dict(live.dtypes)["src"]
+        # Residual nodes with zero live edges: the continued k-cascade
+        # removes them immediately -> exact label = floor.
+        edge_nodes = (
+            live.select("src").distinct().select(F.col("src").alias("node"))
+        )
+        iso = nodes.join(edge_nodes, "node", "left_anti").select(
+            "node", F.lit(floor).cast("long").alias("coreness")
+        )
+        cc = connected_components(live)
+        ecomp = live.join(
+            cc.select(F.col("node").alias("src_n"), "comp_id"),
+            live.src == F.col("src_n"),
+        ).select("comp_id", "src", "dst")
+        fin = (
+            ecomp.groupBy("comp_id")
+            .applyInPandas(
+                _peel_component_pdf, f"node {node_t}, coreness long"
+            )
+            .select(
+                "node",
+                F.greatest(
+                    F.lit(floor).cast("long"), F.col("coreness").cast("long")
+                ).alias("coreness"),
+            )
+        )
+        tail = iso.union(fin)
+        assigned = tail if assigned is None else assigned.union(tail)
     if assigned is None:
         schema = "node long, coreness long"
         return spark.createDataFrame([], schema)

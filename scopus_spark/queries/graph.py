@@ -798,7 +798,7 @@ def n12_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     make that call (a chain hub and a clique member can have equal
     degree); the k-core number is the standard graph-density fix.
 
-    No DuckDB oracle: ascending-k peeling is inherently iterative with a
+    No DuckDB oracle: k-core peeling is inherently iterative with a
     data-dependent round count (aggregate-in-recursion is outside SQL's
     recursive CTE fragment — same adjudication as i4/i5/m3). Instead
     tests/test_coreness.py proves the operator EQUAL to single-node

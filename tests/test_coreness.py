@@ -88,3 +88,29 @@ def test_n12_matches_brute_force_on_dup_graph(spark, sf_dir):
     got = {r.doc_id: r.coreness for r in n12_coreness(spark, sf_dir).collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_finisher_path_long_chain(spark):
+    """wave_rounds too small for a long path forces the per-component
+    phase-2 finish; result must still equal brute force exactly."""
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.coreness for r in coreness(df, wave_rounds=2).collect()}
+    assert got == _brute(edges)
+
+
+def test_finisher_mixed_cores_mid_cascade(spark):
+    """Abort mid-k-cascade with mixed coreness levels in the residual:
+    a K5 (core 4) tied to a long chain (core 1) plus a separate triangle
+    component — the floor-clamp splice must keep every label exact."""
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 100)] + [(100 + i, 101 + i) for i in range(40)]
+    tri = [(200, 201), (201, 202), (200, 202)]
+    edges = k5 + chain + tri
+    for budget in (1, 3, 5):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.coreness
+            for r in coreness(df, wave_rounds=budget).collect()
+        }
+        assert got == _brute(edges), f"budget={budget}"
