@@ -543,3 +543,75 @@ def threshold_pair_join(
             pair_cos.alias("cos_sim"),
         )
     )
+
+
+def pca_whiten_params(embeddings: DataFrame, q: int = 4):
+    """Distributed PCA fit: (mean, W, eigvals, n) where W is the d x q
+    whitening projection — top-q unit eigenvectors of the population
+    covariance, each scaled by 1/sqrt(eigenvalue), sign-fixed so every
+    component's max-|loading| entry is positive (engine-independent
+    determinism; numpy eigh's sign is otherwise arbitrary).
+
+    The fit is ONE distributed pass: mapInPandas emits per-batch partial
+    (n, sum, Gram) statistics as (idx, val) rows — 1 + d + d^2 rows per
+    batch, d=64 -> 4161 — which one hash aggregate sums and the driver
+    collects (the treeAggregate shape: driver traffic is O(d^2),
+    independent of corpus size). Covariance, eigendecomposition and
+    whitening are O(d^3) driver math on a 64x64 matrix. At 100 TB the
+    corpus pays exactly one scan; the projection that consumers apply is
+    pure map work against broadcast-literal component vectors (JVM
+    higher-order functions, no Python in the hot path).
+
+    CONSTRUCTION runs the stats job (data-dependent driver math — same
+    adjudication as n12/pagerank); callers wanting a lazy handle persist
+    the params, j31's persisted-index pattern.
+    """
+    import numpy as np
+
+    def gram_partial(batches):
+        import pandas as pd
+
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s = m.sum(axis=0) if s is None else s + m.sum(axis=0)
+            gg = m.T @ m
+            g = gg if g is None else g + gg
+        if n == 0:
+            return
+        d = s.shape[0]
+        idx = np.concatenate(
+            [[0], np.arange(1, d + 1), np.arange(d + 1, d + 1 + d * d)]
+        )
+        val = np.concatenate([[float(n)], s, g.ravel()])
+        yield pd.DataFrame({"idx": idx.astype(np.int64), "val": val})
+
+    base = embeddings.select(as_double("embedding").alias("emb"))
+    sums = (
+        base.mapInPandas(gram_partial, "idx long, val double")
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    vals = {r.idx: r.val for r in sums}
+    max_idx = max(vals)
+    d = int((-1 + math.isqrt(1 + 4 * max_idx)) // 2)
+    n = int(round(vals[0]))
+    s = np.array([vals[i] for i in range(1, d + 1)])
+    g = np.array([vals[i] for i in range(d + 1, d + 1 + d * d)]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:q]
+    top_vals = eigvals[order]
+    top_vecs = eigvecs[:, order]
+    for j in range(top_vecs.shape[1]):
+        if top_vecs[np.argmax(np.abs(top_vecs[:, j])), j] < 0:
+            top_vecs[:, j] = -top_vecs[:, j]
+    w = top_vecs / np.sqrt(np.maximum(top_vals, 1e-12))
+    return mean, w, top_vals, n

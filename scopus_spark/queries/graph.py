@@ -817,3 +817,162 @@ def n12_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("coreness").cast("long").alias("coreness"),
         F.col("degree").cast("long").alias("degree"),
     )
+
+
+# --- n13: h-index per customer (the bibliometric staple) --------------------------
+@register(
+    "n13",
+    oracle="""
+    WITH cites AS (
+      SELECT l_orderkey, count(*) AS cites FROM lineitem GROUP BY l_orderkey
+    ),
+    papers AS (
+      SELECT o.o_custkey, c.cites,
+             row_number() OVER (
+               PARTITION BY o.o_custkey
+               ORDER BY c.cites DESC, o.o_orderkey
+             ) AS rn
+      FROM orders o JOIN cites c ON o.o_orderkey = c.l_orderkey
+    )
+    SELECT o_custkey AS custkey,
+           max(least(rn, cites)) AS h_index,
+           count(*) AS n_papers
+    FROM papers GROUP BY o_custkey
+    """,
+)
+def n13_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-index per customer — THE bibliometric impact measure (Hirsch
+    2005): h = the largest h such that the entity has >= h papers with
+    >= h citations each. Rendered on the lake: papers = a customer's
+    orders, citations = lineitems per order.
+
+    The classic formulation sorts each entity's papers by citations
+    descending and takes max(min(rank, citations)) — h is invariant to
+    tie-break order within equal citation counts (swapping equal-cite
+    papers never changes min(rank, cites) maxima), but the window still
+    orders by (cites DESC, orderkey) so the intermediate is fully
+    deterministic.
+
+    Scale: one map-side-combinable agg on orderkey, one orderkey equi-
+    join (co-partitioned with the agg's shuffle), one per-entity window
+    (shuffle on custkey; an entity's paper list is the partition — fine
+    unless one author has millions of papers, in which case cap the
+    window with a cites-descending top-N pushdown since h <= n anyway).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cites = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cites"))
+    papers = o.join(cites, o.o_orderkey == cites.l_orderkey).select(
+        "o_custkey", "o_orderkey", "cites"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("cites"), F.asc("o_orderkey")
+    )
+    ranked = papers.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.least(F.col("rn").cast("long"), F.col("cites"))).alias(
+            "h_index"
+        ),
+        F.count(F.lit(1)).alias("n_papers"),
+    )
+
+
+# --- n14: co-citation pairs with Jaccard strength ---------------------------------
+@register(
+    "n14",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    sized AS (
+      SELECT ok FROM items GROUP BY ok HAVING count(*) <= 25
+    ),
+    base AS (
+      SELECT i.ok, i.pk FROM items i JOIN sized s ON i.ok = s.ok
+    ),
+    sup AS (
+      SELECT pk, count(*) AS sup FROM base GROUP BY pk
+    ),
+    fi AS (
+      SELECT b.ok, b.pk, s.sup FROM base b
+      JOIN sup s ON b.pk = s.pk AND s.sup >= 10
+    ),
+    co AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             count(*) AS cocites,
+             max(a.sup) AS sup_a, max(b.sup) AS sup_b
+      FROM fi a JOIN fi b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, cocites,
+           CAST(cocites AS DOUBLE) / (sup_a + sup_b - cocites) AS jaccard
+    FROM co
+    """,
+)
+def n14_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs (Small 1973) — parts ordered together stand in
+    for papers cited together: for every part pair appearing in >= 2
+    shared baskets, the co-count plus Jaccard strength
+    cocites / (sup_a + sup_b - cocites). Bibliographic-coupling twin of
+    the dup-graph keys: this is how citation-analytics builds its
+    similarity graph from raw co-occurrence.
+
+    The pair self-join is the classic explosion risk; both standard
+    guards are encoded (in the oracle too, so they're contract, not
+    implementation detail):
+    - mega-basket exclusion (baskets > 25 items dropped BEFORE pairing
+      — review articles citing thousands contribute O(k^2) noise pairs;
+      TPC-H baskets are <= 7 so the cap is semantics-neutral here while
+      pinning the scale guard),
+    - support pruning (parts in < 10 baskets can never reach a strong
+      pair; dropping them first shrinks the join input, the a-priori
+      argument).
+    After the guards the join is a basket-keyed equi-join whose per-key
+    fanout is <= C(25,2); the pair agg is map-side combinable on
+    (part_a, part_b). AQE splits residual hot baskets.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sized = (
+        items.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") <= 25)
+        .select("ok")
+    )
+    base = items.join(sized, "ok")
+    sup = base.groupBy("pk").agg(F.count(F.lit(1)).alias("sup"))
+    fi = base.join(sup.filter(F.col("sup") >= 10), "pk").select(
+        "ok", "pk", "sup"
+    )
+    a = fi.select(
+        F.col("ok"),
+        F.col("pk").alias("part_a"),
+        F.col("sup").alias("sup_a_raw"),
+    )
+    b = fi.select(
+        F.col("ok").alias("ok_b"),
+        F.col("pk").alias("part_b"),
+        F.col("sup").alias("sup_b_raw"),
+    )
+    co = (
+        a.join(b, (a.ok == b.ok_b) & (a.part_a < b.part_b))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("cocites"),
+            F.max("sup_a_raw").alias("sup_a"),
+            F.max("sup_b_raw").alias("sup_b"),
+        )
+        .filter(F.col("cocites") >= 2)
+    )
+    return co.select(
+        "part_a",
+        "part_b",
+        "cocites",
+        (
+            F.col("cocites").cast("double")
+            / (F.col("sup_a") + F.col("sup_b") - F.col("cocites"))
+        ).alias("jaccard"),
+    )

@@ -2175,3 +2175,45 @@ def j44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join; at sf0.01 both sides agree pair-for-pair at 6dp."""
     d = table(spark, sf_dir, "documents")
     return dedup.containment_pairs(d, threshold=0.8)
+
+
+# --- j45: PCA whitening of the embedding space (SemDeDup's preprocessing step) -----
+@register("j45")  # no oracle: eigendecomposition is outside SQL's reach —
+# tests/test_pca.py proves node-for-node parity with single-node numpy PCA
+# (same sign/whitening conventions) plus the whitened-covariance ≈ I law.
+def j45_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA WHITENING of the embeddings table — the preprocessing step the
+    semantic-dedup literature applies before cosine thresholds (SemDeDup
+    clusters in a normalized space; whitening removes the dominant-
+    direction bias that makes raw cosine over-cluster around the corpus
+    mean): project each vector onto the top-4 principal components,
+    centered and scaled to unit variance per component.
+
+    Distributed shape (operators/similarity.pca_whiten_params): the FIT
+    is one mapInPandas stats pass emitting (idx, val) partial Gram rows
+    — driver traffic O(d^2), corpus pays one scan; the eig is 64x64
+    driver math. The PROJECTION here is pure JVM map work: each
+    component is a broadcast-literal array folded with zip_with +
+    aggregate — no Python, no shuffle, whole-stage-codegen friendly.
+    Output rounds to 6dp (+0.0 normalizes signed zero) to stay on the
+    hashable surface.
+
+    CONSTRUCTION runs the one-pass fit (same adjudication as n12 /
+    pagerank — data-dependent driver math); production persists the
+    fitted (mean, W) like j28 persists its IVF centroids."""
+    e = table(spark, sf_dir, "embeddings")
+    mean, w, _eigvals, _n = similarity.pca_whiten_params(e, q=4)
+    emb = similarity.as_double("embedding")
+    cols = []
+    for j in range(w.shape[1]):
+        lit_w = F.array(*[F.lit(float(v)) for v in w[:, j]])
+        dot = F.aggregate(
+            F.zip_with(emb, lit_w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        off = float(mean @ w[:, j])
+        cols.append(
+            (F.round(dot - F.lit(off), 6) + F.lit(0.0)).alias(f"pc{j + 1}")
+        )
+    return e.select("vec_id", "label", *cols)
