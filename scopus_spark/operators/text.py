@@ -103,3 +103,92 @@ def winnow_fingerprints(text: str | Column, k: int = 5, w: int = 4) -> Column:
             ),
         ).otherwise(F.array().cast("array<struct<pos:bigint,fp:string>>"))
     return _sel(grams_expr)
+
+
+def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 12) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich/Haddow/Birch 2016,
+    the subword algorithm under GPT-2/RoBERTa-style tokenizers): learn
+    `n_merges` merge rules over the corpus, returned as
+    (merge_rank, left, right, merged, pair_count).
+
+    The scale insight the reference implementations (subword-nmt,
+    fastBPE) exploit — and this rendering keeps — is that after ONE
+    corpus-scale word count, every iteration runs over the WORD
+    VOCABULARY weighted by frequency, never the corpus again: a Zipf
+    vocabulary is millions of rows where the corpus is billions. Per
+    round: adjacent-pair explode + one map-side-combinable count
+    (shuffle bounded by distinct pair count), a 1-row argmax collect
+    (count DESC, pair ASC — deterministic tie-break), then the merge
+    applies as a pure map-side left-fold over each word's symbol array
+    (JVM higher-order aggregate — greedy non-overlapping left-to-right,
+    the BPE contract). localCheckpoint(eager=False) per round caps the
+    nested-fold expression depth.
+
+    CONSTRUCTION runs the merge loop (1-row collect per round — same
+    adjudication as n12/pagerank/j45); production persists the learned
+    merge table and applies it map-side.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    spark = docs.sparkSession
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias(
+                            "left"
+                        ),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias(
+                            "right"
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        lt, rt, merged = best.left, best.right, best.left + best.right
+        merges.append((rank, lt, rt, merged, int(best.cnt)))
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(lt))
+                & (x == F.lit(rt)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(fold.alias("syms"), "freq").localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left string, right string, merged string, pair_count long",
+    )

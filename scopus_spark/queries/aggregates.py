@@ -1051,3 +1051,106 @@ def d28_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
+
+
+# --- d29: per-group OLS revenue trend (exact normal equations) ---------------------
+@register(
+    "d29",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name,
+             (year(o.o_orderdate) - 1992) * 12 + (month(o.o_orderdate) - 1)
+               AS m,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(9,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                  AS DECIMAL(15,4)) AS rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT n_name,
+             CAST(count(*) AS DOUBLE)            AS n,
+             CAST(sum(m) AS DOUBLE)              AS sx,
+             CAST(sum(m * m) AS DOUBLE)          AS sxx,
+             CAST(sum(rev) AS DOUBLE)            AS sy,
+             CAST(sum(CAST(m AS DECIMAL(19,0)) * rev) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(rev AS DECIMAL(19,4)) * rev) AS DOUBLE) AS syy,
+             count(*)                            AS n_months
+      FROM monthly GROUP BY n_name
+    )
+    SELECT n_name,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx)  AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2,
+           n_months
+    FROM stats
+    """,
+)
+def d29_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS revenue trend over monthly points — slope, intercept
+    and R^2 of rev ~ month, the grouped-regression analytic every
+    portfolio dashboard runs.
+
+    FP determinism is the whole design (the _fp.py C3 rules): the naive
+    rendering — regr_slope over double sums — is run-order dependent in
+    BOTH engines (parallel partial aggregation of doubles), so instead
+    the normal-equation SUFFICIENT STATISTICS (n, Σx, Σx², Σy, Σxy, Σy²)
+    are accumulated in EXACT integer/decimal arithmetic (month index is
+    a small int; revenue an exact DECIMAL(15,4); rev² fits (31,8) under
+    both engines' 38-digit cap), each cast to double ONCE, and
+    slope/intercept/R² derived with an identical per-row IEEE expression
+    on both sides — bit-identical without rounding. The regr_slope /
+    regr_intercept / regr_r2 builtins are property-tested equal (1e-9)
+    in tests/test_regression_trend.py, so the builtin surface is
+    covered while the hash gate rides the deterministic rendering.
+
+    Scale: two map-side-combinable aggs (lineitem -> nation-month ->
+    nation); dims broadcast; the second agg's input is <= n_nations *
+    n_months rows. Zero windows, zero double-summation."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(_fp.m("l_extendedprice") * (1 - _fp.s("l_discount")))
+            .cast("decimal(15,4)")
+            .alias("rev")
+        )
+    )
+    st = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("m").cast("double").alias("sx"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("sxx"),
+        F.sum("rev").cast("double").alias("sy"),
+        F.sum(F.col("m") * F.col("rev")).cast("double").alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("syy"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return st.select(
+        "n_name",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        (
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+        ).alias("r2"),
+        "n_months",
+    )

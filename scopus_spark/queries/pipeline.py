@@ -2217,3 +2217,23 @@ def j45_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(dot - F.lit(off), 6) + F.lit(0.0)).alias(f"pc{j + 1}")
         )
     return e.select("vec_id", "label", *cols)
+
+
+# --- j46: BPE vocabulary induction over the corpus --------------------------------
+@register("j46")  # no oracle: iterative argmax-and-merge is outside SQL's
+# reach (data-dependent loop — same adjudication as n12/j45);
+# tests/test_bpe.py proves the merge table EQUAL to a single-node
+# reference implementation of Sennrich-style BPE, rule for rule.
+def j46_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 12 BPE merge rules over the documents corpus
+    (operators/text.learn_bpe) — the tokenizer-training step of an LLM
+    data pipeline, distributed: one corpus-scale word count, then every
+    iteration runs over the frequency-weighted word VOCABULARY (Zipf-
+    bounded, millions of rows where the corpus is billions); pair counts
+    are map-side-combinable aggs, merges apply as JVM left-folds, driver
+    traffic is one row per round. Deterministic by construction: exact
+    integer counts with (count DESC, pair ASC) tie-break."""
+    d = table(spark, sf_dir, "documents")
+    from scopus_spark.operators.text import learn_bpe
+
+    return learn_bpe(d, "text", n_merges=12)
