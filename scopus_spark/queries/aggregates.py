@@ -1154,3 +1154,79 @@ def d29_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r2"),
         "n_months",
     )
+
+
+# --- d30: exact heavy hitters via Misra-Gries candidates + recount -----------------
+@register(
+    "d30",
+    oracle="""
+    WITH wf AS (
+      SELECT word
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+    ),
+    n AS (SELECT count(*) AS n_words FROM wf),
+    cnt AS (SELECT word, count(*) AS cnt FROM wf GROUP BY word)
+    SELECT word, cnt, n_words
+    FROM cnt CROSS JOIN n
+    WHERE cnt * 65 > n_words
+    """,
+)
+def d30_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters — every word with frequency strictly
+    above W/(k+1) of the W total words (k = 64) — via the two-pass
+    sketch-then-verify pattern that IS the 100 TB frequency workhorse:
+
+    Pass 1: per-partition weighted Misra-Gries (k counters; batch merge
+    reduces by subtracting the (k+1)-th largest count, the mergeable-
+    summaries bound of Agarwal et al.: per-key undercount <= W_p/(k+1)).
+    The union of partition candidates is therefore a PROVABLE superset
+    of every global heavy hitter — a word missed everywhere has total
+    count <= sum_p W_p/(k+1) = W/(k+1). Candidate traffic is bounded by
+    partitions x k rows, independent of corpus or vocabulary size.
+
+    Pass 2: exact recount of candidates only (broadcast semi-join keeps
+    the corpus scan shuffle-free on the fact side), then the integer
+    cross-multiplied threshold cnt * (k+1) > W — no float division
+    anywhere, so the output equals the oracle's direct GROUP BY HAVING
+    word for word; which EXTRA candidates MG emitted is partitioning-
+    dependent but filtered back out by the exact count, so the result
+    is partitioning-invariant (unit-tested under repartition).
+
+    The oracle pays the full-vocabulary aggregation; this plan pays
+    k-bounded state per partition plus a candidates-only count — the
+    asymmetry is the point (same semantics, scale-appropriate plans)."""
+    from scopus_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") > 0
+    )
+
+    k = 64
+
+    def mg_partial(batches):
+        import numpy as np
+        import pandas as pd
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["w"].tolist())
+            if len(c) > k:
+                vals = np.fromiter(c.values(), dtype=np.int64)
+                m = np.partition(vals, -(k + 1))[-(k + 1)]
+                c = Counter({w: n - m for w, n in c.items() if n > m})
+        if c:
+            yield pd.DataFrame({"w": list(c.keys())})
+
+    cands = words.mapInPandas(mg_partial, "w string").distinct()
+    total = words.agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        words.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n_words"))
+        .select(F.col("w").alias("word"), "cnt", "n_words")
+    )
