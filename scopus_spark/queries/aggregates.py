@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from scopus_spark.catalog import table
 from scopus_spark.queries import _fp
@@ -1229,4 +1230,86 @@ def d30_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * (k + 1) > F.col("n_words"))
         .select(F.col("w").alias("word"), "cnt", "n_words")
+    )
+
+
+# --- d31: EXACT global median via sketch-bracket + distributed selection -----------
+@register(
+    "d31",
+    oracle="""
+    WITH o AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    ),
+    n AS (SELECT count(*) AS n FROM lineitem)
+    SELECT n.n AS n_rows, CAST(avg(o.v) AS DOUBLE) AS median
+    FROM o, n
+    WHERE o.rn IN ((n.n + 1) // 2, (n.n + 2) // 2)
+    GROUP BY n.n
+    """,
+)
+def d31_exact_median_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of a 100-TB-wide column WITHOUT a global sort
+    — the order-statistic selection problem d7's F.percentile (collects
+    each group's values) cannot survive at corpus scale:
+
+    Pass 1 (one scan): count n + a Greenwald-Khanna sketch bracketing
+    the median — quantiles 0.5 +- 5e-4 at accuracy 2e4 give value bounds
+    [lo, hi] whose rank error (n/accuracy = 5e-5 n) is 10x inside the
+    bracket margin, so the true median ranks PROVABLY land in the
+    bracket (asserted at runtime, not assumed).
+
+    Pass 2 (one scan): c_lo = count(v < lo), plus the f4 two-level rank
+    over ONLY the bracket rows (range partition -> local row_number +
+    broadcast partition-ledger offsets — no single-task window): the
+    global k-th smallest is the (k - c_lo)-th smallest in the bracket.
+    Median = avg of the (n+1)//2 and (n+2)//2 order statistics — exact
+    element values, so the result is hash-identical to the oracle's
+    full row_number scan; tie order inside equal values is irrelevant
+    to the selected VALUE.
+
+    Bracket size is O(n / accuracy) rows — the knob trades pass-2
+    shuffle volume against sketch memory; at accuracy 2e4 a 1e12-row
+    corpus brackets to ~1e8 rows, a small range shuffle. CONSTRUCTION
+    runs the two passes (driver gets 5 scalars — same adjudication as
+    n12/j45/j46)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    st = li.agg(
+        F.count("v").alias("n"),
+        F.percentile_approx("v", F.array(F.lit(0.4995), F.lit(0.5005)), 20000).alias(
+            "b"
+        ),
+    ).collect()[0]
+    n, (lo, hi) = int(st.n), st.b
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    c_lo = li.filter(F.col("v") < lo).count()
+    bracket = li.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+    n_br = bracket.count()
+    if not (c_lo < k1 and c_lo + n_br >= k2):
+        raise RuntimeError(
+            f"median bracket missed: c_lo={c_lo} n_br={n_br} k=({k1},{k2})"
+        )
+    ranged = bracket.repartitionByRange(32, F.col("v")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = sizes.select(
+        "pid",
+        (F.sum("cnt").over(Window.orderBy("pid")) - F.col("cnt")).alias(
+            "off"
+        ),
+    )
+    w_local = Window.partitionBy("pid").orderBy("v")
+    sel = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "rn", F.row_number().over(w_local) + F.col("off") + F.lit(c_lo)
+        )
+        .filter(F.col("rn").isin(k1, k2))
+    )
+    return sel.agg(F.avg("v").alias("median")).select(
+        F.lit(n).cast("long").alias("n_rows"), "median"
     )
