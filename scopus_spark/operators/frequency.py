@@ -1,0 +1,145 @@
+"""Exact frequency/order statistics at corpus scale (SURVEY §2.D tier).
+
+Two sketch-then-verify operators whose OUTPUT is exact (hash-gated
+against direct SQL renderings) while the PLAN is the one that survives
+100 TB: bounded sketch state finds a provably sufficient candidate set,
+then one exact pass confines the expensive work to the candidates.
+
+- exact_heavy_hitters: per-partition weighted Misra-Gries candidates
+  (mergeable-summaries undercount bound) + exact recount.
+- exact_median: Greenwald-Khanna value bracket (runtime-asserted rank
+  coverage) + two-level-rank selection inside the bracket only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_heavy_hitters(words: DataFrame, k: int = 64) -> DataFrame:
+    """(word, cnt, n_words) for every word with cnt * (k+1) > n_words —
+    EXACT, partitioning-invariant, two corpus scans total.
+
+    Pass 1 (one scan): per-partition weighted Misra-Gries with k
+    counters; each batch merge subtracts the (k+1)-th largest count
+    (Agarwal et al. mergeable-summaries bound: per-key undercount
+    <= W_p/(k+1)), so the union of partition candidates provably
+    contains every word with global count > W/(k+1). The SAME pass
+    emits each partition's total word count as a null-key sentinel row,
+    so the threshold denominator costs no extra scan; the pass-1 output
+    (<= partitions x (k+1) rows) is persisted and feeds both the
+    candidate list and the total.
+
+    Pass 2 (one scan): exact recount of candidates only (broadcast
+    semi-join — the fact side never shuffles), then the integer
+    cross-multiplied threshold. Which EXTRA candidates MG emitted is
+    partitioning-dependent, but the exact filter removes them, so the
+    output is partitioning-invariant (tests/test_heavy_hitters.py runs
+    THIS function under 1/3/13 partitions).
+    """
+
+    def mg_partial(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        c: Counter = Counter()
+        w_p = 0
+        for pdf in batches:
+            w_p += len(pdf)
+            c.update(pdf["w"].tolist())
+            if len(c) > k:
+                vals = np.fromiter(c.values(), dtype=np.int64)
+                m = np.partition(vals, -(k + 1))[-(k + 1)]
+                c = Counter({w: n - m for w, n in c.items() if n > m})
+        if w_p:
+            yield pd.DataFrame(
+                {
+                    "w": list(c.keys()) + [None],
+                    "pt": [0] * len(c) + [w_p],
+                }
+            )
+
+    p1 = words.mapInPandas(mg_partial, "w string, pt long").persist()
+    cands = p1.filter(F.col("w").isNotNull()).select("w").distinct()
+    total = p1.agg(F.sum("pt").alias("n_words"))
+    return (
+        words.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n_words"))
+        .select(F.col("w").alias("word"), "cnt", "n_words")
+    )
+
+
+def exact_median(
+    vals: DataFrame,
+    col: str = "v",
+    accuracy: int = 20000,
+    margin: float = 5e-4,
+    bracket: tuple[float, float] | None = None,
+    n_range_parts: int = 32,
+) -> DataFrame:
+    """1-row (n_rows, median) — the EXACT median (avg of the (n+1)//2
+    and (n+2)//2 order statistics) without a global sort.
+
+    Pass 1: count + GK sketch at quantiles 0.5 -+ margin gives value
+    bounds [lo, hi]; the sketch's rank error (n/accuracy) is 10x inside
+    the margin at the defaults, so the target ranks PROVABLY land in
+    the bracket — ASSERTED at runtime, never assumed (`bracket`
+    overrides the sketch for tests to prove the guard fires).
+
+    Pass 2: c_lo = count(v < lo) plus a two-level rank over ONLY the
+    bracket rows (range partition -> local row_number + broadcast
+    partition-size ledger — f4's trick, no single-task window): the
+    global k-th smallest is the (k - c_lo)-th smallest in the bracket.
+    Tie order among equal values cannot change the selected VALUE, so
+    the result is hash-identical to a full row_number scan.
+
+    Bracket volume is O(n * (margin + 2/accuracy)) rows — the knob
+    trading pass-2 shuffle against sketch memory. CONSTRUCTION runs the
+    two passes (driver receives 5 scalars — the n12/j45/j46
+    adjudication).
+    """
+    li = vals.select(F.col(col).alias("v"))
+    st = li.agg(
+        F.count("v").alias("n"),
+        F.percentile_approx(
+            "v", F.array(F.lit(0.5 - margin), F.lit(0.5 + margin)), accuracy
+        ).alias("b"),
+    ).collect()[0]
+    n = int(st.n)
+    if n == 0:
+        raise ValueError("median of an empty input")
+    lo, hi = bracket if bracket is not None else (st.b[0], st.b[1])
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    c_lo = li.filter(F.col("v") < lo).count()
+    br = li.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+    n_br = br.count()
+    if not (c_lo < k1 and c_lo + n_br >= k2):
+        raise RuntimeError(
+            f"median bracket missed: c_lo={c_lo} n_br={n_br} k=({k1},{k2})"
+        )
+    ranged = br.repartitionByRange(n_range_parts, F.col("v")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = sizes.select(
+        "pid",
+        (F.sum("cnt").over(Window.orderBy("pid")) - F.col("cnt")).alias("off"),
+    )
+    w_local = Window.partitionBy("pid").orderBy("v")
+    sel = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "rn", F.row_number().over(w_local) + F.col("off") + F.lit(c_lo)
+        )
+        .filter(F.col("rn").isin(k1, k2))
+    )
+    return sel.agg(F.avg("v").alias("median")).select(
+        F.lit(n).cast("long").alias("n_rows"), "median"
+    )

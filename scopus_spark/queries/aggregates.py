@@ -1184,7 +1184,9 @@ def d30_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The union of partition candidates is therefore a PROVABLE superset
     of every global heavy hitter — a word missed everywhere has total
     count <= sum_p W_p/(k+1) = W/(k+1). Candidate traffic is bounded by
-    partitions x k rows, independent of corpus or vocabulary size.
+    partitions x k rows, independent of corpus or vocabulary size; the
+    same pass emits per-partition totals as sentinel rows, so the
+    threshold denominator costs no extra corpus scan.
 
     Pass 2: exact recount of candidates only (broadcast semi-join keeps
     the corpus scan shuffle-free on the fact side), then the integer
@@ -1192,45 +1194,21 @@ def d30_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere, so the output equals the oracle's direct GROUP BY HAVING
     word for word; which EXTRA candidates MG emitted is partitioning-
     dependent but filtered back out by the exact count, so the result
-    is partitioning-invariant (unit-tested under repartition).
+    is partitioning-invariant (tests/test_heavy_hitters.py runs the
+    SHARED operator under 1/3/13 partitions).
 
-    The oracle pays the full-vocabulary aggregation; this plan pays
-    k-bounded state per partition plus a candidates-only count — the
-    asymmetry is the point (same semantics, scale-appropriate plans)."""
+    The oracle pays the full-vocabulary aggregation; this plan
+    (operators/frequency.exact_heavy_hitters) pays k-bounded state per
+    partition plus a candidates-only count — the asymmetry is the point
+    (same semantics, scale-appropriate plans)."""
+    from scopus_spark.operators.frequency import exact_heavy_hitters
     from scopus_spark.operators.text import tokens
 
     d = table(spark, sf_dir, "documents")
     words = d.select(F.explode(tokens("text")).alias("w")).filter(
         F.length("w") > 0
     )
-
-    k = 64
-
-    def mg_partial(batches):
-        import numpy as np
-        import pandas as pd
-        from collections import Counter
-
-        c: Counter = Counter()
-        for pdf in batches:
-            c.update(pdf["w"].tolist())
-            if len(c) > k:
-                vals = np.fromiter(c.values(), dtype=np.int64)
-                m = np.partition(vals, -(k + 1))[-(k + 1)]
-                c = Counter({w: n - m for w, n in c.items() if n > m})
-        if c:
-            yield pd.DataFrame({"w": list(c.keys())})
-
-    cands = words.mapInPandas(mg_partial, "w string").distinct()
-    total = words.agg(F.count(F.lit(1)).alias("n_words"))
-    return (
-        words.join(F.broadcast(cands), "w")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * (k + 1) > F.col("n_words"))
-        .select(F.col("w").alias("word"), "cnt", "n_words")
-    )
+    return exact_heavy_hitters(words, k=64)
 
 
 # --- d31: EXACT global median via sketch-bracket + distributed selection -----------
@@ -1273,43 +1251,12 @@ def d31_exact_median_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume against sketch memory; at accuracy 2e4 a 1e12-row
     corpus brackets to ~1e8 rows, a small range shuffle. CONSTRUCTION
     runs the two passes (driver gets 5 scalars — same adjudication as
-    n12/j45/j46)."""
+    n12/j45/j46). Shared operator: operators/frequency.exact_median
+    (edge cases — odd/even n, all-duplicate columns, the bracket-miss
+    guard firing — pinned in tests/test_median.py)."""
+    from scopus_spark.operators.frequency import exact_median
+
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v")
     )
-    st = li.agg(
-        F.count("v").alias("n"),
-        F.percentile_approx("v", F.array(F.lit(0.4995), F.lit(0.5005)), 20000).alias(
-            "b"
-        ),
-    ).collect()[0]
-    n, (lo, hi) = int(st.n), st.b
-    k1, k2 = (n + 1) // 2, (n + 2) // 2
-    c_lo = li.filter(F.col("v") < lo).count()
-    bracket = li.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-    n_br = bracket.count()
-    if not (c_lo < k1 and c_lo + n_br >= k2):
-        raise RuntimeError(
-            f"median bracket missed: c_lo={c_lo} n_br={n_br} k=({k1},{k2})"
-        )
-    ranged = bracket.repartitionByRange(32, F.col("v")).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    offsets = sizes.select(
-        "pid",
-        (F.sum("cnt").over(Window.orderBy("pid")) - F.col("cnt")).alias(
-            "off"
-        ),
-    )
-    w_local = Window.partitionBy("pid").orderBy("v")
-    sel = (
-        ranged.join(F.broadcast(offsets), "pid")
-        .withColumn(
-            "rn", F.row_number().over(w_local) + F.col("off") + F.lit(c_lo)
-        )
-        .filter(F.col("rn").isin(k1, k2))
-    )
-    return sel.agg(F.avg("v").alias("median")).select(
-        F.lit(n).cast("long").alias("n_rows"), "median"
-    )
+    return exact_median(li, "v", accuracy=20000, margin=5e-4)

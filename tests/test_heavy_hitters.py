@@ -1,6 +1,8 @@
-"""d30 — the Misra-Gries candidate pass must be a provable superset of
-the true heavy hitters under ANY partitioning, so the exact-recount
-output is partitioning-invariant and equals brute force."""
+"""operators/frequency.exact_heavy_hitters — the Misra-Gries candidate
+pass must be a provable superset of the true heavy hitters under ANY
+partitioning, so the exact-recount output is partitioning-invariant and
+equals brute force. These tests exercise the PRODUCTION operator (the
+same function d30 delegates to), not a copy."""
 
 from __future__ import annotations
 
@@ -8,44 +10,21 @@ from collections import Counter
 
 from pyspark.sql import functions as F
 
+from scopus_spark.operators.frequency import exact_heavy_hitters
+
 
 def _run(spark, texts, k=64, parts=1):
-    from scopus_spark.queries.aggregates import d30_heavy_hitters  # noqa: F401
-    # drive the same machinery on a constructed corpus via the operator
-    # internals: rebuild the query inline with a controlled partitioning
     from scopus_spark.operators.text import tokens
 
-    d = spark.createDataFrame([(t,) for t in texts], "text string").repartition(
-        parts
-    )
+    d = spark.createDataFrame(
+        [(t,) for t in texts], "text string"
+    ).repartition(parts)
     words = d.select(F.explode(tokens("text")).alias("w")).filter(
         F.length("w") > 0
     )
-
-    def mg_partial(batches):
-        import numpy as np
-        import pandas as pd
-
-        c = Counter()
-        for pdf in batches:
-            c.update(pdf["w"].tolist())
-            if len(c) > k:
-                vals = np.fromiter(c.values(), dtype=np.int64)
-                m = np.partition(vals, -(k + 1))[-(k + 1)]
-                c = Counter({w: n - m for w, n in c.items() if n > m})
-        if c:
-            yield pd.DataFrame({"w": list(c.keys())})
-
-    cands = words.mapInPandas(mg_partial, "w string").distinct()
-    total = words.agg(F.count(F.lit(1)).alias("n_words"))
-    out = (
-        words.join(F.broadcast(cands), "w")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * (k + 1) > F.col("n_words"))
-    )
-    return {(r.w, r.cnt) for r in out.collect()}
+    return {
+        (r.word, r.cnt) for r in exact_heavy_hitters(words, k=k).collect()
+    }
 
 
 def _brute(texts, k=64):
@@ -72,6 +51,13 @@ def test_no_heavy_hitters_is_empty(spark):
     # perfectly uniform vocabulary wider than k: nothing exceeds W/(k+1)
     texts = [f"u{i}" for i in range(300)]
     assert _run(spark, texts) == set()
+
+
+def test_small_k_forces_reductions(spark):
+    """k far below the vocabulary forces many batch-merge reductions;
+    the superset bound must still hold."""
+    texts = ["hot hot hot " + " ".join(f"c{i}_{j}" for j in range(20)) for i in range(50)]
+    assert _run(spark, texts, k=4, parts=7) == _brute(texts, k=4)
 
 
 def test_d30_matches_brute_on_documents(spark, sf_dir):
