@@ -704,3 +704,96 @@ def o10_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(dd == 3, F.col("user_id"))).alias("ret_d3"),
         F.countDistinct(F.when(dd == 7, F.col("user_id"))).alias("ret_d7"),
     )
+
+
+# --- o11: STL-lite seasonal decomposition of the daily event series ----------------
+@register(
+    "o11",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT day, cnt,
+             sum(cnt) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+             count(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+      FROM daily
+    ),
+    full7 AS (
+      SELECT day, cnt, wsum,
+             date_diff('day', DATE '1992-01-01', day) % 7 AS dw
+      FROM win WHERE wn = 7
+    ),
+    seas AS (
+      SELECT dw,
+             CAST(7 * sum(cnt) - sum(wsum) AS DOUBLE)
+               / (7.0 * count(*)) AS seasonal
+      FROM full7 GROUP BY dw
+    )
+    SELECT f.day, f.cnt,
+           f.wsum / 7.0 AS trend,
+           s.seasonal,
+           f.cnt - f.wsum / 7.0 - s.seasonal AS residual
+    FROM full7 f JOIN seas s ON f.dw = s.dw
+    """,
+)
+def o11_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average STL
+    precursor every monitoring stack runs) of the daily event-count
+    series: trend = centered 7-observation moving average (full windows
+    only), seasonal = weekday mean of the detrended series, residual =
+    the anomaly signal that remains.
+
+    FP determinism (the _fp.py C3 rules applied to a windowed analytic):
+    trend is an exact integer window SUM divided once by 7.0; the
+    weekday mean of detrended values is algebraically rewritten to keep
+    everything integer until a single division —
+    mean(cnt - wsum/7) = (7*sum(cnt) - sum(wsum)) / (7*m)
+    — so no engine ever sums doubles and the output is hash-exact with
+    zero rounding. Day-of-week anchors to an epoch datediff % 7 rather
+    than either engine's dow() convention.
+
+    Scale: the window runs over the DAILY table, which is calendar-
+    bounded (years x 365 rows), not corpus-bounded — the unpartitioned
+    ordered window is a deliberate single-task step over <= thousands of
+    rows, while the corpus-scale work (the daily count) is one map-side-
+    combinable agg. The weekday agg and join-back touch <= 7 + n_days
+    rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    full7 = win.filter(F.col("wn") == 7).select(
+        "day",
+        "cnt",
+        "wsum",
+        (
+            F.datediff(F.col("day"), F.lit("1992-01-01").cast("date")) % 7
+        ).alias("dw"),
+    )
+    seas = full7.groupBy("dw").agg(
+        (
+            (7 * F.sum("cnt") - F.sum("wsum")).cast("double")
+            / (7.0 * F.count(F.lit(1)))
+        ).alias("seasonal")
+    )
+    return full7.join(F.broadcast(seas), "dw").select(
+        "day",
+        "cnt",
+        (F.col("wsum") / 7.0).alias("trend"),
+        "seasonal",
+        (F.col("cnt") - F.col("wsum") / 7.0 - F.col("seasonal")).alias(
+            "residual"
+        ),
+    )
