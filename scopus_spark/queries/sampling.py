@@ -317,3 +317,68 @@ def m7_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t_min"),
         F.max("ts").alias("t_max"),
     )
+
+
+# --- m8: rolling-origin cross-validation splits ------------------------------------
+_M8_FOLDS = [
+    (1, "2024-01-11", "2024-01-16"),
+    (2, "2024-01-16", "2024-01-21"),
+    (3, "2024-01-21", "2024-01-26"),
+]
+
+
+@register(
+    "m8",
+    oracle="""
+    WITH folds(fold, train_end, test_end) AS (
+      VALUES (CAST(1 AS BIGINT), TIMESTAMP '2024-01-11', TIMESTAMP '2024-01-16'),
+             (CAST(2 AS BIGINT), TIMESTAMP '2024-01-16', TIMESTAMP '2024-01-21'),
+             (CAST(3 AS BIGINT), TIMESTAMP '2024-01-21', TIMESTAMP '2024-01-26')
+    )
+    SELECT f.fold,
+           CASE WHEN e.ts < f.train_end THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT)                AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(e.ts) AS t_min,
+           max(e.ts) AS t_max
+    FROM events e JOIN folds f ON e.ts < f.test_end
+    GROUP BY 1, 2
+    """,
+)
+def m8_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation splits — the
+    forecast-evaluation protocol (Tashman 2000) m7's single purged split
+    generalizes to: fold f trains on everything before its origin and
+    tests on the next 5-day horizon; origins roll forward so every fold
+    respects causality and later folds subsume earlier training data.
+    Output = the per-(fold, split) audit (counts, user reach, time
+    bounds) a training run records before fitting anything.
+
+    Scale: fold assignment is a range predicate against a 3-row
+    broadcast fold table (BroadcastNestedLoopJoin by design — the
+    bounded-dim exception, plan-audit allow-listed); each event fans out
+    to at most n_folds rows. On a dt-partitioned event lake every
+    fold's predicate prunes partitions; no RNG, no shuffle beyond the
+    audit agg's <= 2 * n_folds * n_types rows. Re-derive folds from the
+    immutable log per run (m7's lineage argument) rather than
+    materializing split tables."""
+    ev = table(spark, sf_dir, "events")
+    folds = spark.createDataFrame(
+        _M8_FOLDS, "fold long, train_end string, test_end string"
+    ).select(
+        "fold",
+        F.col("train_end").cast("timestamp").alias("train_end"),
+        F.col("test_end").cast("timestamp").alias("test_end"),
+    )
+    joined = ev.join(
+        F.broadcast(folds), ev.ts < folds.test_end
+    )
+    split = F.when(F.col("ts") < F.col("train_end"), "train").otherwise(
+        "test"
+    )
+    return joined.groupBy("fold", split.alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("ts").alias("t_min"),
+        F.max("ts").alias("t_max"),
+    )

@@ -797,3 +797,79 @@ def o11_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+# --- o12: CUSUM drift detection over the daily series ------------------------------
+@register(
+    "o12",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss FROM daily
+    ),
+    pre AS (
+      SELECT day, cnt,
+             sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pc,
+             row_number() OVER (ORDER BY day) AS i
+      FROM daily
+    )
+    SELECT p.day, p.cnt,
+           CAST(p.pc AS DOUBLE) - p.i * (CAST(t.s AS DOUBLE) / t.n)
+             AS cusum,
+           abs(CAST(p.pc AS DOUBLE) - p.i * (CAST(t.s AS DOUBLE) / t.n))
+             > 3.0 * sqrt((t.n * CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s)
+                          / (CAST(t.n AS DOUBLE) * t.n))
+             AS drift_flag
+    FROM pre p CROSS JOIN tot t
+    """,
+)
+def o12_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (Page 1954 — the monitoring classic) over
+    the daily event-count series: cumulative deviation from the series
+    mean per day, flagged where |CUSUM| exceeds 3 population standard
+    deviations — the level-shift detector a pipeline runs before
+    trusting volume-sensitive stats.
+
+    Hash-exact by algebra (the _fp.py C3 discipline): CUSUM_i =
+    prefix_sum(cnt) - i * mean keeps the prefix INTEGER and multiplies
+    once; the population sigma comes from integer (n, sum, sum-of-
+    squares) via one double expression — and IEEE-754 sqrt is correctly
+    rounded, so even the flag threshold is bit-identical across
+    engines. Zero rounding anywhere.
+
+    Scale: corpus work is the one map-side daily count; the ordered
+    prefix window runs over the calendar-bounded daily table (o11's
+    argument), and the 1-row stats table broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    w = Window.orderBy("day")
+    pre = daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pc"),
+        F.row_number().over(w).alias("i"),
+    )
+    cusum = F.col("pc").cast("double") - F.col("i") * (
+        F.col("s").cast("double") / F.col("n")
+    )
+    sigma = F.sqrt(
+        (F.col("n") * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s"))
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    return pre.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cnt",
+        cusum.alias("cusum"),
+        (F.abs(cusum) > 3.0 * sigma).alias("drift_flag"),
+    )

@@ -71,6 +71,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("d30", "BroadcastNestedLoopJoin"): _ONE_ROW + " (total word count "
     "for the heavy-hitter threshold)",
     ("m4", "BroadcastNestedLoopJoin"): _ONE_ROW + " (sampling fraction)",
+    ("m8", "BroadcastNestedLoopJoin"): "range predicate vs the 3-row "
+    "broadcast fold table (rolling-origin CV) — bounded dim by design",
+    ("o12", "BroadcastNestedLoopJoin"): _ONE_ROW + " (series n/sum/sumsq "
+    "stats for the CUSUM threshold)",
     ("n11", "BroadcastNestedLoopJoin"): _ONE_ROW + " (trade-graph scale-"
     "free edge threshold Σn)",
     ("q11", "BroadcastNestedLoopJoin"): _ONE_ROW + " (TPC-H Q11 global "
