@@ -32,12 +32,20 @@ def exact_heavy_hitters(words: DataFrame, k: int = 64) -> DataFrame:
     (<= partitions x (k+1) rows) is persisted and feeds both the
     candidate list and the total.
 
-    Pass 2 (one scan): exact recount of candidates only (broadcast
-    semi-join — the fact side never shuffles), then the integer
-    cross-multiplied threshold. Which EXTRA candidates MG emitted is
-    partitioning-dependent, but the exact filter removes them, so the
-    output is partitioning-invariant (tests/test_heavy_hitters.py runs
-    THIS function under 1/3/13 partitions).
+    Pass 2 (one scan): exact recount of candidates only — the candidate
+    set is DRIVER-SIZED BY CONSTRUCTION (<= partitions x k keys, the
+    mergeable-summaries point), so it collects at fit time and prunes
+    the recount scan as an In-list predicate; the fact side never
+    shuffles anything but candidate rows, and the integer
+    cross-multiplied threshold folds in as a literal. Which EXTRA
+    candidates MG emitted is partitioning-dependent, but the exact
+    filter removes them, so the output is partitioning-invariant
+    (tests/test_heavy_hitters.py runs THIS function under 1/3/13
+    partitions).
+
+    CONSTRUCTION runs pass 1 (the n12/j45/j46 adjudication — sketch
+    results are driver-sized by design, the treeAggregate shape);
+    nothing is left pinned in executor storage between calls.
     """
 
     def mg_partial(batches):
@@ -63,16 +71,23 @@ def exact_heavy_hitters(words: DataFrame, k: int = 64) -> DataFrame:
                 }
             )
 
-    p1 = words.mapInPandas(mg_partial, "w string, pt long").persist()
-    cands = p1.filter(F.col("w").isNotNull()).select("w").distinct()
-    total = p1.agg(F.sum("pt").alias("n_words"))
+    rows = words.mapInPandas(mg_partial, "w string, pt long").collect()
+    n_words = sum(r.pt for r in rows)
+    cand_list = sorted({r.w for r in rows if r.w is not None})
+    if not cand_list:
+        return words.sparkSession.createDataFrame(
+            [], "word string, cnt long, n_words long"
+        )
     return (
-        words.join(F.broadcast(cands), "w")
+        words.filter(F.col("w").isin(cand_list))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") * (k + 1) > F.col("n_words"))
-        .select(F.col("w").alias("word"), "cnt", "n_words")
+        .filter(F.col("cnt") * (k + 1) > F.lit(n_words))
+        .select(
+            F.col("w").alias("word"),
+            "cnt",
+            F.lit(n_words).cast("long").alias("n_words"),
+        )
     )
 
 
@@ -93,10 +108,14 @@ def exact_median(
     the bracket — ASSERTED at runtime, never assumed (`bracket`
     overrides the sketch for tests to prove the guard fires).
 
-    Pass 2: c_lo = count(v < lo) plus a two-level rank over ONLY the
-    bracket rows (range partition -> local row_number + broadcast
-    partition-size ledger — f4's trick, no single-task window): the
-    global k-th smallest is the (k - c_lo)-th smallest in the bracket.
+    Pass 2: ONE conditional aggregate yields both boundary counts
+    (below-bracket mass and bracket size), then a two-level rank over
+    ONLY the bracket rows (range partition -> local row_number +
+    broadcast partition-size ledger — f4's trick, no single-task
+    window; the ranged bracket is localCheckpoint-pinned so the ledger
+    and the rank stream can never observe different partition
+    boundaries): the global k-th smallest is the (k - c_lo)-th smallest
+    in the bracket.
     Tie order among equal values cannot change the selected VALUE, so
     the result is hash-identical to a full row_number scan.
 
@@ -117,15 +136,29 @@ def exact_median(
         raise ValueError("median of an empty input")
     lo, hi = bracket if bracket is not None else (st.b[0], st.b[1])
     k1, k2 = (n + 1) // 2, (n + 2) // 2
-    c_lo = li.filter(F.col("v") < lo).count()
-    br = li.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-    n_br = br.count()
+    # One conditional aggregate covers both boundary counts — pass 2's
+    # pre-selection is a single scan, not two.
+    cc = li.agg(
+        F.sum(F.when(F.col("v") < lo, 1).otherwise(0)).alias("c_lo"),
+        F.sum(
+            F.when((F.col("v") >= lo) & (F.col("v") <= hi), 1).otherwise(0)
+        ).alias("n_br"),
+    ).collect()[0]
+    c_lo, n_br = int(cc.c_lo or 0), int(cc.n_br or 0)
     if not (c_lo < k1 and c_lo + n_br >= k2):
         raise RuntimeError(
             f"median bracket missed: c_lo={c_lo} n_br={n_br} k=({k1},{k2})"
         )
-    ranged = br.repartitionByRange(n_range_parts, F.col("v")).withColumn(
-        "pid", F.spark_partition_id()
+    br = li.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+    # localCheckpoint PINS the range boundaries: the offsets ledger and
+    # the row_number stream both read this materialization, so the two
+    # consumers can never see different RangePartitioner samples (the
+    # silent-wrong-median hazard if exchange reuse were disabled). The
+    # bracket is O(n/accuracy) rows — cheap to materialize by design.
+    ranged = (
+        br.repartitionByRange(n_range_parts, F.col("v"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = sizes.select(

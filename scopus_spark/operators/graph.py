@@ -172,8 +172,6 @@ def bfs_hops(
         hop = 0
         while True:
             hop += 1
-            if max_iterations is not None and hop > max_iterations:
-                raise RuntimeError(f"bfs_hops exceeded {max_iterations} iterations")
             neighbors = (
                 und.join(frontier.select("node"), und.src == F.col("node"))
                 .select(F.col("dst").alias("node"))
@@ -186,6 +184,11 @@ def bfs_hops(
             )
             if frontier.limit(1).count() == 0:
                 return visited
+            # Cap check AFTER the emptiness probe: a walk whose
+            # eccentricity equals max_iterations finishes legally — only
+            # a frontier still producing nodes past the budget raises.
+            if max_iterations is not None and hop > max_iterations:
+                raise RuntimeError(f"bfs_hops exceeded {max_iterations} iterations")
             visited = visited.union(frontier).localCheckpoint()
     finally:
         und.unpersist()
@@ -357,7 +360,17 @@ def coreness(
     localCheckpoint (swap for checkpoint() on a real cluster for
     executor-loss tolerance).
     """
-    live = undirected(edges, src, dst).localCheckpoint()
+    # Self-loops carry no k-core information (a loop cannot keep a node
+    # in any core) and counting them would skew phase-1 degrees against
+    # phase-2's loop-free local peel — drop them once, up front. A node
+    # whose only incidences are self-loops is treated as isolated
+    # (excluded, matching the brute-force contract in test_coreness).
+    live = (
+        undirected(edges, src, dst)
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint()
+    )
+    node_t = dict(live.dtypes)["src"]
     # Track live NODES separately from live edges: a node whose last edge
     # was peeled away still exists (degree 0) and must receive a label —
     # reading degrees off the edge table alone would silently drop it.
@@ -399,7 +412,6 @@ def coreness(
         )
     if not drained and nodes.limit(1).count() > 0:
         floor = k - 1
-        node_t = dict(live.dtypes)["src"]
         # Residual nodes with zero live edges: the continued k-cascade
         # removes them immediately -> exact label = floor.
         edge_nodes = (
@@ -428,6 +440,7 @@ def coreness(
         tail = iso.union(fin)
         assigned = tail if assigned is None else assigned.union(tail)
     if assigned is None:
-        schema = "node long, coreness long"
-        return spark.createDataFrame([], schema)
+        # Empty-input schema matches the INPUT's node type (string-keyed
+        # edge tables must not flip to long on the empty path).
+        return spark.createDataFrame([], f"node {node_t}, coreness long")
     return assigned

@@ -1188,13 +1188,14 @@ def d30_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pass emits per-partition totals as sentinel rows, so the
     threshold denominator costs no extra corpus scan.
 
-    Pass 2: exact recount of candidates only (broadcast semi-join keeps
-    the corpus scan shuffle-free on the fact side), then the integer
-    cross-multiplied threshold cnt * (k+1) > W — no float division
-    anywhere, so the output equals the oracle's direct GROUP BY HAVING
-    word for word; which EXTRA candidates MG emitted is partitioning-
-    dependent but filtered back out by the exact count, so the result
-    is partitioning-invariant (tests/test_heavy_hitters.py runs the
+    Pass 2: exact recount of candidates only (the driver-sized candidate
+    list prunes the scan as an In predicate — the fact side shuffles
+    nothing but candidate rows), then the integer cross-multiplied
+    threshold cnt * (k+1) > W — no float division anywhere, so the
+    output equals the oracle's direct GROUP BY HAVING word for word;
+    which EXTRA candidates MG emitted is partitioning-dependent but
+    filtered back out by the exact count, so the result is
+    partitioning-invariant (tests/test_heavy_hitters.py runs the
     SHARED operator under 1/3/13 partitions).
 
     The oracle pays the full-vocabulary aggregation; this plan
@@ -1238,10 +1239,11 @@ def d31_exact_median_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracket margin, so the true median ranks PROVABLY land in the
     bracket (asserted at runtime, not assumed).
 
-    Pass 2 (one scan): c_lo = count(v < lo), plus the f4 two-level rank
-    over ONLY the bracket rows (range partition -> local row_number +
-    broadcast partition-ledger offsets — no single-task window): the
-    global k-th smallest is the (k - c_lo)-th smallest in the bracket.
+    Pass 2 (one conditional-agg scan for both boundary counts), then
+    the f4 two-level rank over ONLY the checkpoint-pinned bracket rows
+    (range partition -> local row_number + broadcast partition-ledger
+    offsets — no single-task window): the global k-th smallest is the
+    (k - c_lo)-th smallest in the bracket.
     Median = avg of the (n+1)//2 and (n+2)//2 order statistics — exact
     element values, so the result is hash-identical to the oracle's
     full row_number scan; tie order inside equal values is irrelevant

@@ -88,15 +88,26 @@ def forward_fill(ev: DataFrame, grid: DataFrame) -> DataFrame:
         .orderBy("t", "is_grid")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry the last OBSERVATION (value + its ts together, as one
+    # struct), not the last non-null value: an event whose value is NULL
+    # must still win the as-of race — exactly what the o1 ASOF LEFT JOIN
+    # oracle does — and (last_value, last_event_ts) must always come
+    # from the same row. last(ignorenulls) skips only the grid rows'
+    # all-NULL struct, never a real observation.
+    obs = F.when(
+        F.col("is_grid") == 0, F.struct(F.col("value"), F.col("event_ts"))
+    )
     filled = ev_rows.unionByName(grid_rows).select(
         "user_id",
         "t",
         "is_grid",
-        F.last("value", ignorenulls=True).over(w).alias("last_value"),
-        F.last("event_ts", ignorenulls=True).over(w).alias("last_event_ts"),
+        F.last(obs, ignorenulls=True).over(w).alias("last_obs"),
     )
     return filled.filter(F.col("is_grid") == 1).select(
-        "user_id", F.col("t").alias("bucket_ts"), "last_value", "last_event_ts"
+        "user_id",
+        F.col("t").alias("bucket_ts"),
+        F.col("last_obs.value").alias("last_value"),
+        F.col("last_obs.event_ts").alias("last_event_ts"),
     )
 
 
@@ -231,7 +242,10 @@ def o3_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree on both engines, so the IEEE result is bit-identical (the d16
     width_bucket lesson). An event exactly at a grid instant sorts before
     the grid row (is_grid tie-break), lands in the preceding frame, and
-    the weight collapses to 0 -> the event's own value.
+    the weight collapses to 0 -> the event's own value — EXCEPT at the
+    final grid point when it coincides with max(ts): interpolation needs
+    a next observation and none exists, so that bucket is NULL (the
+    no-extrapolation rule wins the tie; both engines agree).
     """
     ev = _events_dedup(spark, sf_dir)
     bounds = ev.groupBy("user_id").agg(
@@ -499,7 +513,6 @@ def o7_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter; output size is the number of outages, not the series."""
     ev = _events_dedup(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
-    ts_t = F.col("ts").cast("timestamp")
     g = ev.select(
         "user_id",
         F.col("ts").alias("gap_start"),

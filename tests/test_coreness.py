@@ -114,3 +114,27 @@ def test_finisher_mixed_cores_mid_cascade(spark):
             for r in coreness(df, wave_rounds=budget).collect()
         }
         assert got == _brute(edges), f"budget={budget}"
+
+
+def test_self_loops_ignored(spark):
+    """Self-loops carry no k-core information: a looped node's coreness
+    must equal its loop-free coreness, and a loop-only node is treated
+    as isolated (absent), matching _brute."""
+    edges = [
+        (1, 2), (2, 3), (1, 3),   # triangle
+        (1, 1),                   # loop on a core-2 node
+        (3, 4), (4, 4),           # pendant with a loop
+        (9, 9),                   # loop-only node: excluded
+    ]
+    got = _spark_coreness(spark, edges)
+    assert got == _brute(edges)
+    assert got[1] == 2 and got[4] == 1 and 9 not in got
+
+
+def test_string_keyed_empty_input_schema(spark):
+    """The empty-input path must keep the INPUT node type, not flip to
+    long."""
+    df = spark.createDataFrame([], "src string, dst string")
+    out = coreness(df)
+    assert dict(out.dtypes)["node"] == "string"
+    assert out.count() == 0

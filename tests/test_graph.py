@@ -203,3 +203,23 @@ def test_motif_rejects_bad_patterns(spark):
     ):
         with pytest.raises(ValueError):
             motif.find(edges, bad).collect()
+
+
+def test_bfs_cap_allows_exact_eccentricity(spark):
+    """A walk whose eccentricity EQUALS max_iterations must finish: the
+    emptiness-probe round is not an expansion round (review fix)."""
+    from scopus_spark.operators import graph
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops(e, 0, max_iterations=2).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+    import pytest
+
+    with pytest.raises(RuntimeError, match="exceeded"):
+        e3 = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+        )
+        graph.bfs_hops(e3, 0, max_iterations=2)

@@ -141,3 +141,28 @@ def test_o10_retention_counts_are_monotone_and_bounded(spark, sf_dir):
     for r in rows:
         t = r["cohort_day"]
         assert (t.hour, t.minute, t.second, t.microsecond) == (0, 0, 0, 0)
+
+
+def test_forward_fill_null_valued_event_wins_asof(spark):
+    """An event whose VALUE is NULL is still the latest observation: the
+    grid row after it must report (NULL, that event's ts) — the ASOF
+    semantics the o1 oracle implements — never resurrect an older
+    non-null value (review fix: last-OBSERVATION struct, not
+    last-non-null value)."""
+    from scopus_spark.queries import timeseries as ts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 3.0),
+            (1, "2024-01-01 05:00:00", None),
+        ],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    grid = spark.createDataFrame(
+        [(1, "2024-01-01 06:00:00")], "user_id long, bucket_ts string"
+    ).select(
+        "user_id", F.col("bucket_ts").cast("timestamp").alias("bucket_ts")
+    )
+    row = ts.forward_fill(ev, grid).collect()[0]
+    assert row.last_value is None
+    assert str(row.last_event_ts) == "2024-01-01 05:00:00"

@@ -68,8 +68,6 @@ ALLOW: dict[tuple[str, str], str] = {
     "and the 1-row df table)",
     ("j43", "BroadcastNestedLoopJoin"): "broadcast centroid-pair bound "
     "table via the shared j37 pair stage (bounded by n_cells²)",
-    ("d30", "BroadcastNestedLoopJoin"): _ONE_ROW + " (total word count "
-    "for the heavy-hitter threshold)",
     ("m4", "BroadcastNestedLoopJoin"): _ONE_ROW + " (sampling fraction)",
     ("m8", "BroadcastNestedLoopJoin"): "range predicate vs the 3-row "
     "broadcast fold table (rolling-origin CV) — bounded dim by design",
