@@ -18,35 +18,43 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def exact_heavy_hitters(words: DataFrame, k: int = 64) -> DataFrame:
+def exact_heavy_hitters(
+    words: DataFrame, k: int = 64, col: str = "w"
+) -> DataFrame:
     """(word, cnt, n_words) for every word with cnt * (k+1) > n_words —
-    EXACT, partitioning-invariant, two corpus scans total.
+    EXACT, partitioning-invariant, two corpus scans total, and a
+    candidate fan-in bounded by k REGARDLESS of partition count.
 
     Pass 1 (one scan): per-partition weighted Misra-Gries with k
-    counters; each batch merge subtracts the (k+1)-th largest count
-    (Agarwal et al. mergeable-summaries bound: per-key undercount
-    <= W_p/(k+1)), so the union of partition candidates provably
-    contains every word with global count > W/(k+1). The SAME pass
-    emits each partition's total word count as a null-key sentinel row,
-    so the threshold denominator costs no extra scan; the pass-1 output
-    (<= partitions x (k+1) rows) is persisted and feeds both the
-    candidate list and the total.
+    counters; each batch merge subtracts the (k+1)-th largest count.
+    The partition summaries (RESIDUAL counts, not just keys) are then
+    MG-MERGED distributedly — sum residuals per word (one tiny shuffle
+    over <= partitions x (k+1) rows), then subtract the (k+1)-th
+    largest merged value m. Agarwal et al.'s mergeable-summaries
+    theorem makes the decrements compose: every decrement of size m_i
+    removes >= (k+1) * m_i true mass, so Sum(m_i) <= W/(k+1) across
+    partition passes AND the merge, and any word with global count
+    > W/(k+1) keeps a strictly positive merged residual (> m). The
+    global candidate set is therefore <= k keys — the driver collects
+    k+1 rows and one scalar total, NEVER partitions x k rows, so the
+    recount's In-list stays k literals at 10^5 input partitions just
+    as at 32. The same pass emits each partition's total word count as
+    a null-key sentinel row, so the threshold denominator costs no
+    extra scan.
 
-    Pass 2 (one scan): exact recount of candidates only — the candidate
-    set is DRIVER-SIZED BY CONSTRUCTION (<= partitions x k keys, the
-    mergeable-summaries point), so it collects at fit time and prunes
-    the recount scan as an In-list predicate; the fact side never
-    shuffles anything but candidate rows, and the integer
-    cross-multiplied threshold folds in as a literal. Which EXTRA
-    candidates MG emitted is partitioning-dependent, but the exact
-    filter removes them, so the output is partitioning-invariant
-    (tests/test_heavy_hitters.py runs THIS function under 1/3/13
+    Pass 2 (one scan): exact recount of the <= k candidates only; the
+    fact side never shuffles anything but candidate rows, and the
+    integer cross-multiplied threshold folds in as a literal. Which
+    EXTRA candidates MG emitted is partitioning-dependent, but the
+    exact filter removes them, so the output is partitioning-invariant
+    (tests/test_heavy_hitters.py runs THIS function under 1/3/13/256
     partitions).
 
     CONSTRUCTION runs pass 1 (the n12/j45/j46 adjudication — sketch
     results are driver-sized by design, the treeAggregate shape);
     nothing is left pinned in executor storage between calls.
     """
+    src = words.select(F.col(col).alias("w"))
 
     def mg_partial(batches):
         from collections import Counter
@@ -67,19 +75,38 @@ def exact_heavy_hitters(words: DataFrame, k: int = 64) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "w": list(c.keys()) + [None],
-                    "pt": [0] * len(c) + [w_p],
+                    "cnt": list(c.values()) + [w_p],
                 }
             )
 
-    rows = words.mapInPandas(mg_partial, "w string, pt long").collect()
-    n_words = sum(r.pt for r in rows)
-    cand_list = sorted({r.w for r in rows if r.w is not None})
+    # Distributed merge of the partition summaries: <= parts x (k+1)
+    # rows in, one map-side-combinable sum out. localCheckpoint pins the
+    # sketch pass so the total and the top-(k+1) read ONE materialization.
+    merged = (
+        src.mapInPandas(mg_partial, "w string, cnt long")
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+    n_words = int(
+        merged.filter(F.col("w").isNull())
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)))
+        .collect()[0][0]
+    )
+    top = (
+        merged.filter(F.col("w").isNotNull())
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(k + 1)
+        .collect()
+    )
+    m_final = int(top[k].cnt) if len(top) == k + 1 else 0
+    cand_list = sorted(r.w for r in top if int(r.cnt) > m_final)
     if not cand_list:
         return words.sparkSession.createDataFrame(
             [], "word string, cnt long, n_words long"
         )
     return (
-        words.filter(F.col("w").isin(cand_list))
+        src.filter(F.col("w").isin(cand_list))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * (k + 1) > F.lit(n_words))

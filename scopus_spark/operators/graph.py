@@ -319,6 +319,7 @@ def coreness(
     src: str = "src",
     dst: str = "dst",
     wave_rounds: int = 8,
+    max_component_edges: int = 5_000_000,
 ) -> DataFrame:
     """(node, coreness) — EXACT k-core number for every node that appears
     in at least one edge. Hybrid two-phase peel with a DETERMINISTIC
@@ -376,7 +377,7 @@ def coreness(
     # reading degrees off the edge table alone would silently drop it.
     nodes = live.select("src").distinct().select(F.col("src").alias("node"))
     nodes = nodes.localCheckpoint()
-    assigned: DataFrame | None = None
+    wave_labels: list[DataFrame] = []
     spark = edges.sparkSession
     k = 1
     drained = False
@@ -396,14 +397,16 @@ def coreness(
         if low.limit(1).count() == 0:
             k += 1
             continue
-        labeled = low.select(
-            "node", F.lit(k - 1).cast("long").alias("coreness")
+        # Pin THIS round's wave once (it feeds three consumers below);
+        # accumulate the per-round label frames in a Python list and
+        # union them once after the loop — re-checkpointing the growing
+        # union every round would re-materialize all previously assigned
+        # labels each wave, O(rounds * labels) writes for no benefit
+        # (each round's labels already derive from a pinned `low`).
+        low = low.localCheckpoint()
+        wave_labels.append(
+            low.select("node", F.lit(k - 1).cast("long").alias("coreness"))
         )
-        assigned = (
-            labeled
-            if assigned is None
-            else assigned.union(labeled)
-        ).localCheckpoint()
         nodes = nodes.join(low, "node", "left_anti").localCheckpoint()
         live = (
             live.join(low, live.src == low.node, "left_anti")
@@ -425,6 +428,25 @@ def coreness(
             cc.select(F.col("node").alias("src_n"), "comp_id"),
             live.src == F.col("src_n"),
         ).select("comp_id", "src", "dst")
+        # Guard: each residual component lands in ONE applyInPandas
+        # group, so a giant component that survived phase 1 would OOM a
+        # single executor silently. One agg over the already-computed CC
+        # labels turns that into an actionable error instead.
+        biggest = int(
+            ecomp.groupBy("comp_id")
+            .agg(F.count(F.lit(1)).alias("n_edges"))
+            .agg(F.coalesce(F.max("n_edges"), F.lit(0)))
+            .collect()[0][0]
+        )
+        if biggest > max_component_edges:
+            raise RuntimeError(
+                f"coreness phase 2: residual component with {biggest} edges "
+                f"exceeds max_component_edges={max_component_edges}; it "
+                f"would be peeled on a single executor. Increase "
+                f"wave_rounds (currently {wave_rounds}) so phase 1 sheds "
+                f"more low-core mass, or raise max_component_edges if the "
+                f"executors can hold it."
+            )
         fin = (
             ecomp.groupBy("comp_id")
             .applyInPandas(
@@ -437,10 +459,12 @@ def coreness(
                 ).alias("coreness"),
             )
         )
-        tail = iso.union(fin)
-        assigned = tail if assigned is None else assigned.union(tail)
-    if assigned is None:
+        wave_labels.append(iso.union(fin))
+    if not wave_labels:
         # Empty-input schema matches the INPUT's node type (string-keyed
         # edge tables must not flip to long on the empty path).
         return spark.createDataFrame([], f"node {node_t}, coreness long")
-    return assigned
+    out = wave_labels[0]
+    for part in wave_labels[1:]:
+        out = out.union(part)
+    return out

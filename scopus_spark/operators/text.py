@@ -18,16 +18,25 @@ def tokens(text: str | Column) -> Column:
 
 
 def word_shingles(text: str | Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles as an array column (map-side only)."""
+    """Distinct word k-gram shingles as an array column (map-side only).
+
+    Docs with fewer than ``k`` tokens yield an EMPTY array (the same
+    contract as the SQL oracles): without the guard, ``sequence(0, -1)``
+    expands to the descending pair [0, -1] and ``element_at`` faults with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on short documents.
+    """
     w = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - k, F.lit(-1))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j + 1) for j in range(k)]
-            ),
-        )
-    )
+    return F.when(
+        F.size(w) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j + 1) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_shingles(text: str | Column, k: int = 5) -> Column:

@@ -990,14 +990,28 @@ def d27_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d28",
     oracle="""
     WITH med AS (
-      SELECT event_type, median(value) AS med_v FROM events GROUP BY event_type
+      SELECT event_type, (min(value) + max(value)) / 2 AS med_v FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events
+      ) WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      GROUP BY event_type
     ),
     dev AS (
       SELECT e.event_type, abs(e.value - m.med_v) AS adev
       FROM events e JOIN med m USING (event_type)
     ),
     mad AS (
-      SELECT event_type, median(adev) AS mad_v FROM dev GROUP BY event_type
+      SELECT event_type, (min(adev) + max(adev)) / 2 AS mad_v FROM (
+        SELECT event_type, adev,
+               row_number() OVER (PARTITION BY event_type ORDER BY adev)
+                 AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM dev
+      ) WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      GROUP BY event_type
     )
     SELECT d.event_type,
            round(any_value(m2.med_v), 4) AS med_value,
@@ -1021,25 +1035,52 @@ def d28_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality monitors prefer it on heavy-tailed columns like events.value.
 
     Two-pass shape d7 (single exact percentile) can't express: pass 1
-    computes each group's exact median (sort-based, matching DuckDB's
-    interpolated median bit-for-bit on doubles); the 5-row result
-    broadcast-joins back onto the fact scan so deviations are map-side;
-    pass 2 takes the median of deviations (MAD) per group; the final
-    broadcast join counts fence-breakers. Scale: the fact table is scanned
-    twice (the price of EXACT medians — the approx tier is d20) but never
-    shuffled on a wide key: every exchange carries <= n_groups rows, both
-    join-backs are broadcasts, and the outlier count aggregates map-side.
+    computes each group's exact median; the 5-row result broadcast-joins
+    back onto the fact scan so deviations are map-side; pass 2 takes the
+    median of deviations (MAD) per group; the final broadcast join counts
+    fence-breakers.
+
+    FP determinism (the _fp.py C3 rules): the median is rendered from
+    EXPLICIT ORDER STATISTICS on both engines — the (n+1)//2-th and
+    (n+2)//2-th smallest per group, combined as (min+max)/2 — instead of
+    leaning on Spark's percentile(0.5) and DuckDB's median() agreeing on
+    even-group interpolation internals (an engine-version coupling, and
+    the UNROUNDED mad_v feeds the fence comparison). Values at a given
+    rank of a sorted multiset are tie-order-independent, and (v+v)/2 == v
+    exactly in IEEE, so the two-rank form is bit-deterministic.
+
+    Scale: the fact table is scanned twice (the price of EXACT medians —
+    the approx tier is d20); an exact median is holistic either way
+    (percentile() buffers each group's values inside one agg state just
+    as the rank window sorts them in one task), so the two-rank window
+    costs the same concentration it replaces. Every other exchange
+    carries <= n_groups rows, both join-backs are broadcasts, and the
+    outlier count aggregates map-side.
     """
     ev = table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med_v")
-    )
+
+    def _two_rank_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        wrk = Window.partitionBy("event_type").orderBy(val)
+        wall = Window.partitionBy("event_type")
+        k1 = F.floor((F.col("cnt") + 1) / 2)
+        k2 = F.floor((F.col("cnt") + 2) / 2)
+        return (
+            df.select(
+                "event_type",
+                F.col(val),
+                F.row_number().over(wrk).alias("rn"),
+                F.count(F.lit(1)).over(wall).alias("cnt"),
+            )
+            .filter((F.col("rn") == k1) | (F.col("rn") == k2))
+            .groupBy("event_type")
+            .agg(((F.min(val) + F.max(val)) / 2).alias(out))
+        )
+
+    med = _two_rank_median(ev, "value", "med_v")
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med_v")).alias("adev")
     )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad_v")
-    )
+    mad = _two_rank_median(dev, "adev", "mad_v")
     fence = F.lit(3 * 1.4826) * F.col("mad_v")
     return (
         dev.join(F.broadcast(mad), "event_type")

@@ -1053,6 +1053,7 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from scopus_spark.catalog import row_count_estimate
     from scopus_spark.operators import similarity as sim
     from scopus_spark.operators.upsert import upsert_partitioned
     from scopus_spark.queries.sampling import _bucket
@@ -1071,22 +1072,24 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_path, index_path = f"{root}/centroids", f"{root}/index"
     shutil.rmtree(root, ignore_errors=True)
     # one-time index build over the existing corpus. Size n_cells from the
-    # BASE table's count (column-pruned, satisfied from parquet footers)
-    # scaled by the split fraction — counting `existing` itself would
-    # evaluate the md5 bucket per row, a full scan at plan-build time that
-    # is pure waste at 100 TB. Exactness never depends on n_cells (it only
-    # tunes pruning), so an estimate is safe; a production deployment reads
-    # the row count from catalog/index metadata with zero jobs, and the
-    # count lands in the persisted index metadata below for reuse.
+    # BASE table's parquet-footer row count (catalog.row_count_estimate —
+    # ZERO Spark jobs, the j31 pattern) scaled by the split fraction;
+    # running e.count() here would schedule a plan-build job, and counting
+    # `existing` itself would evaluate the md5 bucket per row — a full scan
+    # at plan-build time that is pure waste at 100 TB. Exactness never
+    # depends on n_cells (it only tunes pruning), so an estimate is safe;
+    # the count lands in the persisted index metadata below so later
+    # invocations (or j31-style k-NN joins against this index) size
+    # n_cells with zero jobs too. Pinned by
+    # tests/test_plans.py::test_j28_plan_build_schedules_zero_jobs.
     base = sim.prepare_vectors(existing)
-    n_cells = sim.auto_n_cells(int(e.count() * 0.9))
+    n_rows_est = int(row_count_estimate(sf_dir, "embeddings") * 0.9)
+    n_cells = sim.auto_n_cells(n_rows_est)
     sim._refine_centroids(base, n_cells).write.parquet(cents_path)
     cents = spark.read.parquet(cents_path)
     sim.assign_cells(base, cents).write.partitionBy("cell_id").parquet(index_path)
-    # index metadata: later invocations (or j31-style k-NN joins against
-    # this index) size n_cells from here with zero jobs.
     with open(f"{root}/index_meta.json", "w") as fh:
-        json.dump({"n_cells": n_cells, "n_rows_est": int(e.count() * 0.9)}, fh)
+        json.dump({"n_cells": n_cells, "n_rows_est": n_rows_est}, fh)
 
     # incremental pass: batch assigned against the STORED centroids; eager
     # snapshot of the stored index (the maintenance MERGE below swaps its

@@ -130,11 +130,24 @@ def f4_distributed_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one range shuffle (Spark's own global-sort plan), one tiny
     agg over partition ids, one broadcast join back. The window that
     computes local ranks partitions by partition_id — maximal
-    parallelism, state = one counter per task."""
+    parallelism, state = one counter per task.
+
+    localCheckpoint PINS the range exchange: the size ledger and the
+    rank stream both read one materialization, so the two consumers can
+    never observe different RangePartitioner samples (exchange reuse
+    off, stage retry, AQE replan would otherwise silently misalign
+    offset + local rank). Same pin as exact_median
+    (operators/frequency.py); determinism is pinned by
+    tests/test_plans.py running this key under
+    spark.sql.exchange.reuse=false."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranged = o.repartitionByRange(
-        32, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    ).withColumn("pid", F.spark_partition_id())
+    ranged = (
+        o.repartitionByRange(
+            32, F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
     # exclusive prefix over the bounded (<= 32-row) partition ledger
     offsets = sizes.select(

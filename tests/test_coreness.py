@@ -138,3 +138,21 @@ def test_string_keyed_empty_input_schema(spark):
     out = coreness(df)
     assert dict(out.dtypes)["node"] == "string"
     assert out.count() == 0
+
+
+def test_giant_residual_component_guard(spark):
+    """VERDICT r6 item 8: a residual component bigger than
+    max_component_edges must raise an actionable error naming wave_rounds
+    instead of funneling the blob into one applyInPandas task. A 20-clique
+    survives the k=1 wave untouched (min degree 19), so with wave_rounds=1
+    the whole clique reaches phase 2."""
+    import pytest
+
+    clique = [(a, b) for a in range(20) for b in range(20) if a != b]
+    df = spark.createDataFrame(clique, "src long, dst long")
+    with pytest.raises(RuntimeError, match="wave_rounds"):
+        coreness(df, wave_rounds=1, max_component_edges=10).collect()
+    # same graph passes with the default budget (the guard is a bound,
+    # not a behavior change)
+    got = {r.node: r.coreness for r in coreness(df, wave_rounds=1).collect()}
+    assert got == _brute([(a, b) for a, b in clique if a < b])

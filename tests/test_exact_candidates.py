@@ -174,3 +174,25 @@ def test_j31_plan_build_schedules_zero_jobs(spark, sf_dir):
     jobs = sc.statusTracker().getJobIdsForGroup("j31_plan_build")
     assert list(jobs) == [], f"plan build scheduled jobs: {list(jobs)}"
     assert df.limit(1).count() >= 0  # the lazily-built plan still executes
+
+
+def test_j28_plan_build_runs_no_count_jobs(spark, sf_dir, monkeypatch):
+    """VERDICT r6 item 3: j28's prelude legitimately WRITES the index
+    (jobs), but must never size n_cells by counting the corpus — the row
+    count comes from parquet footers (catalog.row_count_estimate), the
+    j31 pattern. Any DataFrame.count() during construction is the
+    anti-pattern coming back."""
+    from pyspark.sql import DataFrame
+
+    calls: list[str] = []
+    real_count = DataFrame.count
+
+    def spy(self):
+        calls.append("count")
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    df = QUERIES["j28"](spark, sf_dir)
+    monkeypatch.undo()
+    assert calls == [], f"plan build ran DataFrame.count() {len(calls)}x"
+    assert df.limit(1).count() >= 0

@@ -70,3 +70,41 @@ def test_d30_matches_brute_on_documents(spark, sf_dir):
         (r.word, r.cnt) for r in d30_heavy_hitters(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_candidate_fanin_bounded_at_high_partition_counts(spark):
+    """VERDICT r6 item 4: the recount filter's In-list must stay <= k
+    literals no matter how many input partitions there are. 256
+    partitions x (k+1) would be ~2300 candidates without the distributed
+    MG merge; bounded, the optimizer keeps a plain In (never the InSet
+    conversion that fires above ~10 items), and the output still equals
+    brute force."""
+    texts = ["hot hot hot hot warm warm " + f"t{i}" for i in range(400)]
+    want = _brute(texts, k=8)
+    assert want
+    from pyspark.sql import functions as F2
+
+    d = spark.createDataFrame([(t,) for t in texts], "text string").repartition(256)
+    from scopus_spark.operators.text import tokens
+
+    words = d.select(F2.explode(tokens("text")).alias("w"))
+    df = exact_heavy_hitters(words, k=8)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "inset" not in plan.lower(), "candidate In-list blew past k"
+    assert {(r.word, r.cnt) for r in df.collect()} == want
+    # 256-partition run is also part of the partitioning-invariance sweep
+    assert _run(spark, texts, k=8, parts=256) == want
+
+
+def test_custom_column_name(spark):
+    """ADVICE r6: callers with a column not named 'w' must work via the
+    col= parameter instead of KeyError-ing inside mapInPandas."""
+    texts = ["x x x x y"] * 50
+    d = spark.createDataFrame(
+        [(w,) for t in texts for w in t.split()], "token string"
+    )
+    got = {
+        (r.word, r.cnt)
+        for r in exact_heavy_hitters(d, k=4, col="token").collect()
+    }
+    assert got == _brute(texts, k=4)

@@ -298,3 +298,20 @@ def test_d28_join_backs_are_broadcast(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_word_shingles_short_docs_yield_empty(spark):
+    """ADVICE r6 (medium): docs with < k tokens must produce an EMPTY
+    shingle array — the unguarded sequence(0, -1) expanded to a
+    descending [0, -1] and element_at crashed the job on 2-word docs."""
+    from scopus_spark.operators.text import word_shingles
+
+    d = spark.createDataFrame(
+        [("one",), ("two words",), ("now three tokens",),
+         ("four tokens in here",)],
+        "text string",
+    )
+    got = [r.sh for r in d.select(word_shingles("text").alias("sh")).collect()]
+    assert got[0] == [] and got[1] == []
+    assert got[2] == ["now three tokens"]
+    assert got[3] == ["four tokens in", "tokens in here"]

@@ -350,3 +350,21 @@ def test_f4_global_rank_avoids_corpus_single_partition_window(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+
+def test_f4_d31_deterministic_without_exchange_reuse(spark, sf_dir):
+    """VERDICT r6 item 2: f4 (and d31, which shares the two-level-rank
+    pattern) must be hash-identical when Spark cannot reuse the range
+    exchange — the localCheckpoint pin, not ReusedExchange, is what keeps
+    the size ledger and the rank stream on one RangePartitioner sample."""
+    def _snap():
+        f4 = sorted(tuple(r) for r in QUERIES["f4"](spark, sf_dir).collect())
+        d31 = sorted(tuple(r) for r in QUERIES["d31"](spark, sf_dir).collect())
+        return f4, d31
+
+    base = _snap()
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        assert _snap() == base
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
