@@ -3,9 +3,18 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Methodology mirrors BASELINE.md: per query 1 warm-up run, then median of 3
-timed runs, result fully collected to the driver. Session startup and view
-registration excluded from timings (as in BASELINE.md).
+Methodology (round 7, after the r4->r6 drift bisect in PERF.md): one FULL
+warm-up pass over every headline query first — warming per query
+immediately before timing it (the old shape) times the first queries on a
+cold JIT and the last on a hot one, which is exactly the uniform
+"per-query fixed overhead" the round-6 verdict saw drifting. Then per
+query 5 timed runs; the headline value stays the MEDIAN total (comparable
+to BASELINE.md and BENCH_r1-r6), with min-of-5 reported alongside so
+box contention is visible in the artifact itself (an idle box shows
+median ~ min; a loaded one shows median >> min).
+
+Session startup and view registration excluded from timings (as in
+BASELINE.md). Result fully collected to the driver.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all).
@@ -39,6 +48,8 @@ HEADLINE: dict[str, str] = {
     "grouping_sets_rollup": "d9",
 }
 
+N_RUNS = 5
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,18 +59,23 @@ def main() -> None:
     register_views(spark, sf_dir)  # excluded from timings, as in BASELINE.md
 
     queries = registry.all_queries()
+    plan = [(n, queries[k]) for n, k in HEADLINE.items() if k in queries]
+
+    # Full warm-up pass: every query once, so JIT/code-cache state is the
+    # same hot steady state for the first timed query as for the last.
+    for _, fn in plan:
+        fn(spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
-    for name, key in HEADLINE.items():
-        fn = queries.get(key)
-        if fn is None:
-            continue
-        fn(spark, sf_dir).collect()  # warm-up
+    timings_min: dict[str, float] = {}
+    for name, fn in plan:
         runs = []
-        for _ in range(3):
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
+        timings_min[name] = round(min(runs), 4)
 
     print(
         json.dumps(
@@ -68,6 +84,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "value_min": round(sum(timings_min.values()), 4),
+                "queries_min": timings_min,
                 "sf": sf,
             }
         )
