@@ -22,7 +22,7 @@ band); AQE skew splitting handles hot bands (e.g. boilerplate docs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scopus_spark.operators.text import hash60, word_shingles
@@ -343,4 +343,63 @@ def containment_pairs(
         .join(sets_b, "dst_doc")
         .filter(cont >= threshold)
         .select("src_doc", "dst_doc", F.round(cont, 6).alias("containment"))
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    par_tokens: int = 20,
+) -> DataFrame:
+    """(doc_id, n_pars, n_removed, clean_text) — drop every paragraph
+    seen earlier anywhere in the corpus (global first occurrence = min
+    (doc_id, position) wins), keep the host doc, reassemble the
+    survivors in order. The C4-recipe sub-document dedup step; j47 is
+    the declared query over the documents table.
+
+    Paragraphs are non-overlapping `par_tokens`-token windows (prose
+    corpora would split on double-newline with the identical plan).
+    Two bounded shuffles: keep-first ranks over the 32-byte
+    sha256(paragraph) key (uniform, skew-free), reassembly is one
+    groupBy(id) with a deterministic array_sort(collect_list(struct)).
+    Idempotent: re-running on its own clean_text output removes nothing
+    (property-tested in tests/test_paragraph_dedup.py).
+    """
+    tk = F.split(F.col(text_col), " ")
+    n_par = F.ceil(F.size(tk) / F.lit(float(par_tokens))).cast("int")
+    pars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_par - 1),
+                lambda i: F.array_join(
+                    F.slice(tk, i * par_tokens + 1, F.lit(par_tokens)), " "
+                ),
+            )
+        ).alias("par_idx", "par"),
+    )
+    w = Window.partitionBy(F.sha2(F.col("par"), 256)).orderBy(
+        "doc_id", "par_idx"
+    )
+    return (
+        pars.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pars"),
+            F.count_if(F.col("rn") > 1).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("par_idx", "par")
+                            )
+                        )
+                    ),
+                    lambda s: s["par"],
+                ),
+            ).alias("clean_text"),
+        )
     )

@@ -2240,3 +2240,75 @@ def j46_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scopus_spark.operators.text import learn_bpe
 
     return learn_bpe(d, "text", n_merges=12)
+
+
+# --- j47: paragraph-granularity dedup (the C4 recipe step) ---------------------------
+_J47_PAR_TOKENS = 20  # non-overlapping token windows = "paragraphs"
+
+
+@register(
+    "j47",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    pars AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(tk) / {_J47_PAR_TOKENS}.0) AS BIGINT)))
+               AS par_idx,
+             unnest(list_transform(
+               range(CAST(ceil(len(tk) / {_J47_PAR_TOKENS}.0) AS BIGINT)),
+               i -> array_to_string(
+                 tk[CAST(i * {_J47_PAR_TOKENS} + 1 AS BIGINT)
+                    :CAST(i * {_J47_PAR_TOKENS} + {_J47_PAR_TOKENS} AS BIGINT)],
+                 ' '))) AS par
+      FROM toks
+    ),
+    ranked AS (
+      SELECT doc_id, par_idx, par,
+             row_number() OVER (PARTITION BY sha256(par)
+                                ORDER BY doc_id, par_idx) AS rn
+      FROM pars
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_pars,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+           sha256(coalesce(
+             string_agg(par, ' ' ORDER BY par_idx) FILTER (WHERE rn = 1),
+             '')) AS clean_sha
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def j47_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup, the C4 recipe: drop every paragraph seen
+    earlier ANYWHERE in the corpus (global first occurrence wins — min
+    (doc_id, position)), keep the host document, reassemble its
+    remaining paragraphs in order. Whole-doc dedup (j1/j9) misses
+    boilerplate repeated across distinct pages — license headers, nav
+    footers — which is most of what paragraph dedup removes from web
+    corpora. "Paragraphs" here are non-overlapping 20-token windows
+    (the corpus is single-line bag-of-words; prose would split on
+    double-newline with the same plan).
+
+    Per doc: n_pars, n_removed (the audit trail), and sha256 of the
+    reassembled clean text (keeps a corpus-sized string column off the
+    hashable compare surface; a doc whose every paragraph is a dup
+    reassembles to '' and still hashes).
+
+    Scale (two bounded shuffles, no UDFs): tokenize + window = map-side
+    explode; keep-first = one row_number over the 32-byte sha256(par)
+    partition key (uniform distribution by construction — no skew,
+    unlike raw-text keys); reassembly = one groupBy(doc_id) whose
+    array_sort(collect_list(struct)) is deterministic where a bare
+    collect_list is not. Idempotence (re-running on the cleaned corpus
+    removes nothing) is property-tested in tests/test_paragraph_dedup.py.
+    """
+    d = table(spark, sf_dir, "documents")
+    clean = dedup.paragraph_dedup(d, par_tokens=_J47_PAR_TOKENS)
+    return clean.select(
+        "doc_id",
+        "n_pars",
+        "n_removed",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
