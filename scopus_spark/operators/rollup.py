@@ -13,10 +13,13 @@ tests/test_operators.py.
 Scale contract: a delta touches |distinct bucket dates in the delta|
 partitions; the merge reads exactly those partitions back (pruned scan),
 combines states with ONE hash aggregate over (existing ∪ delta), and
-rewrites them through upsert_partitioned's stage-and-swap (crash-safe,
-idempotent for re-applied deltas only when the delta is time-disjoint
-from history — the CONTRACT below). History outside the delta's window
-is never read. This is o2's daily OHLC made maintainable: the batch
+commits them through the snapshot-isolated VersionedTable
+(operators/manifest.py — immutable data files, atomic manifest-pointer
+swap, so a reader racing the merge sees the old rollup or the new one,
+never a half-swapped partition; idempotent for re-applied deltas only
+when the delta is time-disjoint from history — the CONTRACT below).
+History outside the delta's window is never read; the pruned read comes
+from manifest metadata, not directory listing. This is o2's daily OHLC made maintainable: the batch
 query answers "what is the rollup", this operator answers "keep it
 current at 100 TB without re-reading 100 TB".
 
@@ -29,12 +32,11 @@ is the streaming tier's job (foreachBatch + checkpoint, streaming/sinks).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scopus_spark.operators.upsert import upsert_partitioned
+from scopus_spark.operators.manifest import VersionedTable
 
 STATE_COLS = [
     "user_id",
@@ -103,19 +105,17 @@ def incremental_ohlc(target_path: str, new_events: DataFrame) -> None:
     target_path, rewriting only the bucket_date partitions the batch
     touches."""
     delta = ohlc_state(new_events)
-    if not os.path.exists(target_path):
-        delta.write.partitionBy("bucket_date").parquet(target_path)
+    vt = VersionedTable(target_path)
+    if not vt.exists():
+        vt.write_initial(delta, "bucket_date")
         return
     spark = new_events.sparkSession
     touched = [r[0] for r in delta.select("bucket_date").distinct().collect()]
     if not touched:
         return
-    existing = spark.read.parquet(target_path).filter(
-        F.col("bucket_date").isin(touched)
-    )
+    existing = vt.read(spark, partition_values=touched)
     merged = merge_states(existing.select(*STATE_COLS), delta)
-    upsert_partitioned(
-        target_path,
+    vt.merge(
         merged,
         key_cols=["user_id", "bucket_ts"],
         partition_col="bucket_date",
@@ -123,7 +123,7 @@ def incremental_ohlc(target_path: str, new_events: DataFrame) -> None:
 
 
 def read_rollup(spark, target_path: str) -> DataFrame:
-    """The maintained rollup in o2's public shape."""
-    return spark.read.parquet(target_path).select(
+    """The maintained rollup in o2's public shape (current snapshot)."""
+    return VersionedTable(target_path).read(spark).select(
         "user_id", "bucket_ts", "open", "high", "low", "close", "n_events"
     )

@@ -822,11 +822,18 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct values and every batch carries all 4, so partitioning on it
     would make each maintenance MERGE rewrite the ENTIRE table; with
     doc-id buckets a batch rewrites only the buckets its docs land in —
-    cost per batch really is O(batch)."""
+    cost per batch really is O(batch).
+
+    Round 7: the band table is a snapshot-isolated VersionedTable
+    (operators/manifest.py). Data files are immutable and the MERGE
+    commits by atomic pointer swap, so the lazy pair plan reads the
+    pinned pre-merge snapshot WITHOUT the eager localCheckpoint the
+    stage-and-swap layout needed (the r5 'j25 lesson' materialization) —
+    one less full copy of the stored bands per batch."""
     import os
     import shutil
 
-    from scopus_spark.operators.upsert import upsert_partitioned
+    from scopus_spark.operators.manifest import VersionedTable
     from scopus_spark.queries.sampling import _bucket
 
     d = table(spark, sf_dir, "documents")
@@ -852,16 +859,17 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j25_bands",
     )
     shutil.rmtree(target, ignore_errors=True)
-    banded(existing).write.partitionBy("doc_bkt").parquet(target)
+    vt = VersionedTable(target)
+    vt.write_initial(banded(existing), "doc_bkt")
 
     probe = banded(batch).withColumn("is_old", F.lit(False))
-    # eager snapshot: the maintenance MERGE below swaps the table's files
-    # before the (lazy) pair plan runs — probe against the pre-merge state
+    # snapshot-pinned read: the maintenance MERGE below only ADDS data
+    # files and swaps the manifest pointer, so this lazy frame keeps
+    # reading the pre-merge snapshot — no eager checkpoint required
     stored = (
-        spark.read.parquet(target)
+        vt.read(spark)
         .select("doc_id", "band_no", "band_hash", "doc_bkt")
         .withColumn("is_old", F.lit(True))
-        .localCheckpoint(eager=True)
     )
     build = stored.unionByName(probe)
     p, s = probe.alias("p"), build.alias("s")
@@ -880,8 +888,7 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # maintenance: the batch's bands merge into the stored table so the
     # next increment probes against (old ∪ this batch)
-    upsert_partitioned(
-        target,
+    vt.merge(
         probe.drop("is_old"),
         key_cols=["doc_id", "band_no"],
         partition_col="doc_bkt",
@@ -1055,7 +1062,7 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scopus_spark.catalog import row_count_estimate
     from scopus_spark.operators import similarity as sim
-    from scopus_spark.operators.upsert import upsert_partitioned
+    from scopus_spark.operators.manifest import VersionedTable
     from scopus_spark.queries.sampling import _bucket
 
     e = table(spark, sf_dir, "embeddings")
@@ -1087,23 +1094,27 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = sim.auto_n_cells(n_rows_est)
     sim._refine_centroids(base, n_cells).write.parquet(cents_path)
     cents = spark.read.parquet(cents_path)
-    sim.assign_cells(base, cents).write.partitionBy("cell_id").parquet(index_path)
+    vt = VersionedTable(index_path)
+    vt.write_initial(sim.assign_cells(base, cents), "cell_id")
     with open(f"{root}/index_meta.json", "w") as fh:
         json.dump({"n_cells": n_cells, "n_rows_est": n_rows_est}, fh)
 
-    # incremental pass: batch assigned against the STORED centroids; eager
-    # snapshot of the stored index (the maintenance MERGE below swaps its
-    # files before the lazy result plan runs — the j25 lesson)
+    # incremental pass: batch assigned against the STORED centroids. The
+    # index is a snapshot-isolated VersionedTable (operators/manifest.py):
+    # the maintenance MERGE below only adds immutable data files and swaps
+    # the manifest pointer, so this lazy read stays pinned to the
+    # pre-merge snapshot — no eager checkpoint needed (the r5 'j25
+    # lesson' copy is gone).
     batch_assigned = sim.assign_cells(sim.prepare_vectors(batch), cents)
-    stored = spark.read.parquet(index_path).select(
+    stored = vt.read(spark).select(
         "vec_id", "label", "emb", "nrm", "cell_id", "cos_centroid"
-    ).localCheckpoint(eager=True)
+    )
     corpus = stored.unionByName(batch_assigned)
     result = sim.exact_1nn_for(batch_assigned, corpus, cents)
 
     # maintenance MERGE: next batch probes (old ∪ this batch)
-    upsert_partitioned(
-        index_path, batch_assigned, key_cols=["vec_id"], partition_col="cell_id"
+    vt.merge(
+        batch_assigned, key_cols=["vec_id"], partition_col="cell_id"
     )
     return result
 

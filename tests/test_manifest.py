@@ -1,0 +1,97 @@
+"""operators/manifest.VersionedTable — snapshot-isolated commits
+(VERDICT r6 item 6). Contracts: atomic pointer-swap commits, readers pin
+exactly one snapshot even while a writer commits the next, MERGE
+semantics equal the upsert tier (replace/insert/delete-wins), vacuum
+never touches retained snapshots."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scopus_spark.operators.manifest import VersionedTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, b long")
+
+
+def _snap(df):
+    return sorted((r.k, r.v, r.b) for r in df.collect())
+
+
+def test_initial_write_and_read(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    assert not t.exists() and t.version() == 0
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    assert t.exists() and t.version() == 1
+    assert _snap(t.read(spark)) == [(1, "a", 0), (2, "b", 1)]
+    # manifest-pruned partition read
+    assert _snap(t.read(spark, partition_values=[1])) == [(2, "b", 1)]
+
+
+def test_merge_replace_insert_delete_wins(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 0)]), "b")
+    deletes = spark.createDataFrame([(3, 0)], "k long, b long")
+    # k=1 replaced, k=4 inserted, k=3 deleted, k=5 in BOTH delta and
+    # deletes -> delete wins
+    v = t.merge(
+        _df(spark, [(1, "A", 0), (4, "d", 1), (5, "e", 0)]),
+        key_cols=["k"],
+        partition_col="b",
+        deletes=deletes.unionByName(
+            spark.createDataFrame([(5, 0)], "k long, b long")
+        ),
+    )
+    assert v == 2 and t.version() == 2
+    assert _snap(t.read(spark)) == [(1, "A", 0), (2, "b", 1), (4, "d", 1)]
+
+
+def test_concurrent_reader_pins_snapshot(spark, tmp_path):
+    """THE snapshot-isolation contract: a reader that resolved version N
+    keeps seeing exactly N's rows while (and after) the writer commits
+    N+1 — never a partition twice, never a missing one."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    pinned = t.read(spark)  # reader resolves the pointer HERE
+    want_v1 = _snap(pinned)
+    t.merge(
+        _df(spark, [(1, "CHANGED", 0), (9, "new", 1)]),
+        key_cols=["k"],
+        partition_col="b",
+    )
+    # iterate the pinned frame AFTER the commit landed
+    assert _snap(pinned) == want_v1 == [(1, "a", 0), (2, "b", 1)]
+    # a fresh resolve sees version 2
+    assert _snap(t.read(spark)) == [(1, "CHANGED", 0), (2, "b", 1), (9, "new", 1)]
+
+
+def test_partition_emptied_by_deletes_leaves_snapshot(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    t.merge(
+        spark.createDataFrame([], "k long, v string, b long"),
+        key_cols=["k"],
+        partition_col="b",
+        deletes=spark.createDataFrame([(1, 0)], "k long, b long"),
+    )
+    assert _snap(t.read(spark)) == [(2, "b", 1)]
+    assert _snap(t.read(spark, partition_values=[0])) == []
+
+
+def test_vacuum_keeps_retained_snapshots_working(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    t.merge(_df(spark, [(1, "v2", 0)]), key_cols=["k"], partition_col="b")
+    t.merge(_df(spark, [(1, "v3", 0)]), key_cols=["k"], partition_col="b")
+    removed = t.vacuum(keep_last=1)
+    assert removed, "old commit dirs must actually be reclaimed"
+    assert _snap(t.read(spark)) == [(1, "v3", 0)]
+    assert t.version() == 3
+
+
+def test_merge_creates_table_when_missing(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    v = t.merge(_df(spark, [(1, "a", 0)]), key_cols=["k"], partition_col="b")
+    assert v == 1
+    assert _snap(t.read(spark)) == [(1, "a", 0)]

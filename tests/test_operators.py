@@ -131,9 +131,11 @@ def test_incremental_ohlc_equals_full_recompute(spark, sf_dir, tmp_path):
     c2 = lo + 2 * span / 3
     target = str(tmp_path / "rollup")
 
+    from scopus_spark.operators.manifest import VersionedTable
+
     rollup.incremental_ohlc(target, events.filter(F.col("ts") <= c1))
     n_parts_after_1 = len(
-        [d for d in os.listdir(target) if d.startswith("bucket_date=")]
+        VersionedTable(target)._read_manifest()["partitions"]
     )
     rollup.incremental_ohlc(
         target, events.filter((F.col("ts") > c1) & (F.col("ts") <= c2))
@@ -182,7 +184,9 @@ def test_j25_band_table_maintained_after_increment(spark, sf_dir):
         f"pid{os.getpid()}",
         "j25_bands",
     )
-    stored = spark.read.parquet(target)
+    from scopus_spark.operators.manifest import VersionedTable
+
+    stored = VersionedTable(target).read(spark)
     n_docs = _table(spark, sf_dir, "documents").count()
     assert stored.count() == 4 * n_docs
     assert stored.select("doc_id").distinct().count() == n_docs
