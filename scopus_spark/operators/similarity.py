@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -615,3 +615,250 @@ def pca_whiten_params(embeddings: DataFrame, q: int = 4):
             top_vecs[:, j] = -top_vecs[:, j]
     w = top_vecs / np.sqrt(np.maximum(top_vals, 1e-12))
     return mean, w, top_vals, n
+
+
+# --- Product quantization (IVF-PQ's memory tier; VERDICT r6 item 5) ------------------
+#
+# PQ is the rung of the similarity ladder between int8 scalar quantization
+# (j41) and raw vectors: split each L2-NORMALIZED vector into m subvectors,
+# learn a kc-centroid k-means codebook PER SUBSPACE, store each vector as m
+# small codes (m bytes at kc<=256 vs 8*dim raw — 64x smaller at dim=64).
+# Queries score candidates with ADC (asymmetric distance computation): the
+# query precomputes an m x kc lookup table of exact subspace dot products,
+# so a candidate's approximate cosine is m table lookups + adds — pure JVM
+# array ops over the broadcast-literal LUT, no Python, no shuffle. An
+# exact re-rank of the PQ top-C repairs quantization error (recall is
+# property-tested against the j3 exact anchor in tests/test_pq.py; with
+# C >= corpus the result is EXACTLY the brute-force top-k).
+#
+# Determinism: seeds are the kc lowest-vec_id vectors' subvectors (the IVF
+# seed rule — no RNG), Lloyd refinement is deterministic given seeds, and
+# argmin tie-breaks on code id. Fit cost: iters passes over an exploded
+# (n*m)-row subvector frame with map-side-combinable means; codebooks stay
+# m*kc rows (driver-sized by construction, like IVF centroids).
+
+
+def _pq_l2(a: Column, c: Column) -> Column:
+    """Squared L2 distance of two array<double> columns (JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _unit(emb: Column | str = "emb", nrm: Column | str = "nrm") -> Column:
+    e = F.col(emb) if isinstance(emb, str) else emb
+    n = F.col(nrm) if isinstance(nrm, str) else nrm
+    return F.transform(e, lambda x: x / n)
+
+
+def _pq_best_code(cb: Column, sub_id: Column, subv: Column) -> Column:
+    """argmin_code L2(subv, centroid) within one subspace of the broadcast
+    codebook array; ties break on the smaller code id (array_min over
+    struct<d, code>)."""
+    cand = F.filter(cb, lambda e: e["sub_id"] == sub_id)
+    return F.array_min(
+        F.transform(
+            cand,
+            lambda e: F.struct(
+                _pq_l2(subv, e["centroid"]).alias("d"),
+                e["code"].alias("code"),
+            ),
+        )
+    )["code"]
+
+
+def pq_fit(
+    base: DataFrame, dim: int, m: int = 8, kc: int = 16, iters: int = 4
+) -> DataFrame:
+    """Learn per-subspace PQ codebooks: (sub_id, code, centroid) with
+    sub_id in [0, m), code in [0, kc), centroid array<double> of dim/m.
+
+    Seeds = the kc lowest-vec_id unit vectors' subvectors (bounded
+    kc-row driver collect, the IVF-seed adjudication); each Lloyd round
+    is one map-side assignment against the broadcast codebook row plus
+    one (sub_id, code, pos) mean — both shuffles carry <= m*kc*d_sub
+    reduced rows. Codes whose cluster empties keep their previous
+    centroid (the _refine_centroids rule)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d_sub = dim // m
+    spark = base.sparkSession
+    seed_rows = (
+        base.orderBy("vec_id").limit(kc).select("emb", "nrm").collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq_fit on an empty vector table")
+    seeds = []
+    for code, r in enumerate(seed_rows):
+        u = [x / r.nrm for x in r.emb]
+        for s in range(m):
+            seeds.append((s, code, u[s * d_sub:(s + 1) * d_sub]))
+    codebooks = spark.createDataFrame(
+        seeds, "sub_id int, code int, centroid array<double>"
+    )
+    subs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub_id"),
+                    F.slice(_unit(), s * d_sub + 1, d_sub).alias("subv"),
+                ),
+            )
+        ).alias("sv")
+    ).select("sv.sub_id", "sv.subv")
+    for _ in range(iters):
+        cb_row = codebooks.agg(
+            F.collect_list(F.struct("sub_id", "code", "centroid")).alias("cb")
+        )
+        assigned = subs.crossJoin(F.broadcast(cb_row)).select(
+            "sub_id",
+            _pq_best_code(
+                F.col("cb"), F.col("sub_id"), F.col("subv")
+            ).alias("code"),
+            "subv",
+        )
+        # Exact-decimal mean (the _fp.py C3 rule): a double avg is
+        # partition-order-dependent, which would make the fitted
+        # codebooks vary with input partitioning; summing DECIMAL(38,18)
+        # truncations is exact and order-free, so the fit is
+        # bit-deterministic (pinned by test_pq.py under repartition).
+        means = (
+            assigned.select(
+                "sub_id", "code", F.posexplode("subv").alias("pos", "v")
+            )
+            .groupBy("sub_id", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,18)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("mv")
+            )
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda st: st["mv"],
+                ).alias("mean")
+            )
+        )
+        codebooks = (
+            codebooks.join(means, ["sub_id", "code"], "left")
+            .select(
+                "sub_id",
+                "code",
+                F.coalesce("mean", "centroid").alias("centroid"),
+            )
+            .localCheckpoint()  # m*kc rows; caps per-round lineage
+        )
+    return codebooks
+
+
+def pq_encode(
+    base: DataFrame, codebooks: DataFrame, dim: int, m: int = 8
+) -> DataFrame:
+    """base + codes array<int> (length m) — map-side encoding against the
+    broadcast codebook row; no shuffle."""
+    d_sub = dim // m
+    cb_row = codebooks.agg(
+        F.collect_list(F.struct("sub_id", "code", "centroid")).alias("cb")
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _pq_best_code(
+            F.col("cb"),
+            s.cast("int"),
+            F.slice(_unit(), s * d_sub + 1, d_sub),
+        ).cast("int"),
+    )
+    return base.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id", "label", "emb", "nrm", codes.alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    kc: int = 16,
+    iters: int = 4,
+    rerank: int = 64,
+) -> DataFrame:
+    """(rank, vec_id, label, approx_sim, cos_sim) — PQ-ADC top-`rerank`
+    candidates, exact-cosine re-ranked to the final top-k.
+
+    The candidate scan is code-only work: approx cosine = m LUT lookups
+    folded JVM-side (the literal m x kc LUT constant-folds into the scan
+    stage, the j3 literal-query trick); TakeOrderedAndProject keeps the
+    top-C without a global sort. Only the C re-rank candidates ever touch
+    raw vectors. CONSTRUCTION fits/encodes (bounded collects: kc seeds,
+    m*kc codebook rows, 1 query row — the n12/j45 adjudication);
+    production persists codebooks + codes like j28 persists its index."""
+    base = prepare_vectors(embeddings)
+    qrow = base.filter(F.col("vec_id") == query_vec_id).select(
+        "emb", "nrm"
+    ).collect()[0]
+    dim = len(qrow.emb)
+    codebooks = pq_fit(base, dim, m=m, kc=kc, iters=iters)
+    enc = pq_encode(
+        base.filter(F.col("vec_id") != query_vec_id), codebooks, dim, m=m
+    )
+    d_sub = dim // m
+    qu = [x / qrow.nrm for x in qrow.emb]
+    # ADC lookup table: exact subspace dot products of the query against
+    # every codeword — m x kc python floats, inlined as a literal.
+    cb = {(r.sub_id, r.code): r.centroid for r in codebooks.collect()}
+    lut = [
+        [
+            sum(
+                qu[s * d_sub + j] * cb[(s, c)][j] for j in range(d_sub)
+            )
+            for c in range(kc)
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    idx = F.sequence(F.lit(1), F.lit(m))
+    approx = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: F.element_at(
+                F.element_at(lut_lit, i.cast("int")),
+                (F.element_at(F.col("codes"), i.cast("int")) + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cand = (
+        enc.select("vec_id", "label", "emb", "nrm", approx.alias("approx"))
+        .orderBy(F.col("approx").desc(), F.col("vec_id").asc())
+        .limit(rerank)
+    )
+    qe = F.array(*[F.lit(float(x)) for x in qrow.emb])
+    cos = F.round(_dot(F.col("emb"), qe) / (F.col("nrm") * F.lit(float(qrow.nrm))), 6)
+    ranked = (
+        cand.select(
+            "vec_id",
+            "label",
+            (F.round(F.col("approx"), 6) + F.lit(0.0)).alias("approx_sim"),
+            (cos + F.lit(0.0)).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return ranked.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        "label",
+        "approx_sim",
+        "cos_sim",
+    )

@@ -2323,3 +2323,23 @@ def j47_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
     )
+
+
+# --- j48: product-quantization ANN with exact re-rank (IVF-PQ's memory tier) ---------
+@register("j48")  # no oracle: k-means codebook fitting is an iterative
+# data-dependent loop outside SQL's reach (the n12/j45/j46 adjudication);
+# tests/test_pq.py pins recall@10 >= 0.8 against j3's exact anchor and
+# proves rerank >= corpus degenerates to EXACTLY the brute-force top-k.
+def j48_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-10 for the j3 anchor query (vec_id 0), exact
+    cosine re-rank of the PQ top-64 (operators/similarity.pq_topk) — the
+    memory rung of the similarity ladder between int8 scalar quantization
+    (j41) and raw IVF (j17/j28/j31): vectors live as m=8 codebook codes
+    (8 bytes vs 512 raw at dim 64), candidate scoring is m lookup-table
+    adds folded JVM-side from a broadcast-literal m x kc ADC table, and
+    only the 64 re-rank candidates ever touch raw vectors. At 100 TB the
+    codes table is what stays hot; codebooks broadcast (m*kc rows)."""
+    e = table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        e, query_vec_id=0, k=10, m=8, kc=16, iters=4, rerank=64
+    )

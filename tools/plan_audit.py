@@ -68,6 +68,9 @@ ALLOW: dict[tuple[str, str], str] = {
     "and the 1-row df table)",
     ("j43", "BroadcastNestedLoopJoin"): "broadcast centroid-pair bound "
     "table via the shared j37 pair stage (bounded by n_cells²)",
+    ("j48", "BroadcastNestedLoopJoin"): "broadcast single-row PQ codebook "
+    "array (m*kc codewords, driver-sized by construction) for map-side "
+    "encoding",
     ("m4", "BroadcastNestedLoopJoin"): _ONE_ROW + " (sampling fraction)",
     ("m8", "BroadcastNestedLoopJoin"): "range predicate vs the 3-row "
     "broadcast fold table (rolling-origin CV) — bounded dim by design",
