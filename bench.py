@@ -18,6 +18,9 @@ BASELINE.md). Result fully collected to the driver.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all).
+CLI: --out FILE also writes the JSON line to FILE (the idle-rerun
+     artifact the round close-out stores next to the driver's BENCH_r{N}
+     so round-over-round comparison is not noise-limited).
 """
 
 from __future__ import annotations
@@ -77,19 +80,21 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
         timings_min[name] = round(min(runs), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_median",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "value_min": round(sum(timings_min.values()), 4),
-                "queries_min": timings_min,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_total_median",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "value_min": round(sum(timings_min.values()), 4),
+            "queries_min": timings_min,
+            "sf": sf,
+        }
     )
+    print(line)
+    if "--out" in sys.argv:
+        with open(sys.argv[sys.argv.index("--out") + 1], "w") as fh:
+            fh.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -65,9 +65,17 @@ class VersionedTable:
     def version(self) -> int:
         return self._read_manifest()["version"] if self.exists() else 0
 
-    def _read_manifest(self) -> dict:
-        with open(self._pointer) as fh:
-            name = fh.read().strip()
+    def _read_manifest(self, at_version: int | None = None) -> dict:
+        if at_version is None:
+            with open(self._pointer) as fh:
+                name = fh.read().strip()
+        else:
+            name = f"v{at_version:06d}.json"
+            if not os.path.isfile(os.path.join(self._manifest_dir, name)):
+                raise ValueError(
+                    f"snapshot v{at_version} does not exist (or was "
+                    f"vacuumed) under {self.root}"
+                )
         with open(os.path.join(self._manifest_dir, name)) as fh:
             return json.load(fh)
 
@@ -128,12 +136,18 @@ class VersionedTable:
         )
 
     def read(
-        self, spark: SparkSession, partition_values: list | None = None
+        self,
+        spark: SparkSession,
+        partition_values: list | None = None,
+        at_version: int | None = None,
     ) -> DataFrame:
-        """A DataFrame pinned to the CURRENT snapshot (optionally pruned
-        to the given partition values via manifest metadata — no
-        directory listing of untouched partitions ever happens)."""
-        m = self._read_manifest()
+        """A DataFrame pinned to the CURRENT snapshot — or, with
+        ``at_version``, TIME TRAVEL to any retained older snapshot
+        (immutable data files make every un-vacuumed version fully
+        readable forever). Optionally pruned to the given partition
+        values via manifest metadata — no directory listing of untouched
+        partitions ever happens."""
+        m = self._read_manifest(at_version)
         parts = m["partitions"]
         if partition_values is not None:
             keys = [_partition_dir(v) for v in partition_values]

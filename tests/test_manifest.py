@@ -95,3 +95,20 @@ def test_merge_creates_table_when_missing(spark, tmp_path):
     v = t.merge(_df(spark, [(1, "a", 0)]), key_cols=["k"], partition_col="b")
     assert v == 1
     assert _snap(t.read(spark)) == [(1, "a", 0)]
+
+
+def test_time_travel_reads_any_retained_version(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "v1", 0)]), "b")
+    t.merge(_df(spark, [(1, "v2", 0), (2, "x", 1)]), key_cols=["k"], partition_col="b")
+    assert _snap(t.read(spark, at_version=1)) == [(1, "v1", 0)]
+    assert _snap(t.read(spark, at_version=2)) == [(1, "v2", 0), (2, "x", 1)]
+    assert _snap(t.read(spark)) == _snap(t.read(spark, at_version=2))
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(spark, at_version=9)
+    # vacuumed versions are gone and say so
+    t.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed|does not exist"):
+        t.read(spark, at_version=1)
