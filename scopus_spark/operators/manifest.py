@@ -43,6 +43,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _PART_DIR = "__part"
+# Replay-detection memory: how many recent commit tokens each manifest
+# carries. Streaming retries only ever replay the LAST batch, so a small
+# window is already generous; bounded so manifests never grow with history.
+_TOKEN_WINDOW = 128
 
 
 def _partition_dir(val) -> str:
@@ -169,6 +173,7 @@ class VersionedTable:
         key_cols: list[str],
         partition_col: str,
         deletes: DataFrame | None = None,
+        commit_token: str | None = None,
     ) -> int:
         """MERGE delta into a new snapshot: replaced/deleted keys drop
         out, new keys insert, delete-wins on overlap (upsert.py
@@ -180,15 +185,35 @@ class VersionedTable:
         CONTRACT (same as upsert.py): partition_col must be a pure
         function of key_cols, or an updated key's old row survives in a
         partition the merge never reads.
+
+        ``commit_token`` makes the merge EXACTLY-ONCE under replay: the
+        manifest remembers the last _TOKEN_WINDOW applied tokens, and a
+        merge whose token was already applied is a no-op returning the
+        current version — the foreachBatch retry contract without
+        relying on content idempotence (streaming/sinks threads
+        '<stream>:<batch_id>' through here).
         """
         if not self.exists():
             if deletes is not None:
                 delta = delta.join(
                     deletes.select(*key_cols), key_cols, "left_anti"
                 )
-            return self.write_initial(delta, partition_col)
+            return self._commit(
+                {
+                    "version": 1,
+                    "parent": 0,
+                    "partition_col": partition_col,
+                    "schema": delta.schema.json(),
+                    "partitions": self._write_commit_data(
+                        delta, partition_col
+                    ),
+                    "tokens": [commit_token] if commit_token else [],
+                }
+            )
         spark = delta.sparkSession
         m = self._read_manifest()
+        if commit_token is not None and commit_token in m.get("tokens", []):
+            return m["version"]  # replayed batch: already applied
         drop_keys = delta.select(*key_cols)
         touched_src = delta.select(partition_col)
         if deletes is not None:
@@ -216,6 +241,9 @@ class VersionedTable:
                 parts.pop(key, None)
             else:
                 parts[key] = new_dirs
+        tokens = list(m.get("tokens", []))
+        if commit_token is not None:
+            tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
         return self._commit(
             {
                 "version": m["version"] + 1,
@@ -223,6 +251,59 @@ class VersionedTable:
                 "partition_col": partition_col,
                 "schema": m["schema"],
                 "partitions": parts,
+                "tokens": tokens,
+            }
+        )
+
+    # -- layout maintenance ----------------------------------------------------
+
+    def _n_files(self, rel_dirs: list[str]) -> int:
+        return sum(
+            1
+            for d in rel_dirs
+            for f in os.listdir(os.path.join(self.root, d))
+            if f.endswith(".parquet")
+        )
+
+    def compact(
+        self, spark: SparkSession, partition_values: list | None = None
+    ) -> int:
+        """Rewrite fragmented partitions (default: every partition whose
+        data directories hold >1 parquet file — the small-files debt a
+        wide-task merge write accumulates) into fresh single-file
+        directories and commit the result as a new snapshot.
+        Content-preserving by construction (same rows, new files); pinned
+        readers of older snapshots are untouched; reclaim the superseded
+        fragments with vacuum()."""
+        m = self._read_manifest()
+        parts = m["partitions"]
+        if partition_values is None:
+            targets = [
+                k for k, ds in parts.items() if self._n_files(ds) > 1
+            ]
+        else:
+            targets = [
+                _partition_dir(v)
+                for v in partition_values
+                if _partition_dir(v) in parts
+            ]
+        if not targets:
+            return m["version"]
+        pc = m["partition_col"]
+        df = self.read(spark, partition_values=targets).repartition(
+            F.col(pc)
+        )
+        new_parts = self._write_commit_data(df, pc)
+        merged = dict(parts)
+        merged.update(new_parts)
+        return self._commit(
+            {
+                "version": m["version"] + 1,
+                "parent": m["version"],
+                "partition_col": pc,
+                "schema": m["schema"],
+                "partitions": merged,
+                "tokens": list(m.get("tokens", [])),
             }
         )
 

@@ -214,3 +214,46 @@ def foreach_batch_jdbc_upsert(
         write_jdbc(delta, url, table, driver, mode="append")
 
     return sink
+
+
+def foreach_batch_versioned_upsert(
+    target_path: str,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    stream_name: str = "stream",
+) -> Callable[[DataFrame, int], None]:
+    """foreach_batch_upsert's semantics targeting a snapshot-isolated
+    VersionedTable (operators/manifest.py), with TRUE exactly-once batch
+    application: the merge carries '<stream_name>:<batch_id>' as its
+    commit token, so a foreachBatch retry of an already-committed batch
+    is a manifest-level no-op — exactly-once holds even for sinks whose
+    content idempotence an operator bug might break, and concurrent
+    readers of the table never observe a half-applied batch (atomic
+    pointer swap). Two streams sharing one target need distinct
+    stream_names (tokens namespace per stream)."""
+    from scopus_spark.operators.manifest import VersionedTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = latest_per_key(batch_df, key_cols, order_col)
+        vt = VersionedTable(target_path)
+        token = f"{stream_name}:{batch_id}"
+        if op_col is None:
+            vt.merge(
+                delta, key_cols, partition_col, commit_token=token
+            )
+            return
+        dedup_cols = list(dict.fromkeys([*key_cols, partition_col]))
+        deletes = delta.filter(F.col(op_col) == delete_op).select(*dedup_cols)
+        upserts = delta.filter(F.col(op_col) != delete_op).drop(op_col)
+        vt.merge(
+            upserts,
+            key_cols,
+            partition_col,
+            deletes=deletes,
+            commit_token=token,
+        )
+
+    return sink

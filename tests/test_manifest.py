@@ -112,3 +112,62 @@ def test_time_travel_reads_any_retained_version(spark, tmp_path):
     t.vacuum(keep_last=1)
     with pytest.raises(ValueError, match="vacuumed|does not exist"):
         t.read(spark, at_version=1)
+
+
+def test_commit_token_makes_merge_exactly_once(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    d = _df(spark, [(2, "b", 1)])
+    v1 = t.merge(d, key_cols=["k"], partition_col="b", commit_token="s:7")
+    # replay of the same batch: no-op, same version, no duplicate rows
+    v2 = t.merge(d, key_cols=["k"], partition_col="b", commit_token="s:7")
+    assert v1 == v2 == t.version()
+    assert _snap(t.read(spark)) == [(1, "a", 0), (2, "b", 1)]
+    # a NEW token applies normally
+    v3 = t.merge(
+        _df(spark, [(3, "c", 0)]), key_cols=["k"], partition_col="b",
+        commit_token="s:8",
+    )
+    assert v3 == v1 + 1
+
+
+def test_versioned_streaming_sink_replay_is_noop(spark, tmp_path):
+    from scopus_spark.streaming.sinks import foreach_batch_versioned_upsert
+
+    target = str(tmp_path / "t")
+    sink = foreach_batch_versioned_upsert(
+        target, key_cols=["k"], partition_col="b", order_col="seq",
+        stream_name="s1",
+    )
+    batch = spark.createDataFrame(
+        [(1, "x", 0, 1), (1, "y", 0, 2), (2, "z", 1, 1)],
+        "k long, v string, b long, seq long",
+    )
+    sink(batch, 0)
+    v_after = VersionedTable(target).version()
+    sink(batch, 0)  # foreachBatch retry
+    t = VersionedTable(target)
+    assert t.version() == v_after
+    got = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert got == [(1, "y"), (2, "z")]  # latest-per-key collapse held
+
+
+def test_compact_consolidates_fragmented_partitions(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    # a multi-task write fragments each partition dir into many files
+    wide = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(40)], "k long, v string, b long"
+    ).repartition(8)
+    t.write_initial(wide, "b")
+    before = t._read_manifest()["partitions"]
+    assert t._n_files(before["0"]) > 1
+    want = _snap(t.read(spark))
+    v = t.compact(spark)
+    after = t._read_manifest()["partitions"]
+    assert v == t.version() == 2
+    assert t._n_files(after["0"]) == 1 and t._n_files(after["1"]) == 1
+    assert _snap(t.read(spark)) == want  # content preserved exactly
+    assert t.vacuum(keep_last=1)  # fragments reclaimable
+    assert _snap(t.read(spark)) == want
+    # already-compact table: compact is a no-op commit-wise
+    assert t.compact(spark) == t.version()
