@@ -316,7 +316,11 @@ class VersionedTable:
         are unaffected. Returns the removed data dirs (relative)."""
         if not self.exists():
             return []
-        names = sorted(os.listdir(self._manifest_dir))
+        # ignore stale .tmp-* leftovers from a crashed commit attempt —
+        # only fsync'd, os.replace'd manifests count
+        names = sorted(
+            n for n in os.listdir(self._manifest_dir) if n.endswith(".json")
+        )
         with open(self._pointer) as fh:
             current = fh.read().strip()
         # retention is relative to the current pointer, not lexically

@@ -498,3 +498,58 @@ def ingest_new_files(
     fresh.drop("_path").write.parquet(target, mode="append")
     new_paths.write.parquet(manifest, mode="append")
     return n_new
+
+
+# --- a27: versioned-table maintenance cycle (merge -> compact -> vacuum) --------------
+@register(
+    "a27",
+    oracle="""
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 11 = 3 THEN text || ' patched'
+                    ELSE text END) AS content_hash
+    FROM documents
+    """,
+)
+def a27_versioned_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full lifecycle of a snapshot-isolated table through the hash
+    gate: (1) initial commit of the documents corpus into a
+    VersionedTable with a deliberately FRAGMENTED layout (wide-task
+    write — many small files per partition), (2) a keyed MERGE patching
+    the doc_id % 11 == 3 slice (snapshot v2), (3) compact() rewriting
+    fragmented partitions into single-file dirs (snapshot v3, content-
+    preserving by contract), (4) vacuum(keep_last=1) reclaiming every
+    data dir only superseded snapshots reference. The returned frame
+    reads the surviving snapshot; the oracle recomputes the patched
+    corpus directly — a green hash proves merge+compact+vacuum touched
+    LAYOUT only, never content. At 100 TB this is the nightly
+    maintenance job: compaction cost scales with fragment count, vacuum
+    is metadata + unlink, and readers pinned to v2 keep working until
+    their snapshot is vacuumed."""
+    import os
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 8).alias("bucket")
+    )
+    root = os.path.join(
+        STAGE_ROOT,
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "a27_versioned",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(docs.repartition(16), "bucket")  # fragmented on purpose
+    patch = docs.filter(F.col("doc_id") % 11 == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" patched")).alias("text"),
+        "bucket",
+    )
+    vt.merge(patch, key_cols=["doc_id"], partition_col="bucket")
+    vt.compact(spark)
+    vt.vacuum(keep_last=1)
+    return vt.read(spark).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )

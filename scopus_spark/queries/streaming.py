@@ -522,3 +522,105 @@ def i10_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.max("dur_us").alias("longest_session_us"),
     )
+
+
+# --- i14: exactly-once CDC streaming load into a snapshot-isolated table -------------
+@register(
+    "i14",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CASE WHEN value < 0.2 THEN 'D' ELSE 'U' END AS op
+      FROM events
+    )
+    SELECT user_id, event_type, value
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+)
+def i14_versioned_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal CDC stage executed FOR REAL: the events table streams
+    through a Structured Streaming query (file source, availableNow) in
+    three time-ordered micro-batches whose foreachBatch sink MERGEs each
+    batch into a snapshot-isolated VersionedTable with an exactly-once
+    commit token (streaming/sinks.foreach_batch_versioned_upsert) — keys
+    are (user_id, event_type), the latest row per key wins ((ts,
+    event_id) order), and a latest row with value < 0.2 is a CDC DELETE
+    tombstone. The returned DataFrame is the final table read back
+    through its manifest; the oracle recomputes the same final state
+    relationally, so a green hash proves three streamed incremental
+    commits ≡ one batch latest-per-key resolution, exactly.
+
+    Exactly-once is structural, not assumed: each batch commits under
+    token 'i14:<batch_id>', so a foreachBatch retry is a manifest-level
+    no-op (pinned by tests/test_manifest.py's replay tests); readers
+    racing a commit see the previous snapshot or the new one, never a
+    half-applied batch. At 100 TB each merge touches only the user-id
+    buckets its batch carries (partition_col = user_id % 16, a pure
+    function of the key); batch cost is O(batch), never the table."""
+    import os
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.streaming.harness import StreamRig
+    from scopus_spark.streaming.sinks import foreach_batch_versioned_upsert
+
+    ev = table(spark, sf_dir, "events")
+    # three scripted micro-batches split on event-time terciles: CDC
+    # batches arrive in commit order, so a key's last-merged row is its
+    # globally-latest row. The cut points only need to be deterministic,
+    # not exact (any time-ordered split proves the same contract).
+    cuts = (
+        ev.select(F.unix_micros(F.col("ts").cast("timestamp")).alias("t"))
+        .agg(
+            F.percentile("t", F.lit(1.0 / 3)).alias("c1"),
+            F.percentile("t", F.lit(2.0 / 3)).alias("c2"),
+        )
+        .collect()[0]
+    )
+    b1, b2 = int(cuts.c1), int(cuts.c2)
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    target = os.path.join(
+        "/tmp/scopus_spark_stage",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "i14_cdc",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    sink = foreach_batch_versioned_upsert(
+        target,
+        key_cols=["user_id", "event_type"],
+        partition_col="bucket",
+        order_col="ord",
+        op_col="op",
+        stream_name="i14",
+    )
+    rig = StreamRig(spark)
+    try:
+        for lo, hi in ((None, b1), (b1, b2), (b2, None)):
+            f = ev
+            if lo is not None:
+                f = f.filter(t_us > lo)
+            if hi is not None:
+                f = f.filter(t_us <= hi)
+            rig.drop_file(f)
+            rig.run(
+                lambda s: s.select(
+                    "user_id",
+                    "event_type",
+                    "value",
+                    F.struct("ts", "event_id").alias("ord"),
+                    F.when(F.col("value") < 0.2, F.lit("D"))
+                    .otherwise(F.lit("U"))
+                    .alias("op"),
+                    F.pmod("user_id", F.lit(16)).alias("bucket"),
+                ),
+                output_mode="append",
+                sink=sink,
+            )
+    finally:
+        rig.cleanup()
+    return VersionedTable(target).read(spark).select(
+        "user_id", "event_type", "value"
+    )

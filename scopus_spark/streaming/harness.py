@@ -62,21 +62,26 @@ class StreamRig:
         self,
         build: Callable[[DataFrame], DataFrame],
         output_mode: str = "update",
+        sink: Callable[[DataFrame, int], None] | None = None,
     ) -> list:
         """One availableNow pass over files not yet seen by the checkpoint;
-        returns all rows emitted this pass."""
+        returns all rows emitted this pass. With a custom ``sink``
+        (e.g. streaming/sinks.foreach_batch_versioned_upsert) the rows go
+        to the sink instead and the return is empty — batch ids keep
+        incrementing across runs through the shared checkpoint, which is
+        what gives commit tokens their replay identity."""
         stream = self.spark.readStream.schema(self.schema).parquet(self.input_dir)
         out = build(stream)
         collected: list = []
 
-        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        def collect_sink(batch_df: DataFrame, _batch_id: int) -> None:
             collected.extend(batch_df.collect())
 
         q = (
             out.writeStream.outputMode(output_mode)
             .trigger(availableNow=True)
             .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(sink)
+            .foreachBatch(sink if sink is not None else collect_sink)
             .queryName(f"rig_{uuid.uuid4().hex[:8]}")
             .start()
         )
