@@ -1790,10 +1790,21 @@ def j39_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one shuffle is the dedup on (doc_id, pos, fp). Both engines
     compare md5 hex strings lexicographically, so min and tie-break
     agree exactly.
+
+    The work here is EXPRESSION-bound, not byte-bound: each row costs
+    O(chars * w) array evaluation, so partitioning by input bytes (the
+    parquet default — ONE task for this corpus's single small file)
+    serializes the whole scan onto one core. repartition(32) sizes
+    tasks to the compute instead; at 100 TB the corpus arrives in many
+    partitions naturally and the exchange coalesces away under AQE.
     """
     from scopus_spark.operators.text import winnow_fingerprints
 
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 8)
+        .repartition(32)
+    )
     return (
         d.select("doc_id", F.explode(winnow_fingerprints("text")).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
