@@ -112,6 +112,56 @@ def connected_components(
         und.unpersist()
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """(node, community) via SYNCHRONOUS label propagation (Raghavan et
+    al. 2007) with a deterministic tie-break: every node starts labeled
+    with itself; each round every node simultaneously adopts the most
+    frequent label among its neighbors, ties broken by smallest label.
+    Synchronous updates + total tie order make the result a pure function
+    of the edge set — independent of partitioning, engine, or visit order
+    (the async/random variants converge faster but are irreproducible,
+    which disqualifies them for a hash-gated dedup pipeline).
+
+    Scale shape per round: one equi-join of the symmetrized edge list
+    against the (node, label) table on the neighbor key, one hash
+    aggregate to (node, label) counts, one node-partitioned window for
+    the argmax — all shuffles keyed on node ids, no driver
+    materialization; labels are localCheckpoint-pinned each round so the
+    plan stays O(1) deep instead of O(rounds). Fixed `rounds` (not
+    convergence-tested) keeps the job count static — LPA oscillates on
+    bipartite structures, so production runs cap rounds anyway."""
+    from pyspark.sql.window import Window
+
+    und = undirected(edges, src, dst).persist()
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick_w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label")
+    )
+    try:
+        for _ in range(rounds):
+            cand = (
+                und.join(labels, und.dst == labels.node)
+                .groupBy(F.col("src").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = (
+                cand.withColumn("rn", F.row_number().over(pick_w))
+                .filter(F.col("rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=False)
+            )
+        return labels.select("node", F.col("label").alias("community"))
+    finally:
+        und.unpersist()
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count as a one-row DataFrame (n_triangles).
 

@@ -855,3 +855,89 @@ def h22_blocked_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key, symmetry-free orientation (name_a < name_b), and
     edit_dist ∈ [1, 2]."""
     return blocked_fuzzy_pairs(table(spark, sf_dir, "part"))
+
+
+# --- h23: HTML text extraction (web-corpus boilerplate strip) ------------------------
+@register(
+    "h23",
+    oracle=r"""
+    SELECT doc_id,
+           source || ' #' || CAST(doc_id AS VARCHAR) AS title,
+           'example.org' AS domain,
+           '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           trim(regexp_replace(text || ' <tag> & "q" more', '\s+', ' ', 'g'))
+             AS body
+    FROM documents
+    """,
+)
+def h23_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction — the first transform over any crawled web
+    corpus: strip boilerplate (head), drop tags, decode entities,
+    normalize whitespace, and keep the link targets. Each document is
+    rendered to an HTML page IN-PLAN (title in <head>, entity-escaped
+    body in <p>, one <a href>) and then extracted back with pure JVM
+    string/regex expressions; the oracle computes the expected fields
+    directly from `documents`, so the hash gate proves extraction exactly
+    inverts rendering — including the entity round-trip, which the
+    appended ` <tag> & "q"` marker forces through &lt;/&amp;/&quot;
+    escaping on every row (the corpus text itself is entity-free).
+
+    Scale: map-side only — no shuffle, whole-stage codegen; at 100 TB
+    this is the canonical embarrassingly-parallel scan-transform-write
+    pass (WARC -> clean text), and staying in Catalyst expressions (not a
+    Python UDF) keeps it JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    raw_body = F.concat(F.col("text"), F.lit(' <tag> & "q"'))
+    esc = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(raw_body, F.lit("&"), F.lit("&amp;")),
+                F.lit("<"),
+                F.lit("&lt;"),
+            ),
+            F.lit(">"),
+            F.lit("&gt;"),
+        ),
+        F.lit('"'),
+        F.lit("&quot;"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit(" #"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head>\n<body><p>"),
+        esc,
+        F.lit('</p>\n<a href="https://example.org/'),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">more</a></body></html>'),
+    )
+    title = F.regexp_extract(html, r"<title>([^<]*)</title>", 1)
+    href = F.regexp_extract(html, r'href="([^"]*)"', 1)
+    domain = F.regexp_extract(href, r"https://([^/]+)/", 1)
+    path = F.regexp_extract(href, r"https://[^/]+(/.*)", 1)
+    no_head = F.regexp_replace(html, r"<head>.*</head>", " ")
+    no_tags = F.regexp_replace(no_head, r"<[^>]+>", " ")
+    unesc = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(no_tags, F.lit("&quot;"), F.lit('"')),
+                F.lit("&lt;"),
+                F.lit("<"),
+            ),
+            F.lit("&gt;"),
+            F.lit(">"),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    body = F.trim(F.regexp_replace(unesc, r"\s+", " "))
+    return d.select(
+        "doc_id",
+        title.alias("title"),
+        domain.alias("domain"),
+        path.alias("path"),
+        body.alias("body"),
+    )

@@ -976,3 +976,64 @@ def n14_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sup_a") + F.col("sup_b") - F.col("cocites"))
         ).alias("jaccard"),
     )
+
+
+# --- n15: label-propagation communities ---------------------------------------------
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous-LPA SQL: round t's labels derive from round
+    t-1's via (count DESC, label ASC) argmax — the exact tie order the
+    Spark operator uses, so the two declarations cannot diverge."""
+    ctes = [
+        """adj AS MATERIALIZED (
+          SELECT doc_a AS v, doc_b AS u FROM pairs WHERE doc_a != doc_b
+          UNION
+          SELECT doc_b, doc_a FROM pairs WHERE doc_a != doc_b
+        )""",
+        "lab0 AS (SELECT DISTINCT v, v AS label FROM adj)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""cand{t} AS (
+              SELECT a.v AS v, l.label AS label, count(*) AS c
+              FROM adj a JOIN lab{t - 1} l ON a.u = l.v
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""lab{t} AS (
+              SELECT v, label FROM (
+                SELECT v, label,
+                       row_number() OVER (PARTITION BY v
+                                          ORDER BY c DESC, label) AS rn
+                FROM cand{t}
+              ) WHERE rn = 1
+            )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_PAIRS_CTE},
+    {body}
+    SELECT d.doc_id, coalesce(l.label, d.doc_id) AS community
+    FROM documents d LEFT JOIN lab{rounds} l ON d.doc_id = l.v
+    """
+
+
+@register("n15", oracle=_lpa_oracle(4))
+def n15_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the dup graph via synchronous label
+    propagation (operators/graph.label_propagation, Raghavan et al.
+    2007) — the sub-component structure n2's connected components cannot
+    see: CC merges everything reachable, LPA splits a chained component
+    into its dense cores, which is what a dedup reviewer actually wants
+    when LSH chains A~B~C across genuinely different documents. 4
+    synchronous rounds, min-label tie-break — deterministic, so the
+    DuckDB oracle replays the identical rounds unrolled as CTEs and the
+    gate is a full HASH match. Isolated documents community with
+    themselves (left join, n2's convention)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    edges = _dup_edges(spark, sf_dir).filter(F.col("doc_a") != F.col("doc_b"))
+    comm = graph.label_propagation(edges, "doc_a", "doc_b", rounds=4)
+    return docs.join(comm, docs.doc_id == comm.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("community"), F.col("doc_id")).alias("community"),
+    )

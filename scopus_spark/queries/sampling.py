@@ -382,3 +382,62 @@ def m8_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t_min"),
         F.max("ts").alias("t_max"),
     )
+
+
+# --- m9: weighted sampling without replacement (Efraimidis-Spirakis) -----------------
+# Deterministic uniform in (0, 1]: top-60-bit md5 integer h ∈ [0, 2^60),
+# u = (h + 1) / 2^60. The int64→double rounding of (h + 1) is the same
+# IEEE round-to-nearest on both engines and the 2^60 divisor is a power of
+# two (exact scaling), so u is bit-identical across engines.
+_M9_K = 50
+_M9_U_SQL = (
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)"
+    " / 1152921504606846976.0)"
+)
+
+
+@register(
+    "m9",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln({_M9_U_SQL}) / CAST(n_chars + 1 AS DOUBLE) AS pri
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY pri, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= {_M9_K}
+    """,
+)
+def m9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis-Spirakis 2006,
+    the exponential-clocks form): each doc draws a deterministic uniform
+    u from the md5 of its stable key and gets priority -ln(u)/w with
+    w = n_chars + 1; the k smallest priorities are the sample. This is
+    distributionally exactly weighted sampling without replacement, yet —
+    because u is content-hash-derived, not RNG state — the chosen SET is
+    reproducible across engines, runs, and any partition layout (the m1
+    argument applied to weighted draws: data-mixture sampling at 100 TB
+    must be replayable).
+
+    Scale: priority is a map-side expression; selection is a global
+    top-k = TakeOrderedAndProject (no global sort materialization, the
+    f2 shape). ln() is evaluated on bit-identical doubles on both
+    engines; keys are only ordered by (never emitted), so a last-ulp
+    libm divergence could matter only if two docs' priorities collide
+    within ~1e-16 relative — measure-zero for hash-spread inputs, and
+    the oracle gate would catch it."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(1152921504606846976.0)
+    pri = -F.log(u) / (F.col("n_chars") + F.lit(1)).cast("double")
+    return (
+        d.select("doc_id", "lang", "n_chars", pri.alias("pri"))
+        .orderBy("pri", "doc_id")
+        .limit(_M9_K)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -886,3 +886,88 @@ def o12_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         (F.abs(cusum) > 3.0 * sigma).alias("drift_flag"),
     )
+
+
+# --- o13: Holt linear (double exponential) smoothing ---------------------------------
+@register(
+    "o13",
+    oracle=f"""
+    WITH {_EV_CTE},
+    s AS (
+      SELECT user_id,
+             list(value ORDER BY ts) AS vals,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM ev GROUP BY user_id
+    ),
+    seeded AS (
+      SELECT user_id, n_obs,
+             [[vals[2], vals[2] - vals[1]]]
+               || list_transform(vals[3:], x -> [x, 0.0]) AS steps
+      FROM s WHERE n_obs >= 2
+    ),
+    folded AS (
+      SELECT user_id, n_obs,
+             list_reduce(steps, (acc, x) -> [
+               0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+               0.1 * ((0.3 * x[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+                 + 0.9 * acc[2]
+             ]) AS hw
+      FROM seeded
+    )
+    SELECT user_id, n_obs, hw[1] AS level, hw[2] AS trend,
+           hw[1] + 3.0 * hw[2] AS forecast_3
+    FROM folded
+    """,
+)
+def o13_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt LINEAR (double exponential) smoothing per user — the trend-
+    aware tier above o8's EMA (Holt 1957): level l and trend b evolve as
+    l' = a*x + (1-a)*(l+b), b' = g*(l'-l) + (1-g)*b with a=0.3, g=0.1,
+    seeded the standard way (l=x2, b=x2-x1) and folded over the remaining
+    observations. Like o8 the fold is a JVM higher-order `aggregate` over
+    the time-ordered per-user series with an array<double> [level, trend]
+    accumulator; DuckDB's list_reduce folds the identical [level, trend]
+    list with the identical expression tree, so both engines execute the
+    same IEEE-754 op sequence and the unrounded doubles hash-match (the
+    o8/C3 fold discipline — l' appears twice in the trend update on both
+    sides, same subexpression, same rounding). Emits the final state plus
+    a 3-step-ahead linear forecast.
+
+    Scale shape: one shuffle (groupBy user_id, map-side partials); the
+    fold is map-side array work over one entity's bounded series, and the
+    o8 chunk-composition argument applies verbatim (Holt updates are
+    affine maps of (l, b) — chunks reduce to 2x2 affine compositions)."""
+    ev = _events_dedup(spark, sf_dir)
+    collected = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "value"))),
+            lambda s: s["value"],
+        ).alias("vals"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    collected = collected.filter(F.col("n_obs") >= 2)
+    x1 = F.element_at("vals", 1)
+    x2 = F.element_at("vals", 2)
+    seed = F.array(x2, x2 - x1)
+    tail = F.slice(F.col("vals"), 3, F.greatest(F.size("vals") - 2, F.lit(0)))
+
+    def _step(acc, x):
+        lp = F.lit(0.3) * x + F.lit(0.7) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        return F.array(
+            lp,
+            F.lit(0.1) * (lp - F.element_at(acc, 1))
+            + F.lit(0.9) * F.element_at(acc, 2),
+        )
+
+    hw = F.aggregate(tail, seed, _step)
+    return collected.select(
+        "user_id",
+        "n_obs",
+        F.element_at(hw, 1).alias("level"),
+        F.element_at(hw, 2).alias("trend"),
+        (F.element_at(hw, 1) + F.lit(3.0) * F.element_at(hw, 2)).alias(
+            "forecast_3"
+        ),
+    )

@@ -223,3 +223,38 @@ def test_bfs_cap_allows_exact_eccentricity(spark):
             [(0, 1), (1, 2), (2, 3)], "src long, dst long"
         )
         graph.bfs_hops(e3, 0, max_iterations=2)
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two triangles joined by one bridge edge: CC sees one component,
+    LPA keeps two communities (each labeled by its min node)."""
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+    )
+    comm = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(e, rounds=4).collect()
+    }
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[4] == comm[5] == comm[6]
+    assert comm[1] != comm[4]
+
+
+def test_lpa_deterministic_tiebreak_and_partitioning(spark):
+    """On a 4-cycle every node has two equally-frequent neighbor labels —
+    the min-label tie-break must make the result deterministic and
+    partitioning-invariant."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    a = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(_edges(spark, pairs), rounds=4).collect()
+    }
+    b = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(
+            _edges(spark, pairs).repartition(7), rounds=4
+        ).collect()
+    }
+    assert a == b
+    assert set(a) == {1, 2, 3, 4}

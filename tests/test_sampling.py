@@ -104,3 +104,38 @@ def test_m7_split_is_pure_predicate(spark, sf_dir):
 
     plan = m7_temporal_embargo_split(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # partial->final agg pair at most
+
+
+def test_m9_weighted_sample_properties(spark, sf_dir):
+    """E-S weighted sample: exactly k rows, subset of corpus, and longer
+    docs are overrepresented vs their corpus share (the point of the
+    weights)."""
+    d = table(spark, sf_dir, "documents")
+    sel = Q["m9"](spark, sf_dir).collect()
+    assert len(sel) == sampling._M9_K
+    ids = {r["doc_id"] for r in sel}
+    assert len(ids) == sampling._M9_K  # without replacement
+    corpus_mean = d.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["n_chars"] for r in sel) / len(sel)
+    # weight = n_chars + 1 -> length-biased sample mean must exceed the
+    # corpus mean (size-biased expectation E[X^2]/E[X] > E[X])
+    assert sample_mean > corpus_mean
+
+
+def test_m9_stable_under_repartitioning(spark, sf_dir):
+    out1 = {r["doc_id"] for r in Q["m9"](spark, sf_dir).collect()}
+    d = table(spark, sf_dir, "documents").repartition(17)
+    import scopus_spark.queries.sampling as m
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(1152921504606846976.0)
+    pri = -F.log(u) / (F.col("n_chars") + F.lit(1)).cast("double")
+    out2 = {
+        r["doc_id"]
+        for r in d.select("doc_id", pri.alias("pri"))
+        .orderBy("pri", "doc_id")
+        .limit(m._M9_K)
+        .collect()
+    }
+    assert out1 == out2

@@ -9,6 +9,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from scopus_spark.queries import timeseries
+from scopus_spark.registry import all_queries
 
 
 def _ev(spark, rows):
@@ -166,3 +167,36 @@ def test_forward_fill_null_valued_event_wins_asof(spark):
     row = ts.forward_fill(ev, grid).collect()[0]
     assert row.last_value is None
     assert str(row.last_event_ts) == "2024-01-01 05:00:00"
+
+
+def test_o13_holt_matches_numpy_recursion(spark, sf_dir):
+    """Holt linear smoothing folded in-plan equals the literal recursion
+    computed in Python for every user (same seeds, same alpha/beta)."""
+    from scopus_spark.queries.timeseries import _events_dedup
+
+    rows = (
+        _events_dedup(spark, sf_dir)
+        .orderBy("user_id", "ts")
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "value")).alias("s"))
+        .collect()
+    )
+    expected = {}
+    for r in rows:
+        vals = [x["value"] for x in sorted(r["s"], key=lambda x: x["ts"])]
+        if len(vals) < 2:
+            continue
+        lvl, trd = vals[1], vals[1] - vals[0]
+        for x in vals[2:]:
+            lp = 0.3 * x + 0.7 * (lvl + trd)
+            trd = 0.1 * (lp - lvl) + 0.9 * trd
+            lvl = lp
+        expected[r["user_id"]] = (lvl, trd)
+    got = {
+        r["user_id"]: (r["level"], r["trend"])
+        for r in all_queries()["o13"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for uid, (lvl, trd) in expected.items():
+        assert abs(got[uid][0] - lvl) < 1e-9, uid
+        assert abs(got[uid][1] - trd) < 1e-9, uid
