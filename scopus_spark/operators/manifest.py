@@ -53,6 +53,54 @@ def _partition_dir(val) -> str:
     return str(val)
 
 
+def _evolve_schema(old: StructType, new: StructType) -> StructType:
+    """Additive schema evolution: the union of old fields (in place)
+    plus fields only `new` has (appended, forced nullable — files
+    written before the evolution have no values for them). Type changes
+    are refused: a silent widen would make old footers unreadable under
+    the manifest schema."""
+    by_name = {f.name: f for f in old.fields}
+    out = list(old.fields)
+    for f in new.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            out.append(
+                type(f)(f.name, f.dataType, True)
+            )
+        elif prev.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column {f.name!r}: "
+                f"{prev.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()}"
+            )
+    return StructType(out)
+
+
+def _filter_dirs(
+    m: dict, partition_values: list | None, prune: tuple | None
+) -> list[str]:
+    """Apply partition-value and stats-range filters to one manifest's
+    directory list (pure metadata — no filesystem access)."""
+    parts = m["partitions"]
+    if partition_values is not None:
+        keys = [_partition_dir(v) for v in partition_values]
+        dirs = [d for k in keys for d in parts.get(k, [])]
+    else:
+        dirs = [d for ds in parts.values() for d in ds]
+    if prune is not None:
+        col, lo, hi = prune
+        stats = m.get("stats", {})
+        kept = []
+        for d in dirs:
+            rng = stats.get(d, {}).get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                kept.append(d)  # no stats -> cannot skip safely
+            elif not (rng[1] < lo or rng[0] > hi):
+                kept.append(d)
+        dirs = kept
+    return dirs
+
+
 class VersionedTable:
     """Handle to one snapshot-isolated table rooted at ``root``."""
 
@@ -106,10 +154,24 @@ class VersionedTable:
     # -- data ----------------------------------------------------------------
 
     def _write_commit_data(
-        self, df: DataFrame, partition_col: str
-    ) -> dict[str, list[str]]:
+        self,
+        df: DataFrame,
+        partition_col: str,
+        stats_cols: list[str] | None = None,
+    ) -> tuple[dict[str, list[str]], dict[str, dict[str, list]]]:
         """Write df as immutable files under data/<commit>/ and return
-        {partition value (as dir string): [relative data dirs]}."""
+        ({partition value (as dir string): [relative data dirs]},
+        {relative data dir: {stat col: [min, max]}}).
+
+        With ``stats_cols``, one bounded aggregate (one row per touched
+        partition value) records per-directory min/max for those columns
+        in the manifest — the Iceberg file-stats idea at directory
+        granularity, feeding read(prune=...) data skipping. At 100 TB
+        the same numbers come for free from the parquet footers the
+        write just produced; recomputing them as an agg keeps this
+        filesystem-agnostic. Stats columns must be numeric or string
+        (JSON-total-ordered the same way both sides of the prune
+        compare)."""
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.root, "data", commit_id)
         (
@@ -124,11 +186,32 @@ class VersionedTable:
                 out[name[len(prefix):]] = [
                     os.path.join("data", commit_id, name)
                 ]
-        return out
+        stats: dict[str, dict[str, list]] = {}
+        if stats_cols:
+            aggs = []
+            for c in stats_cols:
+                aggs.append(F.min(c).alias(f"_lo_{c}"))
+                aggs.append(F.max(c).alias(f"_hi_{c}"))
+            for r in df.groupBy(partition_col).agg(*aggs).collect():
+                key = _partition_dir(r[partition_col])
+                for d in out.get(key, []):
+                    stats[d] = {
+                        c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in stats_cols
+                    }
+        return out, stats
 
-    def write_initial(self, df: DataFrame, partition_col: str) -> int:
-        """Create the table (snapshot v1) from df."""
-        parts = self._write_commit_data(df, partition_col)
+    def write_initial(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Create the table (snapshot v1) from df. ``stats_cols`` is a
+        TABLE property: every later commit (append/merge/compact)
+        maintains per-directory min/max for these columns."""
+        parts, stats = self._write_commit_data(
+            df, partition_col, stats_cols
+        )
         return self._commit(
             {
                 "version": 1,
@@ -136,7 +219,25 @@ class VersionedTable:
                 "partition_col": partition_col,
                 "schema": df.schema.json(),
                 "partitions": parts,
+                "stats_cols": list(stats_cols or []),
+                "stats": stats,
             }
+        )
+
+    def data_dirs(
+        self,
+        partition_values: list | None = None,
+        prune: tuple | None = None,
+        at_version: int | None = None,
+    ) -> list[str]:
+        """The relative data directories a read with these filters would
+        scan. ``prune=(col, lo, hi)`` drops every directory whose
+        recorded [min, max] for a stats column cannot intersect
+        [lo, hi]; directories without stats for the column are KEPT
+        (skipping must never lose rows — the Iceberg rule). Exposed so
+        tests and planners can observe skipping without reading data."""
+        return _filter_dirs(
+            self._read_manifest(at_version), partition_values, prune
         )
 
     def read(
@@ -144,26 +245,76 @@ class VersionedTable:
         spark: SparkSession,
         partition_values: list | None = None,
         at_version: int | None = None,
+        prune: tuple | None = None,
     ) -> DataFrame:
         """A DataFrame pinned to the CURRENT snapshot — or, with
         ``at_version``, TIME TRAVEL to any retained older snapshot
         (immutable data files make every un-vacuumed version fully
         readable forever). Optionally pruned to the given partition
         values via manifest metadata — no directory listing of untouched
-        partitions ever happens."""
+        partitions ever happens — and/or to ``prune=(col, lo, hi)``
+        range-skipped directories via manifest min/max stats. Pruning is
+        a superset guarantee: callers still apply their row filter; the
+        manifest only bounds which directories must be scanned.
+
+        The manifest schema is passed EXPLICITLY to the reader: files
+        committed before a schema evolution lack the added columns and
+        surface them as NULL (the parquet missing-column contract), and
+        no footer schema inference runs at all."""
+        # resolve the manifest ONCE: dirs and schema must come from the
+        # same snapshot even if a commit lands between the two uses
         m = self._read_manifest(at_version)
-        parts = m["partitions"]
-        if partition_values is not None:
-            keys = [_partition_dir(v) for v in partition_values]
-            dirs = [d for k in keys for d in parts.get(k, [])]
-        else:
-            dirs = [d for ds in parts.values() for d in ds]
+        dirs = _filter_dirs(m, partition_values, prune)
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not dirs:
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(
+        return spark.read.schema(schema).parquet(
             *[os.path.join(self.root, d) for d in dirs]
         ).select(*[f.name for f in schema.fields])
+
+    # -- APPEND ----------------------------------------------------------------
+
+    def append(self, df: DataFrame, commit_token: str | None = None) -> int:
+        """APPEND-ONLY commit: write df as new immutable directories and
+        CONCATENATE them onto the partition lists — no existing
+        directory is read or rewritten, so the commit cost is exactly
+        the batch's bytes. This is the fact-table ingestion shape
+        (immutable event logs) merge() cannot give you: merge rewrites
+        every touched partition, append touches nothing. Because each
+        append's directories hold only that batch's rows, per-directory
+        min/max stats stay RANGE-DISJOINT for naturally clustered
+        columns (event time, monotone ids) — which is what makes
+        read(prune=...) skip whole batches. Same exactly-once
+        ``commit_token`` contract as merge()."""
+        if not self.exists():
+            raise ValueError("append() needs an existing table; "
+                             "use write_initial() first")
+        m = self._read_manifest()
+        if commit_token is not None and commit_token in m.get("tokens", []):
+            return m["version"]
+        new_parts, new_stats = self._write_commit_data(
+            df, m["partition_col"], m.get("stats_cols") or None
+        )
+        parts = {k: list(v) for k, v in m["partitions"].items()}
+        for key, dirs in new_parts.items():
+            parts.setdefault(key, []).extend(dirs)
+        stats = dict(m.get("stats", {}))
+        stats.update(new_stats)
+        tokens = list(m.get("tokens", []))
+        if commit_token is not None:
+            tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
+        return self._commit(
+            {
+                "version": m["version"] + 1,
+                "parent": m["version"],
+                "partition_col": m["partition_col"],
+                "schema": m["schema"],
+                "partitions": parts,
+                "stats_cols": list(m.get("stats_cols", [])),
+                "stats": stats,
+                "tokens": tokens,
+            }
+        )
 
     # -- MERGE ---------------------------------------------------------------
 
@@ -174,6 +325,7 @@ class VersionedTable:
         partition_col: str,
         deletes: DataFrame | None = None,
         commit_token: str | None = None,
+        allow_schema_evolution: bool = False,
     ) -> int:
         """MERGE delta into a new snapshot: replaced/deleted keys drop
         out, new keys insert, delete-wins on overlap (upsert.py
@@ -198,15 +350,16 @@ class VersionedTable:
                 delta = delta.join(
                     deletes.select(*key_cols), key_cols, "left_anti"
                 )
+            parts0, stats0 = self._write_commit_data(delta, partition_col)
             return self._commit(
                 {
                     "version": 1,
                     "parent": 0,
                     "partition_col": partition_col,
                     "schema": delta.schema.json(),
-                    "partitions": self._write_commit_data(
-                        delta, partition_col
-                    ),
+                    "partitions": parts0,
+                    "stats_cols": [],
+                    "stats": stats0,
                     "tokens": [commit_token] if commit_token else [],
                 }
             )
@@ -227,10 +380,22 @@ class VersionedTable:
         touched = [r[0] for r in touched_src.distinct().collect()]
         if not touched:
             return m["version"]
+        schema_json = m["schema"]
+        if allow_schema_evolution:
+            schema_json = _evolve_schema(
+                StructType.fromJson(json.loads(m["schema"])), delta.schema
+            ).json()
         existing = self.read(spark, partition_values=touched)
         survivors = existing.join(drop_keys, key_cols, "left_anti")
-        merged = survivors.unionByName(delta)
-        new_parts = self._write_commit_data(merged, partition_col)
+        if allow_schema_evolution:
+            # added columns surface as NULL on pre-evolution rows; the
+            # write below persists the union schema
+            merged = survivors.unionByName(delta, allowMissingColumns=True)
+        else:
+            merged = survivors.unionByName(delta)
+        new_parts, new_stats = self._write_commit_data(
+            merged, partition_col, m.get("stats_cols") or None
+        )
 
         parts = dict(m["partitions"])
         for val in touched:
@@ -241,6 +406,11 @@ class VersionedTable:
                 parts.pop(key, None)
             else:
                 parts[key] = new_dirs
+        live = {d for ds in parts.values() for d in ds}
+        stats = {
+            d: s for d, s in m.get("stats", {}).items() if d in live
+        }
+        stats.update(new_stats)
         tokens = list(m.get("tokens", []))
         if commit_token is not None:
             tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
@@ -249,8 +419,10 @@ class VersionedTable:
                 "version": m["version"] + 1,
                 "parent": m["version"],
                 "partition_col": partition_col,
-                "schema": m["schema"],
+                "schema": schema_json,
                 "partitions": parts,
+                "stats_cols": list(m.get("stats_cols", [])),
+                "stats": stats,
                 "tokens": tokens,
             }
         )
@@ -293,9 +465,16 @@ class VersionedTable:
         df = self.read(spark, partition_values=targets).repartition(
             F.col(pc)
         )
-        new_parts = self._write_commit_data(df, pc)
+        new_parts, new_stats = self._write_commit_data(
+            df, pc, m.get("stats_cols") or None
+        )
         merged = dict(parts)
         merged.update(new_parts)
+        live = {d for ds in merged.values() for d in ds}
+        stats = {
+            d: s for d, s in m.get("stats", {}).items() if d in live
+        }
+        stats.update(new_stats)
         return self._commit(
             {
                 "version": m["version"] + 1,
@@ -303,6 +482,8 @@ class VersionedTable:
                 "partition_col": pc,
                 "schema": m["schema"],
                 "partitions": merged,
+                "stats_cols": list(m.get("stats_cols", [])),
+                "stats": stats,
                 "tokens": list(m.get("tokens", [])),
             }
         )

@@ -553,3 +553,119 @@ def a27_versioned_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(spark).select(
         "doc_id", F.md5("text").alias("content_hash")
     )
+
+
+# --- a28: schema evolution through the versioned-table manifest ----------------------
+@register(
+    "a28",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END
+             AS o_orderpriority
+    FROM orders
+    """,
+)
+def a28_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION on a snapshot-isolated table — the
+    migration a18 performed on raw parquet directories, now done
+    properly through the manifest layer: v1 commits two thirds of the
+    orders slice WITHOUT o_orderpriority; a later merge lands the
+    remaining third WITH the new column under
+    allow_schema_evolution=True. The manifest's schema becomes the
+    union; readers pass it explicitly to the scan, so v1's files (which
+    physically lack the column) surface NULL priority while the
+    evolved batch carries values — no rewrite of a single old byte
+    (the Iceberg add-column contract: evolution is a metadata commit,
+    cost O(1) at any table size). The oracle recomputes the expected
+    end state straight from `orders`; tests/test_manifest.py
+    additionally pins that type CHANGES are refused and that pinned
+    pre-evolution readers keep the old schema."""
+    import os
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import STAGE_ROOT
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        (F.col("o_orderkey") % 4).alias("bucket"),
+    )
+    root = os.path.join(
+        STAGE_ROOT,
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "a28_evolution",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(
+        o.filter(F.col("o_orderkey") % 3 != 0).drop("o_orderpriority"),
+        "bucket",
+    )
+    vt.merge(
+        o.filter(F.col("o_orderkey") % 3 == 0),
+        key_cols=["o_orderkey"],
+        partition_col="bucket",
+        allow_schema_evolution=True,
+    )
+    return vt.read(spark).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+# --- a29: manifest min/max stats -> directory-level data skipping --------------------
+@register(
+    "a29",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 6000 AND 8999
+    """,
+)
+def a29_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTORY-LEVEL DATA SKIPPING from manifest min/max stats — the
+    second half of the Iceberg metadata story (a23 gave z-order +
+    parquet row-group skipping; this gives manifest-level pruning that
+    never even LISTS the skipped files): lineitem lands in three
+    append-only batches split on l_orderkey ranges, each commit
+    recording per-directory [min, max] for the stats column at write
+    time. A range read resolves the snapshot, drops every directory
+    whose recorded range cannot intersect the predicate, and scans only
+    the rest — tests/test_manifest.py pins that the middle-range read
+    touches strictly fewer directories than the full scan, and that
+    directories without stats are never skipped (skipping must be a
+    superset guarantee). The residual row filter still applies, so the
+    result is exact no matter how coarse the stats are; the oracle is
+    the plain filtered scan. At 100 TB: a time-range query over an
+    append-only event lake reads one day's directories, not one
+    directory listing per day of history."""
+    import os
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import STAGE_ROOT
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+    root = os.path.join(
+        STAGE_ROOT,
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "a29_stats",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(
+        li.filter(F.col("l_orderkey") < 5000),
+        "l_returnflag",
+        stats_cols=["l_orderkey"],
+    )
+    vt.append(li.filter((F.col("l_orderkey") >= 5000) & (F.col("l_orderkey") < 10000)))
+    vt.append(li.filter(F.col("l_orderkey") >= 10000))
+    lo, hi = 6000, 8999
+    return vt.read(spark, prune=("l_orderkey", lo, hi)).filter(
+        F.col("l_orderkey").between(lo, hi)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")

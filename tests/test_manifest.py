@@ -171,3 +171,81 @@ def test_compact_consolidates_fragmented_partitions(spark, tmp_path):
     assert _snap(t.read(spark)) == want
     # already-compact table: compact is a no-op commit-wise
     assert t.compact(spark) == t.version()
+
+
+def test_schema_evolution_adds_nullable_column(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    delta = spark.createDataFrame(
+        [(3, "c", 0, 99)], "k long, v string, b long, extra long"
+    )
+    t.merge(delta, key_cols=["k"], partition_col="b",
+            allow_schema_evolution=True)
+    rows = {r.k: r.extra for r in t.read(spark).collect()}
+    # pre-evolution rows surface NULL for the added column
+    assert rows == {1: None, 2: None, 3: 99}
+    # a reader pinned BEFORE the evolution keeps the old schema
+    assert "extra" not in t.read(spark, at_version=1).columns
+
+
+def test_schema_evolution_refuses_type_change(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    bad = spark.createDataFrame([(2, 7, 0)], "k long, v long, b long")
+    with pytest.raises(ValueError, match="cannot change column 'v'"):
+        t.merge(bad, key_cols=["k"], partition_col="b",
+                allow_schema_evolution=True)
+
+
+def test_append_concatenates_without_rewrite(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    dirs_before = set(t.data_dirs())
+    t.append(_df(spark, [(2, "b", 0), (3, "c", 1)]))
+    dirs_after = set(t.data_dirs())
+    # append never rewrites: every old dir survives verbatim
+    assert dirs_before <= dirs_after
+    assert _snap(t.read(spark)) == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
+    # exactly-once token: a replayed append is a no-op
+    v = t.append(_df(spark, [(9, "z", 0)]), commit_token="batch-1")
+    assert t.append(_df(spark, [(9, "z", 0)]), commit_token="batch-1") == v
+    assert [r.k for r in t.read(spark).collect()].count(9) == 1
+
+
+def test_stats_pruning_skips_disjoint_dirs_keeps_statless(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(
+        _df(spark, [(1, "a", 0), (2, "b", 0)]), "b", stats_cols=["k"]
+    )
+    t.append(_df(spark, [(100, "c", 0), (101, "d", 0)]))
+    all_dirs = t.data_dirs()
+    pruned = t.data_dirs(prune=("k", 90, 200))
+    assert len(pruned) < len(all_dirs)
+    # rows are still exact after the residual filter
+    got = t.read(spark, prune=("k", 90, 200)).filter(
+        F.col("k").between(90, 200)
+    )
+    assert sorted(r.k for r in got.collect()) == [100, 101]
+    # a dir without stats for the column must never be skipped
+    assert t.data_dirs(prune=("nope", 0, 1)) == all_dirs
+
+
+def test_compact_preserves_stats_pruning(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(
+        _df(spark, [(1, "a", 0), (2, "b", 1)]), "b", stats_cols=["k"]
+    )
+    t.append(_df(spark, [(50, "c", 0)]))
+    t.append(_df(spark, [(900, "d", 0)]))
+    t.compact(spark)
+    # compaction merged partition 0's dirs; stats must cover the new dir
+    got = t.read(spark, prune=("k", 800, 1000)).filter(
+        F.col("k").between(800, 1000)
+    )
+    assert [r.k for r in got.collect()] == [900]
+    # partition 1 (k=2 only, stats [2,2]) prunes away entirely
+    assert all(
+        "__part=1" not in d for d in t.data_dirs(prune=("k", 800, 1000))
+    )
