@@ -862,3 +862,165 @@ def pq_topk(
         "approx_sim",
         "cos_sim",
     )
+
+
+def nn_descent(
+    embeddings: DataFrame,
+    k: int = 10,
+    rounds: int = 2,
+    n_cells: int | None = None,
+    n_rows: int | None = None,
+    k_build: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN GRAPH construction via NN-Descent (Dong,
+    Charikar, Li — WWW 2011): start from a cheap neighbor guess and
+    iterate "my neighbors' neighbors are probably my neighbors". This is
+    the graph-based rung of the similarity ladder (the distributable
+    counterpart of HNSW, whose insert loop is inherently sequential):
+    the k-NN graph is what SemDeDup-style clustering, NN-chain agglomer-
+    ation, and graph-ANN serving all consume.
+
+    Determinism (hash-gate discipline): init unions two candidate
+    signals — (a) the IVF cell assignment (deterministic seed centroids,
+    pairs within a cell) for LOCAL quality, and (b) hash-salted random
+    buckets (md5(salt:vec_id) mod n/6, all pairs within a bucket, 3
+    salts) for EXPLORATION, the deterministic stand-in for the paper's
+    random-graph init. (b) is not optional: a pure cell init is a union
+    of cliques, which is a FIXED POINT of neighbor-of-neighbor expansion
+    (2-hop never leaves a clique), so descent cannot cross cells at all
+    — measured on the fixture corpus, recall froze at the init value
+    without it. Every round then scores the candidate set {current
+    edges} ∪ {2-hop pairs over the symmetrized graph} and keeps the
+    top-k per node by (rounded-6dp cosine DESC, id ASC). No RNG — the
+    output is a pure function of the vector set, invariant to
+    partitioning (pinned by unit test).
+
+    Scale shape per round: the symmetrized edge list B has ≤ 2k rows per
+    node, so the 2-hop self-join fans out to ≤ (2k)^2 candidates per
+    node — O(n·k²) candidate volume per round, never O(n²); all joins
+    are equi-joins on vec ids (shuffle-partitioned, AQE-splittable), and
+    scoring is the same JVM fold every other similarity operator uses.
+    Each round's graph is localCheckpoint-pinned so plan depth stays
+    O(1) in rounds. At 100 TB the published refinements apply unchanged
+    (sample ρ·k of each neighborhood per round, mark-new-only): they
+    bound candidate volume, not the join shape. Convergence on the
+    fixture corpus (near-uniform random vectors — NN-Descent's hardest
+    regime): recall@10 ≈ 0.94 after 2 rounds, ≈ 0.99 after 3 (pinned by
+    tests/test_nn_descent.py against exact_topk_join's brute-force-
+    equal output).
+
+    Returns (vec_id, nn_id, rank, cos_sim) — rank 1..k per vec_id.
+    """
+    from pyspark.sql import Window
+
+    if n_cells is None or n_rows is None:
+        n = embeddings.count()
+        n_cells = n_cells if n_cells is not None else auto_n_cells(n)
+        n_rows = n_rows if n_rows is not None else n
+    base = prepare_vectors(embeddings)
+    cents = _refine_centroids(base, n_cells, iters=0)
+    assigned = assign_cells(base, cents)
+    vecs = assigned.select("vec_id", "emb", "nrm").localCheckpoint(
+        eager=False
+    )
+
+    # build with a wider internal degree, report only the top k: on
+    # weakly structured data the k-graph converges to a local optimum
+    # (hubness starves low-degree regions of candidates); the standard
+    # remedy is k_build ≈ 2k during descent, truncate at the end.
+    kb = k_build if k_build is not None else 2 * k
+
+    def _topk(pairs: DataFrame) -> DataFrame:
+        w = Window.partitionBy("v").orderBy(
+            F.col("cos_sim").desc(), F.col("u").asc()
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= kb)
+            .select("v", "u", "cos_sim")
+        )
+
+    def _score(cand: DataFrame) -> DataFrame:
+        e1 = vecs.select(
+            F.col("vec_id").alias("v"),
+            F.col("emb").alias("emb_v"),
+            F.col("nrm").alias("nrm_v"),
+        )
+        e2 = vecs.select(
+            F.col("vec_id").alias("u"),
+            F.col("emb").alias("emb_u"),
+            F.col("nrm").alias("nrm_u"),
+        )
+        cos = F.round(
+            _dot(F.col("emb_v"), F.col("emb_u"))
+            / (F.col("nrm_v") * F.col("nrm_u")),
+            6,
+        )
+        return (
+            cand.join(e1, "v").join(e2, "u").select("v", "u", cos.alias("cos_sim"))
+        )
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cell_pairs = a.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("v"),
+        F.col("b.vec_id").alias("u"),
+    )
+    # deterministic random-graph init: 3 hash salts, ~6 vectors/bucket
+    n_buckets = max(2, n_rows // 6)
+    ids = vecs.select(F.col("vec_id"))
+    rand_pairs = None
+    for salt in (1, 2, 3):
+        bucket = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("vec_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long") % n_buckets
+        bx = ids.select("vec_id", bucket.alias("bkt"))
+        p = (
+            bx.alias("x")
+            .join(bx.alias("y"), F.col("x.bkt") == F.col("y.bkt"))
+            .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("v"), F.col("y.vec_id").alias("u")
+            )
+        )
+        rand_pairs = p if rand_pairs is None else rand_pairs.union(p)
+    g = _topk(_score(cell_pairs.union(rand_pairs).distinct())).localCheckpoint(
+        eager=False
+    )
+
+    for _ in range(rounds):
+        edges = g.select("v", "u")
+        sym = edges.union(
+            edges.select(F.col("u").alias("v"), F.col("v").alias("u"))
+        ).distinct()
+        two_hop = (
+            sym.alias("x")
+            .join(sym.alias("y"), F.col("x.u") == F.col("y.v"))
+            .select(F.col("x.v").alias("v"), F.col("y.u").alias("u"))
+            .filter(F.col("v") != F.col("u"))
+        )
+        cand = two_hop.union(edges).distinct()
+        g = _topk(_score(cand)).localCheckpoint(eager=False)
+
+    w_final = Window.partitionBy("v").orderBy(
+        F.col("cos_sim").desc(), F.col("u").asc()
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("v").alias("vec_id"),
+            F.col("u").alias("nn_id"),
+            "rank",
+            "cos_sim",
+        )
+    )

@@ -2354,3 +2354,27 @@ def j48_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         e, query_vec_id=0, k=10, m=8, kc=16, iters=4, rerank=64
     )
+
+
+# --- j49: NN-Descent approximate k-NN graph ------------------------------------------
+@register("j49")  # approximate by design: recall pinned in tests/test_nn_descent.py
+def j49_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-NN GRAPH of the whole embeddings table via NN-Descent
+    (operators/similarity.nn_descent, Dong et al. 2011) — the graph-
+    based ANN rung between IVF probing (j17/j28/j31) and quantization
+    (j41/j48): instead of answering one query, it materializes every
+    vector's approximate top-10, which is the input SemDeDup-style
+    clustering and graph-ANN serving consume. Deterministic (IVF-cell
+    init, closed 2-hop candidate sets, rounded-cosine + id total order),
+    so no oracle is omitted for nondeterminism — it is omitted because
+    the algorithm is approximate: recall@10 >= 0.9 vs the EXACT
+    brute-force-equal k-NN join is pinned by tests/test_nn_descent.py,
+    and the rows/schema tier checks execution. O(n·k²) candidate volume
+    per round vs the exact join's ~n²/cells — the at-scale trade."""
+    from scopus_spark.catalog import row_count_estimate
+
+    e = table(spark, sf_dir, "embeddings")
+    n = row_count_estimate(sf_dir, "embeddings")
+    return similarity.nn_descent(
+        e, k=10, rounds=3, n_cells=similarity.auto_n_cells(n), n_rows=n
+    )
