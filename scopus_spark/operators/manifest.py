@@ -205,10 +205,14 @@ class VersionedTable:
         df: DataFrame,
         partition_col: str,
         stats_cols: list[str] | None = None,
+        commit_token: str | None = None,
     ) -> int:
         """Create the table (snapshot v1) from df. ``stats_cols`` is a
         TABLE property: every later commit (append/merge/compact)
-        maintains per-directory min/max for these columns."""
+        maintains per-directory min/max for these columns.
+        ``commit_token`` seeds the exactly-once token window so a
+        replayed create-batch (streaming retry of batch 0) is
+        recognized by the append/merge that follows."""
         parts, stats = self._write_commit_data(
             df, partition_col, stats_cols
         )
@@ -221,6 +225,7 @@ class VersionedTable:
                 "partitions": parts,
                 "stats_cols": list(stats_cols or []),
                 "stats": stats,
+                "tokens": [commit_token] if commit_token else [],
             }
         )
 

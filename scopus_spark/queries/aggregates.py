@@ -1303,3 +1303,89 @@ def d31_exact_median_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("v")
     )
     return exact_median(li, "v", accuracy=20000, margin=5e-4)
+
+
+# --- d32: exact mode per group (marginal vs joint) -----------------------------------
+@register(
+    "d32",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS pri,
+             o.o_orderstatus AS st
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    mode_pri AS (
+      SELECT segment, pri FROM (
+        SELECT segment, pri,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY count(*) DESC, pri) AS rn
+        FROM j GROUP BY segment, pri
+      ) WHERE rn = 1
+    ),
+    mode_st AS (
+      SELECT segment, st FROM (
+        SELECT segment, st,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY count(*) DESC, st) AS rn
+        FROM j GROUP BY segment, st
+      ) WHERE rn = 1
+    ),
+    mode_joint AS (
+      SELECT segment, pri AS jpri, st AS jst FROM (
+        SELECT segment, pri, st,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY count(*) DESC, pri, st) AS rn
+        FROM j GROUP BY segment, pri, st
+      ) WHERE rn = 1
+    )
+    SELECT p.segment, p.pri AS mode_priority, s.st AS mode_status,
+           x.jpri AS joint_priority, x.jst AS joint_status
+    FROM mode_pri p
+    JOIN mode_st s USING (segment)
+    JOIN mode_joint x USING (segment)
+    """,
+)
+def d32_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT MODE per group with a deterministic tie-break — the
+    categorical summary statistic the d-family lacked (engines ship
+    mode() with unspecified ties; hash-gated pipelines need (count DESC,
+    value ASC) pinned on both sides). Emits per market segment the modal
+    order priority, the modal status, AND the modal JOINT
+    (priority, status) pair — the joint mode is deliberately not derived
+    from the marginals (mode(X), mode(Y)) != mode(X, Y) in general,
+    which is why it must be computed as its own aggregate.
+
+    Scale: each mode is groupBy(segment, value) with map-side partial
+    counts (value domains are enum-bounded, so the exchange carries
+    |segments| x |domain| rows) + a segment-partitioned top-1 window
+    over those few rows; the customer dim broadcasts into the fact
+    join. No sort of the fact table anywhere."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    )
+
+    def mode_of(cols: list[str], out_names: list[str]) -> DataFrame:
+        w = Window.partitionBy("segment").orderBy(
+            F.col("c").desc(), *[F.col(x) for x in cols]
+        )
+        agg = j.groupBy("segment", *cols).agg(F.count(F.lit(1)).alias("c"))
+        top = agg.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        return top.select(
+            "segment",
+            *[F.col(x).alias(n) for x, n in zip(cols, out_names)],
+        )
+
+    return (
+        mode_of(["pri"], ["mode_priority"])
+        .join(mode_of(["st"], ["mode_status"]), "segment")
+        .join(
+            mode_of(["pri", "st"], ["joint_priority", "joint_status"]),
+            "segment",
+        )
+    )

@@ -624,3 +624,99 @@ def i14_versioned_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VersionedTable(target).read(spark).select(
         "user_id", "event_type", "value"
     )
+
+
+# --- i15: append-only streaming ingestion with manifest stats skipping ---------------
+@register(
+    "i15",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-13' AND ts < TIMESTAMP '2024-01-17'
+    """,
+)
+def i15_versioned_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-ONLY streaming ingestion — the event-log half of the
+    versioned-sink story i14's CDC merge doesn't cover: the events table
+    streams through three scripted time-ordered micro-batches whose
+    foreachBatch sink APPENDS each batch to a snapshot-isolated
+    VersionedTable (streaming/sinks.foreach_batch_versioned_append) —
+    no keys, no merge, no rewrite; per-batch cost is the batch's bytes.
+    Each commit records per-directory min/max of the event-time column
+    (micros), so the final read PRUNES at the manifest: a 4-day window
+    query resolves the snapshot, skips every directory (= every
+    micro-batch x partition) whose time range cannot intersect, and
+    scans only the middle batch. The residual filter keeps the result
+    exact; the oracle is the plain time-filtered scan, so a green hash
+    proves streamed-appends + stats-skipping ≡ one batch filter.
+    Exactly-once is structural ('i15:<batch_id>' commit tokens, seeded
+    at table creation so even a batch-0 retry replays as a no-op). At
+    100 TB this is the canonical event-lake ingest: day-partitioned
+    appends, manifest time-pruned reads."""
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.streaming.harness import StreamRig
+    from scopus_spark.streaming.sinks import foreach_batch_versioned_append
+
+    def us(day: str) -> int:
+        return int(
+            datetime.fromisoformat(day)
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+
+    ev = table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    target = os.path.join(
+        "/tmp/scopus_spark_stage",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"pid{os.getpid()}",
+        "i15_append",
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    sink = foreach_batch_versioned_append(
+        target,
+        partition_col="bucket",
+        stats_cols=["t_us"],
+        stream_name="i15",
+    )
+    rig = StreamRig(spark)
+    try:
+        for lo, hi in (
+            (None, us("2024-01-11")),
+            (us("2024-01-11"), us("2024-01-21")),
+            (us("2024-01-21"), None),
+        ):
+            f = ev
+            if lo is not None:
+                f = f.filter(t_us >= lo)
+            if hi is not None:
+                f = f.filter(t_us < hi)
+            rig.drop_file(f)
+            rig.run(
+                lambda s: s.select(
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                    "value",
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                        "t_us"
+                    ),
+                    F.pmod("user_id", F.lit(8)).alias("bucket"),
+                ),
+                output_mode="append",
+                sink=sink,
+            )
+    finally:
+        rig.cleanup()
+    q_lo, q_hi = us("2024-01-13"), us("2024-01-17")
+    return (
+        VersionedTable(target)
+        .read(spark, prune=("t_us", q_lo, q_hi - 1))
+        .filter((F.col("t_us") >= q_lo) & (F.col("t_us") < q_hi))
+        .select("event_id", "user_id", "event_type", "value")
+    )

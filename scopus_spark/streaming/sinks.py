@@ -257,3 +257,39 @@ def foreach_batch_versioned_upsert(
         )
 
     return sink
+
+
+def foreach_batch_versioned_append(
+    target_path: str,
+    partition_col: str,
+    stats_cols: list[str] | None = None,
+    stream_name: str = "stream",
+) -> Callable[[DataFrame, int], None]:
+    """APPEND-ONLY streaming ingestion into a snapshot-isolated
+    VersionedTable — the event-log shape (no keys, no merges): each
+    micro-batch lands as new immutable directories concatenated onto the
+    manifest, committed under '<stream_name>:<batch_id>' so a
+    foreachBatch retry is a manifest-level no-op. The first batch
+    creates the table (declaring ``stats_cols`` as the table's stats
+    property), so every batch's directories carry min/max stats and a
+    time-range reader later skips whole micro-batches via
+    read(prune=...). Cost per batch is exactly the batch's bytes —
+    nothing existing is listed, read, or rewritten."""
+    from scopus_spark.operators.manifest import VersionedTable
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        vt = VersionedTable(target_path)
+        token = f"{stream_name}:{batch_id}"
+        if not vt.exists():
+            # token seeds the window so a retry of the CREATE batch is
+            # recognized as a replay by the append below
+            vt.write_initial(
+                batch_df,
+                partition_col,
+                stats_cols=stats_cols,
+                commit_token=token,
+            )
+            return
+        vt.append(batch_df, commit_token=token)
+
+    return sink

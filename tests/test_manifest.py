@@ -249,3 +249,16 @@ def test_compact_preserves_stats_pruning(spark, tmp_path):
     assert all(
         "__part=1" not in d for d in t.data_dirs(prune=("k", 800, 1000))
     )
+
+
+def test_write_initial_token_seeds_replay_window(spark, tmp_path):
+    """A streaming retry of the CREATE batch must be a no-op: the token
+    recorded at write_initial is recognized by the append that replays
+    the same batch."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(
+        _df(spark, [(1, "a", 0)]), "b", commit_token="s:0"
+    )
+    v = t.version()
+    assert t.append(_df(spark, [(1, "a", 0)]), commit_token="s:0") == v
+    assert [r.k for r in t.read(spark).collect()] == [1]
