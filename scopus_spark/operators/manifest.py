@@ -297,6 +297,22 @@ class VersionedTable:
         m = self._read_manifest()
         if commit_token is not None and commit_token in m.get("tokens", []):
             return m["version"]
+        # strict column contract: a silently mismatched append would
+        # write files the manifest schema reads back as NULLs
+        want = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(m["schema"])).fields
+        }
+        got = {f.name: f.dataType for f in df.schema.fields}
+        if got.keys() != want.keys() or any(
+            got[n] != want[n] for n in want
+        ):
+            raise ValueError(
+                "append() batch schema does not match the table schema "
+                f"(want {sorted(want)}, got {sorted(got)}); appends are "
+                "schema-strict — evolve via merge(allow_schema_evolution"
+                "=True) first"
+            )
         new_parts, new_stats = self._write_commit_data(
             df, m["partition_col"], m.get("stats_cols") or None
         )

@@ -262,3 +262,13 @@ def test_write_initial_token_seeds_replay_window(spark, tmp_path):
     v = t.version()
     assert t.append(_df(spark, [(1, "a", 0)]), commit_token="s:0") == v
     assert [r.k for r in t.read(spark).collect()] == [1]
+
+
+def test_append_is_schema_strict(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    bad = spark.createDataFrame([(2, 0)], "k long, b long")  # missing v
+    with pytest.raises(ValueError, match="schema-strict"):
+        t.append(bad)
