@@ -1389,3 +1389,93 @@ def d32_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
         )
     )
+
+
+# --- d33: KMV distinct sketches with union/intersection estimates --------------------
+_D33_K = 20
+# deterministic hash-to-(0,1]: top-60-bit md5 int h, u = (h+1)/2^60 (the
+# m9 construction — bit-identical across engines)
+_D33_U_SQL = (
+    "((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1)"
+    " / 1152921504606846976.0)"
+)
+
+
+@register(
+    "d33",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id, {_D33_U_SQL} AS u
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    sets AS (
+      SELECT event_type AS set_name, user_id, u FROM du
+      UNION ALL
+      SELECT 'click|purchase', user_id, u FROM
+        (SELECT DISTINCT user_id, u FROM du)
+    ),
+    ranked AS (
+      SELECT set_name, u,
+             row_number() OVER (PARTITION BY set_name ORDER BY u) AS rn
+      FROM sets
+    ),
+    kth AS (
+      SELECT set_name, u AS u_k FROM ranked WHERE rn = {_D33_K}
+    ),
+    exact AS (
+      SELECT set_name, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM sets GROUP BY set_name
+    )
+    SELECT e.set_name,
+           round(({_D33_K} - 1) / k.u_k, 6) + 0.0 AS est_distinct,
+           e.exact_distinct
+    FROM exact e JOIN kth k USING (set_name)
+    """,
+)
+def d33_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) DISTINCT sketches with a set
+    algebra HLL cannot give you cheaply (Bar-Yossef et al. 2002; the
+    theta-sketch core): keep the k smallest deterministic hash values of
+    each set; est = (k-1)/u_k. Because the sketch is the k smallest
+    CONTENT-HASH values — not an RNG draw and not a lossy register array
+    — two engines compute bit-identical sketches, the UNION sketch is
+    just bottom-k of the merged value set (mergeable, map-side partial),
+    and intersections follow by inclusion–exclusion on exact-replayable
+    estimates. Emitted per set (click, purchase, click|purchase):
+    rounded estimate next to the exact distinct count; the unit test
+    pins |est/exact - 1| within the k-governed error bound, and
+    intersection-by-IE is derived in the test from these three rows.
+
+    Scale: one (set, user) distinct shuffle, then bottom-k per set. The
+    per-set rank runs over hash-DISTINCT values only; in production the
+    scan side pre-filters u <= t (any t with >= k survivors per set
+    keeps the sketch EXACTLY equal — the j39 expression-bound pattern),
+    so the exchange carries ~t·D rows per set, not D. Estimator error
+    ~1/sqrt(k-2): k=20 ≈ 24%, k=1024 ≈ 3% — k is the precision knob and
+    the only state."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(1152921504606846976.0)
+    du = ev.select(
+        F.col("event_type").alias("set_name"), "user_id", u.alias("u")
+    ).distinct()
+    union_set = du.select("user_id", "u").distinct().select(
+        F.lit("click|purchase").alias("set_name"), "user_id", "u"
+    )
+    sets = du.unionByName(union_set)
+    w = Window.partitionBy("set_name").orderBy("u")
+    ranked = sets.withColumn("rn", F.row_number().over(w))
+    kth = ranked.filter(F.col("rn") == _D33_K).select(
+        "set_name", F.col("u").alias("u_k")
+    )
+    exact = sets.groupBy("set_name").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    est = F.round(F.lit(_D33_K - 1) / F.col("u_k"), 6) + F.lit(0.0)
+    return exact.join(kth, "set_name").select(
+        "set_name", est.alias("est_distinct"), "exact_distinct"
+    )

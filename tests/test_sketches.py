@@ -157,3 +157,59 @@ def test_d27_estimates_never_undercount_and_merge_is_addition(spark, sf_dir):
     b = cells(ev.filter(F.col("event_id") % 2 == 1))
     merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
     assert merged == full
+
+
+def test_d33_kmv_error_bound_and_intersection(spark, sf_dir):
+    """KMV estimate within the k-governed error band, and the
+    inclusion-exclusion intersection derived from the three emitted
+    sketch rows is sane (bounded by the marginals)."""
+    from scopus_spark.queries.aggregates import _D33_K
+    from scopus_spark.registry import all_queries
+
+    rows = {r["set_name"]: r for r in all_queries()["d33"](spark, sf_dir).collect()}
+    assert set(rows) == {"click", "purchase", "click|purchase"}
+    import math
+
+    tol = 3.0 / math.sqrt(_D33_K - 2)  # ~3 sigma of the KMV estimator
+    for r in rows.values():
+        assert abs(r["est_distinct"] / r["exact_distinct"] - 1) < tol, r
+    inter_est = (
+        rows["click"]["est_distinct"]
+        + rows["purchase"]["est_distinct"]
+        - rows["click|purchase"]["est_distinct"]
+    )
+    exact_inter = (
+        rows["click"]["exact_distinct"]
+        + rows["purchase"]["exact_distinct"]
+        - rows["click|purchase"]["exact_distinct"]
+    )
+    assert inter_est <= min(
+        rows["click"]["est_distinct"], rows["purchase"]["est_distinct"]
+    ) * (1 + tol)
+    # IE on estimates tracks IE on exacts within the combined band
+    assert abs(inter_est - exact_inter) <= tol * 3 * max(exact_inter, 1)
+
+
+def test_d33_prefilter_keeps_sketch_identical(spark, sf_dir):
+    """The production scan-side prefilter u <= t (t with >= k survivors)
+    leaves the bottom-k sketch EXACTLY unchanged — the expression-bound
+    pattern the docstring claims."""
+    from pyspark.sql import functions as F
+    from scopus_spark.catalog import table
+    from scopus_spark.queries.aggregates import _D33_K
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(1152921504606846976.0)
+    du = ev.select("user_id", u.alias("u")).distinct()
+
+    def bottom_k(df):
+        return [r["u"] for r in df.orderBy("u").limit(_D33_K).collect()]
+
+    full = bottom_k(du)
+    filtered = bottom_k(du.filter(F.col("u") <= 0.5))
+    assert full == filtered
