@@ -114,6 +114,74 @@ def winnow_fingerprints(text: str | Column, k: int = 5, w: int = 4) -> Column:
     return _sel(grams_expr)
 
 
+def apply_merge(syms: Column, lt: str, rt: str, merged: str) -> Column:
+    """One BPE merge rule applied to a symbol array as a pure map-side
+    JVM left-fold: greedy, non-overlapping, left-to-right (the BPE
+    contract). Shared by learn_bpe (training) and bpe_encode
+    (inference) so the two can never disagree on merge semantics."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lt))
+            & (x == F.lit(rt)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_symbols(word: str | Column) -> Column:
+    """A word's initial BPE symbol array: characters + the </w> marker."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.concat(F.split(w, ""), F.array(F.lit("</w>")))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus — the TOKENIZE step
+    every training run executes after learn_bpe's training step: rules
+    apply in merge_rank order, each as the shared apply_merge fold.
+
+    Scale shape (the production layout): the merge table is bounded
+    tokenizer metadata (collected once, inlined into the fold
+    expressions — the broadcast-dim exception); encoding runs over the
+    DISTINCT WORD VOCABULARY, never the corpus (the learn_bpe Zipf
+    argument applied to inference: encode each distinct word once, join
+    the token arrays back to the token stream on the word key). The
+    join is a plain equi-join on word; at 100 TB the vocabulary side is
+    millions of rows and broadcastable.
+
+    Returns (doc_id, word_no, w, tokens array<string>) — one row per
+    word occurrence in reading order.
+    """
+    rules = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    occurrences = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("word_no", "w"),
+    ).filter(F.length("w") > 0)
+    vocab = occurrences.select("w").distinct()
+    enc = vocab.select("w", word_symbols("w").alias("tokens"))
+    for i, (lt, rt, merged) in enumerate(rules):
+        enc = enc.select("w", apply_merge(F.col("tokens"), lt, rt, merged).alias("tokens"))
+        if (i + 1) % 4 == 0:
+            # cap nested-fold expression depth (the learn_bpe discipline)
+            enc = enc.localCheckpoint(eager=False)
+    return occurrences.join(enc, "w").select(
+        "doc_id", "word_no", "w", "tokens"
+    )
+
+
 def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 12) -> DataFrame:
     """Distributed BPE vocabulary induction (Sennrich/Haddow/Birch 2016,
     the subword algorithm under GPT-2/RoBERTa-style tokenizers): learn
@@ -146,12 +214,7 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 12) -> Da
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            F.concat(
-                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
-            ).alias("syms"),
-            "freq",
-        )
+        .select(word_symbols("w").alias("syms"), "freq")
         .localCheckpoint(eager=False)
     )
     spark = docs.sparkSession
@@ -182,21 +245,9 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 12) -> Da
         best = pairs[0]
         lt, rt, merged = best.left, best.right, best.left + best.right
         merges.append((rank, lt, rt, merged, int(best.cnt)))
-        fold = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(lt))
-                & (x == F.lit(rt)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        words = words.select(fold.alias("syms"), "freq").localCheckpoint(
-            eager=False
-        )
+        words = words.select(
+            apply_merge(F.col("syms"), lt, rt, merged).alias("syms"), "freq"
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         "merge_rank long, left string, right string, merged string, pair_count long",

@@ -2378,3 +2378,37 @@ def j49_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.nn_descent(
         e, k=10, rounds=3, n_cells=similarity.auto_n_cells(n), n_rows=n
     )
+
+
+# --- j50: BPE tokenization of the corpus with the learned vocabulary -----------------
+@register("j50")  # BPE encode is not SQL-expressible; parity vs a pure-python
+# reference encoder is pinned in tests/test_bpe.py
+def j50_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZE the corpus with the j46-learned BPE vocabulary
+    (operators/text.bpe_encode) — the inference half of the tokenizer
+    story j46 trains: merge rules apply in rank order via the SAME
+    apply_merge fold learn_bpe used (shared helper — training and
+    encoding provably agree on greedy left-to-right non-overlapping
+    semantics). Encoding runs over the distinct WORD VOCABULARY and
+    joins token arrays back to the word stream (the Zipf argument at
+    inference time: each distinct word encodes once no matter how often
+    it occurs). Emits the corpus token histogram plus subword fan-out —
+    the artifact a tokenizer rollout reviews before committing a vocab.
+    Deterministic end-to-end (exact counts, pinned tie-breaks), checked
+    at the rows/schema tier; token-level parity vs a pure-python
+    reference encoder is pinned in tests/test_bpe.py."""
+    from scopus_spark.operators.text import bpe_encode, learn_bpe
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe(d, "text", n_merges=12)
+    enc = bpe_encode(d, merges, "text")
+    return (
+        enc.select(
+            "doc_id", F.explode(F.col("tokens")).alias("token")
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )

@@ -91,3 +91,58 @@ def test_j46_matches_reference_on_documents(spark, sf_dir):
         for r in j46_bpe_vocab(spark, sf_dir).orderBy("merge_rank").collect()
     ]
     assert got == want and len(got) == 12
+
+
+def _py_apply_merge(syms, lt, rt, merged):
+    """Reference greedy left-to-right non-overlapping merge."""
+    out = []
+    for s in syms:
+        if out and out[-1] == lt and s == rt:
+            out[-1] = merged
+        else:
+            out.append(s)
+    return out
+
+
+def test_bpe_encode_matches_reference_encoder(spark, sf_dir):
+    """Token arrays from the distributed encoder equal a pure-python
+    greedy encoder applying the same rules in rank order."""
+    import re
+
+    from scopus_spark.catalog import table
+    from scopus_spark.operators.text import bpe_encode, learn_bpe
+
+    d = table(spark, sf_dir, "documents").limit(25)
+    merges = learn_bpe(d, "text", n_merges=8)
+    rules = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    got = {
+        (r["doc_id"], r["word_no"]): (r["w"], list(r["tokens"]))
+        for r in bpe_encode(d, merges, "text").collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        words = [w for w in re.split("[^a-z]+", row["text"].lower()) if w]
+        for i, w in enumerate(words):
+            syms = list(w) + ["</w>"]
+            for lt, rt, merged in rules:
+                syms = _py_apply_merge(syms, lt, rt, merged)
+            assert got[(row["doc_id"], i)] == (w, syms), (row["doc_id"], i, w)
+
+
+def test_bpe_encode_word_no_preserves_positions(spark, sf_dir):
+    from scopus_spark.catalog import table
+    from scopus_spark.operators.text import bpe_encode, learn_bpe
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents").limit(10)
+    merges = learn_bpe(d, "text", n_merges=4)
+    enc = bpe_encode(d, merges, "text")
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("word_no").alias("lo"),
+        F.max("word_no").alias("hi"),
+    )
+    for r in per_doc.collect():
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
