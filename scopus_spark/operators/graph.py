@@ -251,9 +251,17 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     iters: int = 5,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank (damping 0.85, leak variant: dangling mass
     is not redistributed) — the canonical iterative graph ranking.
+
+    With ``seeds`` (a one-column node subset), this becomes PERSONALIZED
+    PageRank (random walk with restart, Haveliwala 2002): the restart
+    mass 0.15 lands only on seed nodes (1/|S| each) and the walk starts
+    there, so ranks measure proximity TO THE SEED SET rather than global
+    centrality. Same per-round plan, same decimal-exact contribution
+    sums; the seed flag rides the roster as a broadcast-joined column.
 
     Determinism across engines (the reason this can be HASH-checked at
     all): every per-row step is double arithmetic with an identical
@@ -290,14 +298,34 @@ def pagerank(
         nodes.select(F.col(node_col).alias("node"))
         .crossJoin(F.broadcast(ncnt))
     )
+    if seeds is not None:
+        scnt = seeds.agg(F.count(F.lit(1)).alias("s_n"))
+        seed_flag = seeds.select(
+            F.col(seeds.columns[0]).alias("node"),
+            F.lit(True).alias("is_seed"),
+        )
+        roster = (
+            roster.join(F.broadcast(seed_flag), "node", "left")
+            .crossJoin(F.broadcast(scnt))
+            .withColumn("is_seed", F.coalesce("is_seed", F.lit(False)))
+        )
     outdeg = edges.groupBy(F.col(src).alias("u")).agg(
         F.count(F.lit(1)).alias("od")
     )
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    base = F.lit(0.15) / F.col("n_docs")
-    ranks = roster.select(
-        "node", "n_docs", (F.lit(1.0) / F.col("n_docs")).alias("r")
-    )
+    if seeds is None:
+        base = F.lit(0.15) / F.col("n_docs")
+        r0 = F.lit(1.0) / F.col("n_docs")
+        carry = ["n_docs"]
+    else:
+        base = F.when(
+            F.col("is_seed"), F.lit(0.15) / F.col("s_n")
+        ).otherwise(F.lit(0.0))
+        r0 = F.when(
+            F.col("is_seed"), F.lit(1.0) / F.col("s_n")
+        ).otherwise(F.lit(0.0))
+        carry = ["n_docs", "s_n", "is_seed"]
+    ranks = roster.select("node", *carry, r0.alias("r"))
     for _ in range(iters):
         contrib = (
             e.join(ranks.select(F.col("node").alias("u"), "r"), "u")
@@ -313,7 +341,7 @@ def pagerank(
             roster.join(contrib, "node", "left")
             .select(
                 "node",
-                "n_docs",
+                *carry,
                 (
                     base
                     + F.lit(0.85)

@@ -669,3 +669,87 @@ def a29_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(spark, prune=("l_orderkey", lo, hi)).filter(
         F.col("l_orderkey").between(lo, hi)
     ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+
+
+# --- n16: personalized PageRank (random walk with restart) ---------------------------
+def _ppr_oracle(iters: int = 5) -> str:
+    """Unrolled personalized PageRank: identical edge formula and
+    decimal-exact contribution sums as _pagerank_oracle, but restart
+    mass 0.15 lands only on the seed set (doc_id % 10 = 0), 1/|S| each,
+    and the walk starts there (rank 0 elsewhere)."""
+    parts = [
+        "n AS (SELECT count(*) AS n_docs FROM documents)",
+        """e AS (
+          SELECT s.doc_id AS src, (s.doc_id*17 + s.j*29 + 1) % n.n_docs AS dst
+          FROM (SELECT doc_id, unnest(range(0, doc_id % 4)) AS j
+                FROM documents) s
+          CROSS JOIN n
+        )""",
+        "outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "sn AS (SELECT count(*) AS s_n FROM documents WHERE doc_id % 10 = 0)",
+        """r0 AS (
+          SELECT d.doc_id AS node,
+                 (d.doc_id % 10 = 0) AS is_seed,
+                 CASE WHEN d.doc_id % 10 = 0
+                      THEN CAST(1.0 AS DOUBLE) / sn.s_n
+                      ELSE CAST(0.0 AS DOUBLE) END AS r
+          FROM documents d CROSS JOIN sn
+        )""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""c{k} AS (
+          SELECT e.dst AS node,
+                 sum(CAST(r.r / od.od AS DECIMAL(38,18))) AS sm
+          FROM e
+          JOIN r{k - 1} r ON e.src = r.node
+          JOIN outdeg od ON e.src = od.src
+          GROUP BY e.dst
+        )"""
+        )
+        parts.append(
+            f"""r{k} AS (
+          SELECT p.node, p.is_seed,
+                 CASE WHEN p.is_seed
+                      THEN CAST(0.15 AS DOUBLE) / sn.s_n
+                      ELSE CAST(0.0 AS DOUBLE) END
+                 + CAST(0.85 AS DOUBLE)
+                   * CAST(coalesce(c.sm, CAST(0 AS DECIMAL(38,18)))
+                          AS DOUBLE) AS r
+          FROM r{k - 1} p
+          CROSS JOIN sn
+          LEFT JOIN c{k} c ON p.node = c.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node AS doc_id, r AS ppr FROM r{iters}"
+    )
+
+
+@register("n16", oracle=_ppr_oracle())
+def n16_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the citation graph (random walk with
+    restart, Haveliwala 2002) — proximity to a SEED SET (here the
+    doc_id % 10 = 0 publications) rather than n6's global centrality:
+    the 'related papers' / 'expand this cluster' ranking a retrieval or
+    dedup-review pipeline runs around a known-good set. Same
+    fixed-iteration operator (operators/graph.pagerank with seeds=),
+    same decimal-exact contribution sums; restart mass rides a
+    broadcast seed flag on the roster. Five rounds unrolled as oracle
+    CTEs; the n6 edge/contract machinery is reused verbatim."""
+    from scopus_spark.operators import graph as g
+
+    nodes = _extracted(spark, sf_dir, "records").select("doc_id")
+    seeds = nodes.filter(F.col("doc_id") % 10 == 0)
+    edges = _extracted(spark, sf_dir, "citation_edges")
+    return g.pagerank(
+        nodes,
+        edges,
+        node_col="doc_id",
+        src="citing_doc_id",
+        dst="cited_doc_id",
+        iters=5,
+        seeds=seeds,
+    ).select(F.col("node").alias("doc_id"), F.col("pagerank").alias("ppr"))

@@ -971,3 +971,53 @@ def o13_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_3"
         ),
     )
+
+
+# --- o14: rolling EXACT median (robust smoother) --------------------------------------
+@register(
+    "o14",
+    oracle=f"""
+    WITH {_EV_CTE},
+    framed AS (
+      SELECT user_id, ts, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS s
+      FROM ev
+    )
+    SELECT user_id, ts, value,
+           (s[CAST((len(s) + 1) // 2 AS INT)]
+            + s[CAST((len(s) + 2) // 2 AS INT)]) / 2.0 AS roll_median
+    FROM framed
+    """,
+)
+def o14_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT MEDIAN per user over a trailing 5-observation frame
+    — the robust smoother o6's rolling z-score (mean/std) is fragile
+    without: one spike moves a mean by 1/n but the median not at all
+    (the Hampel-filter core). No percentile() interpolation parity is
+    assumed anywhere (the d28 lesson): the frame is collected as an
+    array, sorted, and the median rendered from EXPLICIT two-rank order
+    statistics — both engines average the same two doubles, so the
+    unrounded output hash-matches.
+
+    Scale: one shuffle (window partition on user_id); the frame is a
+    bounded 5-element array per row, so memory is O(frame) per row and
+    the sort is constant work — at any corpus size this is the same
+    map-side cost after the one user-keyed exchange every per-entity
+    operator already pays."""
+    ev = _events_dedup(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    s = F.array_sort(F.collect_list("value").over(w))
+    framed = ev.select("user_id", "ts", "value", s.alias("s"))
+    n = F.size("s")
+    lo = F.floor((n + F.lit(1)) / 2).cast("int")
+    hi = F.floor((n + F.lit(2)) / 2).cast("int")
+    med = (F.element_at("s", lo) + F.element_at("s", hi)) / F.lit(2.0)
+    return framed.select(
+        "user_id", "ts", "value", med.alias("roll_median")
+    )

