@@ -652,3 +652,59 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame({**out, **cols})
 
     return media.mapInPandas(stats, VIDEO_STATS_SCHEMA)
+
+
+def perceptual_dhash(media: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit difference hash (dHash — the perceptual image fingerprint
+    under every image-dedup pipeline): decode -> integer luma
+    ((299r + 587g + 114b) // 1000) -> point-sample bits+1 grid positions
+    ((i * n_pixels) // (bits+1), nearest-neighbor resize, the dHash
+    standard) -> bit i set iff sample i < sample i+1 -> pack little-
+    endian into a signed 64-bit int (60 bits: the repo's hash60 width,
+    no sign-bit overflow). EVERY step is exact integer arithmetic, so
+    the hash is a pure function of the pixel buffer — engine- and
+    partitioning-independent, which is what lets the j51 oracle recompute
+    it byte-by-byte in SQL.
+
+    Scale: pure map work in Arrow batches (no shuffle); downstream
+    near-dup pairing bands the 60 bits exactly like SimHash (j11) —
+    hamming<=r via 15-bit band equi-joins, never all-pairs.
+
+    Returns (media_id, n_pixels, dhash).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, npx, hs = [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                px = decode_pixels(payload, meta["mime"]).astype(np.int64)
+                n = px.shape[0]
+                if n == 0:
+                    continue
+                luma = (
+                    299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2]
+                ) // 1000
+                idx = (np.arange(bits + 1, dtype=np.int64) * n) // (bits + 1)
+                s = luma[idx]
+                flags = s[:-1] < s[1:]
+                h = 0
+                for i, f in enumerate(flags):
+                    if f:
+                        h |= 1 << i
+                ids.append(int(mid))
+                npx.append(int(n))
+                hs.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_pixels": npx, "dhash": hs}
+            )
+
+    return media.mapInPandas(hashes, out_schema)

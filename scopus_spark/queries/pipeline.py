@@ -2412,3 +2412,59 @@ def j50_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
     )
+
+
+# --- j51: perceptual dHash over decoded images ----------------------------------------
+@register(
+    "j51",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) // 3 AS n
+      FROM documents WHERE octet_length(encode(text)) >= 3
+    ),
+    samp AS (
+      SELECT doc_id, n, i, (i * n) // 61 AS p
+      FROM (SELECT doc_id, hx, n, unnest(range(0, 61)) AS i FROM b)
+      JOIN b USING (doc_id, hx, n)
+    ),
+    luma AS (
+      SELECT s.doc_id, s.n, s.i,
+             (299 * ('0x' || substr(b.hx, 2 * (3 * s.p) + 1, 2))::BIGINT
+              + 587 * ('0x' || substr(b.hx, 2 * (3 * s.p + 1) + 1, 2))::BIGINT
+              + 114 * ('0x' || substr(b.hx, 2 * (3 * s.p + 2) + 1, 2))::BIGINT
+             ) // 1000 AS l
+      FROM samp s JOIN b ON s.doc_id = b.doc_id
+    ),
+    bits AS (
+      SELECT doc_id, n, i, l,
+             lead(l) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+      FROM luma
+    )
+    SELECT doc_id AS media_id,
+           CAST(max(n) AS BIGINT) AS n_pixels,
+           CAST(sum(CASE WHEN l < nxt THEN (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS dhash
+    FROM bits WHERE i < 60
+    GROUP BY doc_id
+    """,
+)
+def j51_perceptual_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL IMAGE HASHING through the hash gate — the image-dedup
+    fingerprint (dHash) computed by the REAL multimodal path (raw-RGB
+    decode -> numpy luma -> nearest-neighbor 61-point resize -> 60
+    difference bits packed into int64, operators/multimodal.
+    perceptual_dhash) while the oracle recomputes the identical hash
+    BYTE-BY-BYTE in SQL (hex-pair decode, integer luma, integer-division
+    point sampling, shifted-bit sum). Every step is exact integer
+    arithmetic, so a green hash proves the whole decode->resize->hash
+    pipeline, not a statistical summary of it. Near-dup pairing over
+    these hashes is the j11 SimHash band machinery verbatim (15-bit
+    bands, hamming<=r) — the fingerprint is the new part, declared here.
+
+    100 TB shape: pure Arrow-batch map work over the media table; no
+    shuffle until the (tiny) hash table bands."""
+    media = multimodal.attach_raw_rgb(
+        table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 3)
+    )
+    return multimodal.perceptual_dhash(media, bits=60)

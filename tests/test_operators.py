@@ -319,3 +319,46 @@ def test_word_shingles_short_docs_yield_empty(spark):
     assert got[0] == [] and got[1] == []
     assert got[2] == ["now three tokens"]
     assert got[3] == ["four tokens in", "tokens in here"]
+
+
+def test_perceptual_dhash_properties(spark):
+    """dHash: equal buffers hash equal; a localized pixel change flips
+    only a few bits (the perceptual property); hash fits in 60 bits."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from scopus_spark.operators import multimodal
+
+    base = bytes(range(16, 16 + 200)) * 3  # 600 bytes -> 200 px
+    tweaked = bytearray(base)
+    # pixel (31*200)//61 = 101 IS one of the 61 sampled grid points;
+    # byte 303 is its red channel
+    tweaked[303] = 255
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["x", "y", "z"]}
+        )
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytes(base)),
+            (2, bytes(base)),
+            (3, bytes(tweaked)),
+        ],
+        "media_id long, payload binary",
+    ).select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit(multimodal.RAW_MIME).alias("mime"),
+            F.floor(F.octet_length("payload") / 3).cast("int").alias("width"),
+            F.lit(1).alias("height"),
+        ).alias("meta"),
+    )
+    out = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.perceptual_dhash(media).collect()
+    }
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << 60)
+    ham = bin(out[1] ^ out[3]).count("1")
+    assert 0 < ham <= 4, ham
