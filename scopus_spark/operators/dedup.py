@@ -59,17 +59,76 @@ def band_hashes(signature: Column, n_bands: int = N_BANDS,
     )
 
 
+def banded_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band_no, band_hash) — the SAME values as
+    band_hashes(minhash_signature(...)), computed in the shape Tungsten
+    can actually run fast: explode shingles once, evaluate the n_hashes
+    md5s as PLAIN codegen'd column expressions per (doc, shingle) row,
+    take the per-hash min with one map-side-combinable groupBy(doc), and
+    band the 12 min columns with n_bands more codegen'd md5s.
+
+    Why not the nested-higher-order-function expression: transform()
+    lambdas are INTERPRETED (no whole-stage codegen), and Catalyst
+    re-evaluates the whole signature subtree on each side of the LSH
+    self-join — measured at sf0.1 that was ~150 s PER EVALUATION (~310 s
+    for j9) vs ~3 s for this shape, same output bit-for-bit. The
+    explode costs one shuffle (groupBy doc_id, partial min map-side) —
+    at 100 TB that exchange carries one row per doc, and interpreted
+    expression evaluation would otherwise burn executor CPU ~50x.
+
+    Degenerate docs (< k tokens → empty shingle set) produce NO rows —
+    they have no content to band and never become candidates (the
+    expression form gave them all-null signatures that likewise never
+    matched a real band)."""
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col)).alias("shingle"),
+    )
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            ).alias(f"_h{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"_h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"_b{b}")
+        for b in range(n_bands)
+    ]
+    return mins.select("doc_id", *bands).select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"_b{b}") for b in range(n_bands)])
+        ).alias("band_no", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band.
 
     Returns (doc_a, doc_b, n_shared_bands). The caller re-verifies with
-    exact Jaccard (queries/llm.py j2) — LSH only prunes."""
-    banded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(band_hashes(minhash_signature(text_col))).alias(
-            "band_no", "band_hash"
-        ),
+    exact Jaccard (queries/llm.py j2) — LSH only prunes. Signatures come
+    from banded_signatures (codegen shape) and are pinned with
+    localCheckpoint so the self-join's two sides share ONE evaluation."""
+    banded = banded_signatures(docs, id_col, text_col).localCheckpoint(
+        eager=False
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -222,15 +281,66 @@ def simhash_bands(fp: Column, n_bands: int = 4, bits: int = SIMHASH_BITS) -> Col
     )
 
 
+def simhash_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_id, fp) — the SAME fingerprints as simhash(text), computed in
+    the codegen shape (the banded_signatures rationale applied to
+    SimHash): the expression form folds the token array once PER BIT
+    (60 interpreted lambda folds per document); here tokens explode
+    once, hash60 evaluates as ONE codegen'd md5 per (doc, token) row,
+    the 60 bit balances are plain conditional-sum aggregates with
+    map-side partials, and the fingerprint packs from the aggregated
+    row. One groupBy(doc) shuffle carrying one row per doc. Duplicate
+    and empty tokens vote exactly as in the fold (explode preserves
+    multiplicity; split() never yields an empty array)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(
+                F.col(text_col) if isinstance(text_col, str) else text_col,
+                " ",
+            )
+        ).alias("tok"),
+    )
+    h = hash60(F.col("tok"))
+    balances = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    h.bitwiseAND(
+                        F.pow(F.lit(2.0), F.lit(b)).cast("long")
+                    )
+                    != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"_s{b}")
+            for b in range(n_bits)
+        ]
+    )
+    fp = None
+    for b in range(n_bits):
+        term = F.when(
+            F.col(f"_s{b}") > 0, F.pow(F.lit(2.0), F.lit(b)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return balances.select("doc_id", fp.alias("fp"))
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     LSH on 15-bit bands (a pair within hamming 3 of 60 bits must agree on
     >=1 band; wider hamming uses more bands/permutations at scale); each
-    band match is verified with an exact bit_count(xor)."""
-    withfp = docs.select(
-        F.col(id_col).alias("doc_id"), simhash(text_col).alias("fp")
+    band match is verified with an exact bit_count(xor). Fingerprints
+    come from simhash_df (codegen shape) pinned with localCheckpoint so
+    the band self-join's two sides share one evaluation."""
+    withfp = simhash_df(docs, id_col, text_col).localCheckpoint(
+        eager=False
     )
     banded = withfp.select(
         "doc_id", "fp", F.posexplode(simhash_bands(F.col("fp"))).alias("band_no", "band_val")

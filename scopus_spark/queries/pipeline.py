@@ -97,10 +97,15 @@ _SIMHASH_ORACLE_CORE = """
     oracle=_SIMHASH_ORACLE_CORE + "SELECT doc_id, fp AS simhash FROM fps",
 )
 def j10_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document (operators/dedup.py) — map-side nested
-    folds, zero shuffle."""
+    """60-bit SimHash per document via the codegen shape
+    (operators/dedup.simhash_df): token explode + one groupBy(doc) with
+    60 map-side-combinable bit-balance sums — identical fingerprints to
+    the expression fold, ~20x faster evaluated (the interpreted-HOF
+    lesson, see banded_signatures)."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash("text").alias("simhash"))
+    return dedup.simhash_df(d).select(
+        "doc_id", F.col("fp").alias("simhash")
+    )
 
 
 # --- j11: SimHash hamming-near pairs ------------------------------------------------
@@ -842,14 +847,11 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(bucket >= 90)
 
     def banded(docs: DataFrame) -> DataFrame:
-        return docs.select(
-            "doc_id",
-            F.posexplode(
-                dedup.band_hashes(dedup.minhash_signature("text"))
-            ).alias("band_no", "band_hash"),
+        return dedup.banded_signatures(docs).withColumn(
             # storage-layout bucket only (never leaves the engine, so the
             # cheap modulus is fine — no cross-engine md5 contract needed)
-            F.pmod("doc_id", F.lit(64)).alias("doc_bkt"),
+            "doc_bkt",
+            F.pmod("doc_id", F.lit(64)),
         )
 
     target = os.path.join(
