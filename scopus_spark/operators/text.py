@@ -252,3 +252,59 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 12) -> Da
         merges,
         "merge_rank long, left string, right string, merged string, pair_count long",
     )
+
+
+def winnow_fingerprints_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing selection in the codegen shape (the
+    banded_signatures/simhash_df rationale applied to MOSS): instead of
+    interpreted per-row array lambdas evaluating O(chars * w) slice/
+    array_min/reverse work, gram positions POSEXPLODE to one row per
+    char-k-gram, the hash is ONE codegen'd md5(substring), and each
+    window's (min hash, rightmost position) is a single frame aggregate
+    min(struct(fp, -pos)) OVER (PARTITION BY doc ORDER BY pos ROWS
+    BETWEEN CURRENT ROW AND w-1 FOLLOWING) — lexicographic struct min
+    gives exactly the min-hash-then-rightmost tie-break. Duplicate
+    selections across overlapping windows collapse in the final
+    DISTINCT (which the caller already paid in the expression form).
+
+    One window sort per doc partition + one distinct shuffle; at 100 TB
+    both key on doc_id and the gram relation is ~chars rows — the same
+    explode budget h2's tokenize-count pays.
+    """
+    from pyspark.sql.window import Window
+
+    n_grams = F.greatest(
+        F.length(F.col(text_col)) - (k - 1), F.lit(0)
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.substring(F.col("_t"), F.col("pos"), k)).alias("h"),
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = grams.select(
+        "doc_id",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
+            frame
+        ).alias("m"),
+        F.count(F.lit(1)).over(frame).alias("_n"),
+    ).filter(F.col("_n") == w)
+    return sel.select(
+        "doc_id",
+        (-F.col("m.np")).cast("long").alias("pos"),
+        F.col("m.h").alias("fp"),
+    ).distinct()
