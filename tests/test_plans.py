@@ -297,15 +297,21 @@ def test_n10_audit_counts_share_one_window(spark, sf_dir):
     assert len(exchanges) == 1, (len(exchanges), p)
 
 
-def test_multimodal_codec_keys_zero_shuffle(spark, sf_dir):
-    """j33/j34 (JPEG), j35 (WAV), j36 (AVI): stage-encode, decode, and feature
-    extraction are pure map work — two mapInPandas stages, no Exchange
-    anywhere in the plan. At 100 TB this is the difference between a
-    pipeline that streams through executors and one that shuffles
-    payload bytes."""
+def test_multimodal_codec_keys_single_roundrobin_shuffle(spark, sf_dir):
+    """j33/j34 (JPEG), j35 (WAV), j36 (AVI): stage-encode, decode, and
+    feature extraction are pure map work in mapInPandas stages. The plan
+    carries exactly ONE exchange: the deliberate cores-sizing
+    RoundRobinPartitioning before the Python codec stage
+    (operators/multimodal._codec_parallelism — the staged corpus is one
+    input partition, which would serialize the decode onto one core;
+    measured 170 s -> 6 s at sf0.1 for j34). No hash/range shuffle of
+    payload bytes anywhere."""
     for key in ("j33", "j34", "j35", "j36"):
         p = _plan(QUERIES[key](spark, sf_dir))
-        assert "Exchange" not in p, (key, p)
+        assert p.count("Exchange") == 1, (key, p)
+        assert "RoundRobinPartitioning" in p, (key, p)
+        assert "hashpartitioning" not in p, (key, p)
+        assert "rangepartitioning" not in p, (key, p)
 
 
 def test_c17_bloom_filter_injected_without_polluting_session(spark, sf_dir):
