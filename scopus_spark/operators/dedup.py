@@ -83,10 +83,16 @@ def banded_signatures(
     at 100 TB that exchange carries one row per doc, and interpreted
     expression evaluation would otherwise burn executor CPU ~50x.
 
-    Degenerate docs (< k tokens → empty shingle set) produce NO rows —
-    they have no content to band and never become candidates (the
-    expression form gave them all-null signatures that likewise never
-    matched a real band)."""
+    Degenerate docs (< k tokens → empty shingle set) produce NO rows
+    and never become candidates. NOTE this is a deliberate SEMANTIC FIX
+    versus the expression form, not a bit-identical transcription for
+    such docs: the old all-null signatures collapsed to the same
+    md5('') in every band (Spark's array_join skips nulls), silently
+    pairing ALL degenerate docs with each other — and mismatching the
+    DuckDB oracles, whose array_to_string of an all-NULL list is NULL.
+    No fixture corpus contains sub-k-token docs, so every oracle hash
+    is unchanged; on corpora that do, the new behavior (no bands, no
+    pairs) is the correct one."""
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col)).alias("shingle"),

@@ -299,16 +299,22 @@ def pagerank(
         .crossJoin(F.broadcast(ncnt))
     )
     if seeds is not None:
-        scnt = seeds.agg(F.count(F.lit(1)).alias("s_n"))
+        # harden the seed set: duplicates would fan out the roster join
+        # (duplicate node rows, double-counted contributions), and seeds
+        # absent from `nodes` would inflate |S| so total restart mass
+        # silently dropped below 0.15 — so dedup first and size s_n from
+        # the ROSTER-intersected flags.
         seed_flag = seeds.select(
             F.col(seeds.columns[0]).alias("node"),
             F.lit(True).alias("is_seed"),
+        ).distinct()
+        roster = roster.join(
+            F.broadcast(seed_flag), "node", "left"
+        ).withColumn("is_seed", F.coalesce("is_seed", F.lit(False)))
+        scnt = roster.agg(
+            F.sum(F.when(F.col("is_seed"), 1).otherwise(0)).alias("s_n")
         )
-        roster = (
-            roster.join(F.broadcast(seed_flag), "node", "left")
-            .crossJoin(F.broadcast(scnt))
-            .withColumn("is_seed", F.coalesce("is_seed", F.lit(False)))
-        )
+        roster = roster.crossJoin(F.broadcast(scnt))
     outdeg = edges.groupBy(F.col(src).alias("u")).agg(
         F.count(F.lit(1)).alias("od")
     )

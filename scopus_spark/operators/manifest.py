@@ -83,7 +83,9 @@ def _filter_dirs(
     directory list (pure metadata — no filesystem access)."""
     parts = m["partitions"]
     if partition_values is not None:
-        keys = [_partition_dir(v) for v in partition_values]
+        # order-preserving dedup: a repeated partition value (e.g. a list
+        # collected from a source column) must not scan a directory twice
+        keys = list(dict.fromkeys(_partition_dir(v) for v in partition_values))
         dirs = [d for k in keys for d in parts.get(k, [])]
     else:
         dirs = [d for ds in parts.values() for d in ds]
@@ -166,11 +168,15 @@ class VersionedTable:
         With ``stats_cols``, one bounded aggregate (one row per touched
         partition value) records per-directory min/max for those columns
         in the manifest — the Iceberg file-stats idea at directory
-        granularity, feeding read(prune=...) data skipping. At 100 TB
-        the same numbers come for free from the parquet footers the
-        write just produced; recomputing them as an agg keeps this
-        filesystem-agnostic. Stats columns must be numeric or string
-        (JSON-total-ordered the same way both sides of the prune
+        granularity, feeding read(prune=...) data skipping. The
+        aggregate runs over the FILES JUST WRITTEN, never by
+        re-evaluating the input plan: a non-re-execution-stable df
+        (sample(), rand(), a landing dir racing new files) could
+        otherwise persist one evaluation while the stats describe
+        another, and a too-narrow recorded range would make pruning
+        silently lose rows. At 100 TB the same numbers come for free
+        from the parquet footers. Stats columns must be numeric or
+        string (JSON-total-ordered the same way both sides of the prune
         compare)."""
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.root, "data", commit_id)
@@ -192,8 +198,9 @@ class VersionedTable:
             for c in stats_cols:
                 aggs.append(F.min(c).alias(f"_lo_{c}"))
                 aggs.append(F.max(c).alias(f"_hi_{c}"))
-            for r in df.groupBy(partition_col).agg(*aggs).collect():
-                key = _partition_dir(r[partition_col])
+            written = df.sparkSession.read.parquet(commit_dir)
+            for r in written.groupBy(_PART_DIR).agg(*aggs).collect():
+                key = _partition_dir(r[_PART_DIR])
                 for d in out.get(key, []):
                     stats[d] = {
                         c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in stats_cols

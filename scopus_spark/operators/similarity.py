@@ -919,10 +919,12 @@ def nn_descent(
         n_rows = n_rows if n_rows is not None else n
     base = prepare_vectors(embeddings)
     cents = _refine_centroids(base, n_cells, iters=0)
-    assigned = assign_cells(base, cents)
-    vecs = assigned.select("vec_id", "emb", "nrm").localCheckpoint(
-        eager=False
-    )
+    # pin the cell assignment: its interpreted transform over the
+    # broadcast centroid row would otherwise re-evaluate once for vecs
+    # and once per side of the cell_pairs self-join (the
+    # banded_signatures lesson)
+    assigned = assign_cells(base, cents).localCheckpoint(eager=False)
+    vecs = assigned.select("vec_id", "emb", "nrm")
 
     # build with a wider internal degree, report only the top k: on
     # weakly structured data the k-graph converges to a local optimum

@@ -279,13 +279,16 @@ def winnow_fingerprints_df(
     """
     from pyspark.sql.window import Window
 
-    n_grams = F.greatest(
-        F.length(F.col(text_col)) - (k - 1), F.lit(0)
-    )
-    grams = docs.select(
+    # sub-k-length docs have ZERO grams; sequence(1, 0) would expand to
+    # the DESCENDING [1, 0] (the word_shingles footgun) and, for w <= 2,
+    # those partial-gram rows would survive the frame-count filter as
+    # bogus fingerprints — filter the docs out instead.
+    grams = docs.filter(F.length(F.col(text_col)) >= k).select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),
-        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        F.explode(
+            F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
+        ).alias("pos"),
     ).select(
         "doc_id",
         "pos",

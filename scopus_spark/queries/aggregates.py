@@ -1355,11 +1355,14 @@ def d32_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the marginals (mode(X), mode(Y)) != mode(X, Y) in general,
     which is why it must be computed as its own aggregate.
 
-    Scale: each mode is groupBy(segment, value) with map-side partial
-    counts (value domains are enum-bounded, so the exchange carries
-    |segments| x |domain| rows) + a segment-partitioned top-1 window
-    over those few rows; the customer dim broadcasts into the fact
-    join. No sort of the fact table anywhere."""
+    Scale: ONE pass over the fact — the joint groupBy(segment, pri, st)
+    counts (map-side partials, enum-bounded exchange of
+    |segments| x |domains| rows) are pinned and BOTH marginals
+    re-aggregate from those few joint rows (sum of joint counts = the
+    marginal count, exactly); each mode is then a segment-partitioned
+    top-1 window over a handful of rows. The customer dim broadcasts
+    into the fact join. No sort of the fact table anywhere, and the
+    fact is scanned once, not once per mode."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
@@ -1367,12 +1370,17 @@ def d32_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("pri"),
         F.col("o_orderstatus").alias("st"),
     )
+    joint = (
+        j.groupBy("segment", "pri", "st")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
 
     def mode_of(cols: list[str], out_names: list[str]) -> DataFrame:
         w = Window.partitionBy("segment").orderBy(
             F.col("c").desc(), *[F.col(x) for x in cols]
         )
-        agg = j.groupBy("segment", *cols).agg(F.count(F.lit(1)).alias("c"))
+        agg = joint.groupBy("segment", *cols).agg(F.sum("c").alias("c"))
         top = agg.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") == 1
         )

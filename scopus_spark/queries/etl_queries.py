@@ -580,11 +580,10 @@ def a28_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     end state straight from `orders`; tests/test_manifest.py
     additionally pins that type CHANGES are refused and that pinned
     pre-evolution readers keep the old schema."""
-    import os
     import shutil
 
     from scopus_spark.operators.manifest import VersionedTable
-    from scopus_spark.queries.scans import STAGE_ROOT
+    from scopus_spark.queries.scans import _stage
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -592,12 +591,7 @@ def a28_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderpriority",
         (F.col("o_orderkey") % 4).alias("bucket"),
     )
-    root = os.path.join(
-        STAGE_ROOT,
-        os.path.basename(sf_dir.rstrip("/")),
-        f"pid{os.getpid()}",
-        "a28_evolution",
-    )
+    root = _stage(sf_dir, "a28_evolution")
     shutil.rmtree(root, ignore_errors=True)
     vt = VersionedTable(root)
     vt.write_initial(
@@ -641,21 +635,15 @@ def a29_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain filtered scan. At 100 TB: a time-range query over an
     append-only event lake reads one day's directories, not one
     directory listing per day of history."""
-    import os
     import shutil
 
     from scopus_spark.operators.manifest import VersionedTable
-    from scopus_spark.queries.scans import STAGE_ROOT
+    from scopus_spark.queries.scans import _stage
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
     )
-    root = os.path.join(
-        STAGE_ROOT,
-        os.path.basename(sf_dir.rstrip("/")),
-        f"pid{os.getpid()}",
-        "a29_stats",
-    )
+    root = _stage(sf_dir, "a29_stats")
     shutil.rmtree(root, ignore_errors=True)
     vt = VersionedTable(root)
     vt.write_initial(

@@ -653,11 +653,11 @@ def i15_versioned_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     at table creation so even a batch-0 retry replays as a no-op). At
     100 TB this is the canonical event-lake ingest: day-partitioned
     appends, manifest time-pruned reads."""
-    import os
     import shutil
     from datetime import datetime, timezone
 
     from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
     from scopus_spark.streaming.harness import StreamRig
     from scopus_spark.streaming.sinks import foreach_batch_versioned_append
 
@@ -671,12 +671,7 @@ def i15_versioned_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    target = os.path.join(
-        "/tmp/scopus_spark_stage",
-        os.path.basename(sf_dir.rstrip("/")),
-        f"pid{os.getpid()}",
-        "i15_append",
-    )
+    target = _stage(sf_dir, "i15_append")
     shutil.rmtree(target, ignore_errors=True)
     sink = foreach_batch_versioned_append(
         target,
