@@ -258,3 +258,25 @@ def test_lpa_deterministic_tiebreak_and_partitioning(spark):
     }
     assert a == b
     assert set(a) == {1, 2, 3, 4}
+
+
+def test_ppr_seed_hardening(spark):
+    """Duplicate seed rows and seeds absent from the node set must not
+    change ranks: dups would fan out the roster join, foreign ids would
+    shrink the restart mass."""
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node long")
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    clean = spark.createDataFrame([(0,), (2,)], "node long")
+    noisy = spark.createDataFrame(
+        [(0,), (0,), (2,), (99,)], "node long"  # dup + foreign id
+    )
+    a = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank(nodes, edges, iters=3, seeds=clean).collect()
+    }
+    b = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank(nodes, edges, iters=3, seeds=noisy).collect()
+    }
+    assert a == b
+    assert len(a) == 4  # no duplicate roster rows

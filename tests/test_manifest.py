@@ -272,3 +272,13 @@ def test_append_is_schema_strict(spark, tmp_path):
     bad = spark.createDataFrame([(2, 0)], "k long, b long")  # missing v
     with pytest.raises(ValueError, match="schema-strict"):
         t.append(bad)
+
+
+def test_repeated_partition_values_scan_once(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    got = _snap(t.read(spark, partition_values=[1, 1, 1]))
+    assert got == [(2, "b", 1)]  # not tripled
+    assert t.data_dirs(partition_values=[1, 1]) == t.data_dirs(
+        partition_values=[1]
+    )
