@@ -319,3 +319,94 @@ def k9_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         measure,
         "doc_id bigint, n_chars bigint, measured_chars bigint, len_agrees boolean",
     )
+
+
+# --- k10: cogrouped applyInPandas (two-sided per-key alignment) -----------------------
+@register(
+    "k10",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS user_id, o_orderdate AS od FROM orders
+      WHERE o_custkey <= 200
+    ),
+    e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE user_id <= 200
+    ),
+    k AS (SELECT DISTINCT user_id FROM o UNION SELECT DISTINCT user_id FROM e)
+    SELECT k.user_id,
+           CAST(coalesce((SELECT count(*) FROM o WHERE o.user_id = k.user_id), 0) AS BIGINT)
+             AS n_orders,
+           CAST(coalesce((SELECT count(*) FROM e WHERE e.user_id = k.user_id), 0) AS BIGINT)
+             AS n_events,
+           CAST(coalesce((SELECT count(*)
+                          FROM o JOIN e ON o.user_id = e.user_id
+                                        AND e.ts >= o.od
+                                        AND e.ts < o.od + INTERVAL 1 DAY
+                          WHERE o.user_id = k.user_id), 0) AS BIGINT)
+             AS n_followups
+    FROM k
+    """,
+)
+def k10_cogrouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas — the two-sided Python boundary the
+    k-family lacked: orders and events cogroup on user_id and each key's
+    TWO pandas frames arrive together, the shape custom cross-source
+    alignment logic (as-of matching, trajectory stitching, label
+    attachment) actually needs. The kernel counts, per user, events
+    landing within 1 day after any of the user's orders — numpy
+    broadcasting over the two in-memory frames — plus both side counts
+    (keys present on only one side arrive with an EMPTY opposite frame,
+    exercised deliberately: user_id <= 200 overlaps only partially
+    across the two tables). The oracle recomputes relationally, so the
+    hash gate proves cogroup semantics (key union, empty sides, no row
+    loss), not just the arithmetic.
+
+    Scale: one shuffle per side on the cogroup key; per-key state is
+    one user's rows on each side (the bounded-entity argument of
+    k3/o8). The relational form (c15's binned interval join) is the
+    planner-friendly path — k10 declares the API for kernels Catalyst
+    cannot express."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("od"))
+    )
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 200)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+
+    def align(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n_orders = len(odf)
+        n_events = len(edf)
+        if n_orders and n_events:
+            od = odf["od"].to_numpy(dtype="datetime64[us]")
+            ts = edf["ts"].to_numpy(dtype="datetime64[us]")
+            day = np.timedelta64(1, "D")
+            hits = (ts[None, :] >= od[:, None]) & (
+                ts[None, :] < (od[:, None] + day)
+            )
+            n_follow = int(hits.sum())
+        else:
+            n_follow = 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_orders": [n_orders],
+                "n_events": [n_events],
+                "n_followups": [n_follow],
+            }
+        )
+
+    return (
+        o.groupBy("user_id")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            align,
+            "user_id long, n_orders long, n_events long, n_followups long",
+        )
+    )
