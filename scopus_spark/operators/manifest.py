@@ -193,7 +193,7 @@ class VersionedTable:
                     os.path.join("data", commit_id, name)
                 ]
         stats: dict[str, dict[str, list]] = {}
-        if stats_cols:
+        if stats_cols and out:  # an all-empty batch writes no files at all
             aggs = []
             for c in stats_cols:
                 aggs.append(F.min(c).alias(f"_lo_{c}"))
