@@ -24,15 +24,39 @@ readers get the column without partition discovery, so a manifest's
 directory list can mix commits freely — the same reason Iceberg keeps
 partition data in metadata rather than in path conventions.
 
-At 100 TB the pointer swap becomes the catalog's atomic
-compare-and-swap; everything else (immutable files, manifest pruning by
-partition value, snapshot-pinned readers) is already the at-scale shape.
-Single-writer contract like upsert.py: concurrent WRITERS need a lock or
-CAS the filesystem cannot provide — readers need nothing.
+CONCURRENT WRITERS (round 8): commits are OPTIMISTIC. Every mutator
+writes its immutable data files first (the expensive part, lock-free),
+then enters a short critical section (an exclusive flock on
+``root/_commit.lock``) where it re-reads the current manifest and
+either REBASES onto commits that landed meanwhile or raises
+``CommitConflict``:
+
+- ``append`` always rebases — new directories concatenate onto whatever
+  the latest partition lists are (appends commute with everything).
+- ``merge`` rebases iff no intervening commit touched any of ITS
+  touched partitions; an overlap means its rewrite is stale, so it
+  raises ``CommitConflict`` and the caller re-runs the merge.
+- ``compact`` rebases across intervening appends (their directories are
+  concatenated back onto the compacted output) and concurrent compacts
+  (content-equal rewrites); an intervening MERGE on a target partition
+  conflicts.
+
+Every manifest records its commit's ``op``, the partition keys it
+``touched``, the directories it ``added`` and (for merges) ``replaced``
+— which is also exactly the metadata a CHANGE FEED needs:
+``read_changes(spark, from_v, to_v)`` streams row-level
+insert/delete/update_pre/update_post images at O(delta files) cost by
+reading only the added/replaced directories of the commits in range.
+
+At 100 TB the pointer swap + flock become the catalog's atomic
+compare-and-swap; the rebase/conflict logic transfers verbatim —
+everything else (immutable files, manifest pruning by partition value,
+snapshot-pinned readers) is already the at-scale shape.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -49,7 +73,16 @@ _PART_DIR = "__part"
 _TOKEN_WINDOW = 128
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent commit touched the same partitions; the caller must
+    re-run its operation against the new current snapshot."""
+
+
 def _partition_dir(val) -> str:
+    # must render the same string Spark uses for the partition DIRECTORY
+    # name, because manifest keys come from listing those directories
+    if isinstance(val, bool):
+        return "true" if val else "false"
     return str(val)
 
 
@@ -103,6 +136,31 @@ def _filter_dirs(
     return dirs
 
 
+class _WriterLock:
+    """Exclusive advisory lock for the commit critical section.
+
+    flock is per-open-file-description, so it serializes both threads
+    and processes on one host, and the OS releases it on crash (no
+    stale-lock sweeps). On an object store this becomes the catalog's
+    conditional-put / CAS; the rebase logic above it is unchanged."""
+
+    def __init__(self, root: str):
+        self._path = os.path.join(root, "_commit.lock")
+        self._fd: int | None = None
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+        fcntl.flock(self._fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        assert self._fd is not None
+        fcntl.flock(self._fd, fcntl.LOCK_UN)
+        os.close(self._fd)
+        self._fd = None
+
+
 class VersionedTable:
     """Handle to one snapshot-isolated table rooted at ``root``."""
 
@@ -110,6 +168,13 @@ class VersionedTable:
         self.root = root
         self._manifest_dir = os.path.join(root, "_manifests")
         self._pointer = os.path.join(root, "_current")
+
+    def _commits_between(self, base: int, latest: int) -> list[dict]:
+        """The commit manifests (base, latest], oldest first — the
+        history an optimistic writer rebases across."""
+        return [
+            self._read_manifest(v) for v in range(base + 1, latest + 1)
+        ]
 
     # -- metadata ------------------------------------------------------------
 
@@ -198,9 +263,16 @@ class VersionedTable:
             for c in stats_cols:
                 aggs.append(F.min(c).alias(f"_lo_{c}"))
                 aggs.append(F.max(c).alias(f"_hi_{c}"))
-            written = df.sparkSession.read.parquet(commit_dir)
-            for r in written.groupBy(_PART_DIR).agg(*aggs).collect():
-                key = _partition_dir(r[_PART_DIR])
+            # read the LEAF dirs directly (no hive partition discovery)
+            # and group by the partition column stored inside the files:
+            # directory-name type inference would re-type string values
+            # like '01' -> 1 and the read-back key would silently miss
+            # the manifest key, dropping stats (superset-safe but blind)
+            written = df.sparkSession.read.parquet(
+                *[os.path.join(commit_dir, f"{prefix}{k}") for k in out]
+            )
+            for r in written.groupBy(partition_col).agg(*aggs).collect():
+                key = _partition_dir(r[partition_col])
                 for d in out.get(key, []):
                     stats[d] = {
                         c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in stats_cols
@@ -223,18 +295,28 @@ class VersionedTable:
         parts, stats = self._write_commit_data(
             df, partition_col, stats_cols
         )
-        return self._commit(
-            {
-                "version": 1,
-                "parent": 0,
-                "partition_col": partition_col,
-                "schema": df.schema.json(),
-                "partitions": parts,
-                "stats_cols": list(stats_cols or []),
-                "stats": stats,
-                "tokens": [commit_token] if commit_token else [],
-            }
-        )
+        with _WriterLock(self.root):
+            if self.exists():
+                raise CommitConflict(
+                    f"table already exists at {self.root}; write_initial "
+                    "raced another creator — read the current snapshot "
+                    "and append/merge instead"
+                )
+            return self._commit(
+                {
+                    "version": 1,
+                    "parent": 0,
+                    "op": "create",
+                    "partition_col": partition_col,
+                    "schema": df.schema.json(),
+                    "partitions": parts,
+                    "touched": sorted(parts),
+                    "added": parts,
+                    "stats_cols": list(stats_cols or []),
+                    "stats": stats,
+                    "tokens": [commit_token] if commit_token else [],
+                }
+            )
 
     def data_dirs(
         self,
@@ -284,6 +366,155 @@ class VersionedTable:
             *[os.path.join(self.root, d) for d in dirs]
         ).select(*[f.name for f in schema.fields])
 
+    # -- CHANGE FEED -----------------------------------------------------------
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level CHANGE FEED between two snapshots at O(delta files)
+        cost — never a scan of the corpus. For every commit in
+        ``(from_version, to_version]`` the manifest already records which
+        directories it added and (for merges) replaced, so:
+
+        - append/create commits stream their added directories as
+          ``insert`` rows, reading exactly the batch's files;
+        - merge commits full-outer-join the added vs replaced
+          directories of the TOUCHED partitions on the recorded merge
+          keys, emitting ``insert`` / ``delete`` /
+          ``update_preimage`` / ``update_postimage`` rows (survivor rows
+          — rewritten byte-identical by the partition rewrite — compare
+          equal and drop out, so the feed is the LOGICAL delta, not the
+          physical rewrite);
+        - compact commits are layout-only and contribute nothing.
+
+        Output: the to_version schema (older commits' missing evolved
+        columns surface NULL) plus ``_change_type`` and
+        ``_commit_version``. Pre-images require the replaced directories
+        to still exist, i.e. snapshots >= from_version not vacuumed.
+
+        This is what turns a downstream incremental consumer from
+        O(corpus) (the a17 full-snapshot diff) into O(churn): at 100 TB
+        a monthly delta touches the month's partitions and the feed
+        reads only those directories.
+        """
+        from functools import reduce as _reduce
+
+        if to_version is None:
+            to_version = self.version()
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}"
+            )
+        final = self._read_manifest(to_version)
+        final_schema = StructType.fromJson(json.loads(final["schema"]))
+        reserved = {"_change_type", "_commit_version"}
+        if reserved & {f.name for f in final_schema.fields}:
+            raise ValueError(
+                "table columns collide with change-feed metadata columns "
+                f"{sorted(reserved)}"
+            )
+
+        def _read_dirs(dirs: list[str], schema: StructType) -> DataFrame:
+            if not dirs:
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, d) for d in dirs]
+            ).select(*[f.name for f in schema.fields])
+
+        def _finalize(df: DataFrame, change: str, v: int) -> DataFrame:
+            have = set(df.columns)
+            cols = [
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in final_schema.fields
+            ]
+            return df.select(
+                *cols,
+                F.lit(change).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+
+        pieces: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            c = self._read_manifest(v)
+            op = c.get("op")
+            if op is None:
+                raise ValueError(
+                    f"snapshot v{v} predates change-feed metadata "
+                    "(committed before round 8); the feed needs commits "
+                    "carrying op/added/replaced records"
+                )
+            if op == "compact":
+                continue
+            cschema = StructType.fromJson(json.loads(c["schema"]))
+            names = [f.name for f in cschema.fields]
+            added = [d for ds in c.get("added", {}).values() for d in ds]
+            new = _read_dirs(added, cschema)
+            if op in ("create", "append"):
+                pieces.append(_finalize(new, "insert", v))
+                continue
+            # merge: logical delta = added vs replaced on the merge keys
+            key_cols = c["key_cols"]
+            pschema = StructType.fromJson(
+                json.loads(c.get("parent_schema", c["schema"]))
+            )
+            old = _read_dirs(
+                [d for ds in c.get("replaced", {}).values() for d in ds],
+                pschema,
+            )
+            for f in cschema.fields:  # align pre-evolution pre-images
+                if f.name not in old.columns:
+                    old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+            o = old.select(*names).withColumn("_po", F.lit(1)).alias("o")
+            n = new.withColumn("_pn", F.lit(1)).alias("n")
+            cond = _reduce(
+                lambda a, b: a & b,
+                [F.col(f"o.{k}") == F.col(f"n.{k}") for k in key_cols],
+            )
+            j = o.join(n, cond, "full")
+            sel_old = [F.col(f"o.{x}").alias(x) for x in names]
+            sel_new = [F.col(f"n.{x}").alias(x) for x in names]
+            nonkey = [x for x in names if x not in key_cols]
+            if nonkey:
+                same = F.struct(
+                    *[F.col(f"o.{x}") for x in nonkey]
+                ).eqNullSafe(F.struct(*[F.col(f"n.{x}") for x in nonkey]))
+            else:
+                same = F.lit(True)
+            both = F.col("o._po").isNotNull() & F.col("n._pn").isNotNull()
+            pieces.append(
+                _finalize(
+                    j.filter(F.col("o._po").isNull()).select(*sel_new),
+                    "insert", v,
+                )
+            )
+            pieces.append(
+                _finalize(
+                    j.filter(F.col("n._pn").isNull()).select(*sel_old),
+                    "delete", v,
+                )
+            )
+            changed = j.filter(both & ~same)
+            pieces.append(
+                _finalize(changed.select(*sel_old), "update_preimage", v)
+            )
+            pieces.append(
+                _finalize(changed.select(*sel_new), "update_postimage", v)
+            )
+        if not pieces:
+            empty = StructType(
+                final_schema.fields
+                + StructType.fromDDL(
+                    "_change_type string, _commit_version long"
+                ).fields
+            )
+            return spark.createDataFrame([], empty)
+        return _reduce(DataFrame.unionByName, pieces)
+
     # -- APPEND ----------------------------------------------------------------
 
     def append(self, df: DataFrame, commit_token: str | None = None) -> int:
@@ -297,7 +528,16 @@ class VersionedTable:
         min/max stats stay RANGE-DISJOINT for naturally clustered
         columns (event time, monotone ids) — which is what makes
         read(prune=...) skip whole batches. Same exactly-once
-        ``commit_token`` contract as merge()."""
+        ``commit_token`` contract as merge().
+
+        Concurrency: appends NEVER conflict. The data write happens
+        lock-free against a pre-read snapshot; the commit section
+        re-reads the latest manifest under the writer lock and
+        concatenates onto it, whatever landed meanwhile (appends
+        commute with appends, merges and compactions). The only rebase
+        refusal is a concurrent schema change, which would make this
+        batch's files silently NULL-read — that raises CommitConflict.
+        """
         if not self.exists():
             raise ValueError("append() needs an existing table; "
                              "use write_initial() first")
@@ -323,26 +563,40 @@ class VersionedTable:
         new_parts, new_stats = self._write_commit_data(
             df, m["partition_col"], m.get("stats_cols") or None
         )
-        parts = {k: list(v) for k, v in m["partitions"].items()}
-        for key, dirs in new_parts.items():
-            parts.setdefault(key, []).extend(dirs)
-        stats = dict(m.get("stats", {}))
-        stats.update(new_stats)
-        tokens = list(m.get("tokens", []))
-        if commit_token is not None:
-            tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
-        return self._commit(
-            {
-                "version": m["version"] + 1,
-                "parent": m["version"],
-                "partition_col": m["partition_col"],
-                "schema": m["schema"],
-                "partitions": parts,
-                "stats_cols": list(m.get("stats_cols", [])),
-                "stats": stats,
-                "tokens": tokens,
-            }
-        )
+        with _WriterLock(self.root):
+            latest = self._read_manifest()
+            if commit_token is not None and commit_token in latest.get(
+                "tokens", []
+            ):
+                return latest["version"]
+            if latest["schema"] != m["schema"]:
+                raise CommitConflict(
+                    "schema changed concurrently; this append's files "
+                    "were validated against the old schema — re-run"
+                )
+            parts = {k: list(v) for k, v in latest["partitions"].items()}
+            for key, dirs in new_parts.items():
+                parts.setdefault(key, []).extend(dirs)
+            stats = dict(latest.get("stats", {}))
+            stats.update(new_stats)
+            tokens = list(latest.get("tokens", []))
+            if commit_token is not None:
+                tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
+            return self._commit(
+                {
+                    "version": latest["version"] + 1,
+                    "parent": latest["version"],
+                    "op": "append",
+                    "partition_col": latest["partition_col"],
+                    "schema": latest["schema"],
+                    "partitions": parts,
+                    "touched": sorted(new_parts),
+                    "added": new_parts,
+                    "stats_cols": list(latest.get("stats_cols", [])),
+                    "stats": stats,
+                    "tokens": tokens,
+                }
+            )
 
     # -- MERGE ---------------------------------------------------------------
 
@@ -379,22 +633,49 @@ class VersionedTable:
                     deletes.select(*key_cols), key_cols, "left_anti"
                 )
             parts0, stats0 = self._write_commit_data(delta, partition_col)
-            return self._commit(
-                {
-                    "version": 1,
-                    "parent": 0,
-                    "partition_col": partition_col,
-                    "schema": delta.schema.json(),
-                    "partitions": parts0,
-                    "stats_cols": [],
-                    "stats": stats0,
-                    "tokens": [commit_token] if commit_token else [],
-                }
-            )
+            with _WriterLock(self.root):
+                if self.exists():
+                    raise CommitConflict(
+                        f"table appeared concurrently at {self.root}; "
+                        "re-run the merge against the current snapshot"
+                    )
+                return self._commit(
+                    {
+                        "version": 1,
+                        "parent": 0,
+                        "op": "create",
+                        "partition_col": partition_col,
+                        "schema": delta.schema.json(),
+                        "partitions": parts0,
+                        "touched": sorted(parts0),
+                        "added": parts0,
+                        "key_cols": list(key_cols),
+                        "stats_cols": [],
+                        "stats": stats0,
+                        "tokens": [commit_token] if commit_token else [],
+                    }
+                )
         spark = delta.sparkSession
         m = self._read_manifest()
         if commit_token is not None and commit_token in m.get("tokens", []):
             return m["version"]  # replayed batch: already applied
+        if allow_schema_evolution:
+            # evolution is strictly ADDITIVE: the delta may introduce new
+            # columns, but must still carry every existing one — a
+            # unionByName NULL-fill of a dropped/typo'd old column would
+            # silently corrupt upserted rows
+            have = {f.name for f in delta.schema.fields}
+            missing = [
+                f.name
+                for f in StructType.fromJson(json.loads(m["schema"])).fields
+                if f.name not in have
+            ]
+            if missing:
+                raise ValueError(
+                    "merge(allow_schema_evolution=True) delta is missing "
+                    f"existing table columns {missing}; evolution only "
+                    "permits ADDING columns, never dropping them"
+                )
         drop_keys = delta.select(*key_cols)
         touched_src = delta.select(partition_col)
         if deletes is not None:
@@ -425,35 +706,79 @@ class VersionedTable:
             merged, partition_col, m.get("stats_cols") or None
         )
 
-        parts = dict(m["partitions"])
-        for val in touched:
-            key = _partition_dir(val)
-            new_dirs = new_parts.get(key)
-            if new_dirs is None:
-                # deletes emptied the partition — it leaves the snapshot
-                parts.pop(key, None)
-            else:
-                parts[key] = new_dirs
-        live = {d for ds in parts.values() for d in ds}
-        stats = {
-            d: s for d, s in m.get("stats", {}).items() if d in live
+        touched_keys = {_partition_dir(v) for v in touched}
+        replaced = {
+            k: list(m["partitions"][k])
+            for k in touched_keys
+            if k in m["partitions"]
         }
-        stats.update(new_stats)
-        tokens = list(m.get("tokens", []))
-        if commit_token is not None:
-            tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
-        return self._commit(
-            {
-                "version": m["version"] + 1,
-                "parent": m["version"],
-                "partition_col": partition_col,
-                "schema": schema_json,
-                "partitions": parts,
-                "stats_cols": list(m.get("stats_cols", [])),
-                "stats": stats,
-                "tokens": tokens,
+        with _WriterLock(self.root):
+            latest = self._read_manifest()
+            if commit_token is not None and commit_token in latest.get(
+                "tokens", []
+            ):
+                return latest["version"]
+            if latest["version"] != m["version"]:
+                # rebase is sound only if no intervening commit touched
+                # our partitions: our rewrite of them is a function of
+                # the base snapshot's content
+                for c in self._commits_between(
+                    m["version"], latest["version"]
+                ):
+                    inter = touched_keys & set(
+                        c.get("touched", list(latest["partitions"]))
+                    )
+                    if inter:
+                        raise CommitConflict(
+                            f"concurrent {c.get('op', 'commit')} "
+                            f"v{c['version']} touched partitions "
+                            f"{sorted(inter)} this merge also rewrites; "
+                            "re-run the merge against the new snapshot"
+                        )
+                if latest["schema"] != m["schema"]:
+                    # concurrent ADDITIVE evolution on disjoint
+                    # partitions: final schema is the union; our files
+                    # lack the concurrently-added columns and read NULL
+                    schema_json = _evolve_schema(
+                        StructType.fromJson(json.loads(latest["schema"])),
+                        StructType.fromJson(json.loads(schema_json)),
+                    ).json()
+            parts = dict(latest["partitions"])
+            for key in touched_keys:
+                new_dirs = new_parts.get(key)
+                if new_dirs is None:
+                    # deletes emptied the partition — leaves the snapshot
+                    parts.pop(key, None)
+                else:
+                    parts[key] = new_dirs
+            live = {d for ds in parts.values() for d in ds}
+            stats = {
+                d: s
+                for d, s in latest.get("stats", {}).items()
+                if d in live
             }
-        )
+            stats.update(new_stats)
+            tokens = list(latest.get("tokens", []))
+            if commit_token is not None:
+                tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
+            return self._commit(
+                {
+                    "version": latest["version"] + 1,
+                    "parent": latest["version"],
+                    "op": "merge",
+                    "partition_col": partition_col,
+                    "schema": schema_json,
+                    "partitions": parts,
+                    "touched": sorted(touched_keys),
+                    "added": new_parts,
+                    "replaced": replaced,
+                    "key_cols": list(key_cols),
+                    "parent_schema": m["schema"],
+                    "stats_cols": list(latest.get("stats_cols", [])),
+                    "stats": stats,
+                    "tokens": tokens,
+                }
+            )
 
     # -- layout maintenance ----------------------------------------------------
 
@@ -490,31 +815,77 @@ class VersionedTable:
         if not targets:
             return m["version"]
         pc = m["partition_col"]
-        df = self.read(spark, partition_values=targets).repartition(
-            F.col(pc)
-        )
+        df = self.read(
+            spark, partition_values=targets, at_version=m["version"]
+        ).repartition(F.col(pc))
         new_parts, new_stats = self._write_commit_data(
             df, pc, m.get("stats_cols") or None
         )
-        merged = dict(parts)
-        merged.update(new_parts)
-        live = {d for ds in merged.values() for d in ds}
-        stats = {
-            d: s for d, s in m.get("stats", {}).items() if d in live
-        }
-        stats.update(new_stats)
-        return self._commit(
-            {
-                "version": m["version"] + 1,
-                "parent": m["version"],
-                "partition_col": pc,
-                "schema": m["schema"],
-                "partitions": merged,
-                "stats_cols": list(m.get("stats_cols", [])),
-                "stats": stats,
-                "tokens": list(m.get("tokens", [])),
+        target_keys = set(targets)
+        # snapshot the dirs THIS commit introduced before any rebase
+        # concatenates foreign append dirs into new_parts
+        added = {k: list(ds) for k, ds in new_parts.items()}
+        with _WriterLock(self.root):
+            latest = self._read_manifest()
+            if latest["version"] != m["version"]:
+                # rebase: appends to a target key concatenate back onto
+                # the compacted output (their rows are not in it);
+                # another compact of the same key is a content-equal
+                # rewrite of the same base (skip — its dirs orphan and
+                # its manifest's vacuum releases them); a MERGE made our
+                # rewrite stale, so it conflicts.
+                extra: dict[str, list[str]] = {}
+                for c in self._commits_between(
+                    m["version"], latest["version"]
+                ):
+                    op = c.get("op")
+                    hit = target_keys & set(
+                        c.get("touched", list(latest["partitions"]))
+                    )
+                    if not hit:
+                        continue
+                    if op == "append":
+                        for k in hit:
+                            extra.setdefault(k, []).extend(
+                                c.get("added", {}).get(k, [])
+                            )
+                    elif op != "compact":
+                        raise CommitConflict(
+                            f"concurrent {op or 'commit'} v{c['version']} "
+                            f"rewrote partitions {sorted(hit)} this "
+                            "compaction also rewrites; re-run compact()"
+                        )
+                for k, ds in extra.items():
+                    new_parts.setdefault(k, []).extend(ds)
+                if latest["schema"] != m["schema"]:
+                    raise CommitConflict(
+                        "schema changed concurrently during compaction; "
+                        "re-run compact() against the new snapshot"
+                    )
+            merged = dict(latest["partitions"])
+            merged.update(new_parts)
+            live = {d for ds in merged.values() for d in ds}
+            stats = {
+                d: s
+                for d, s in latest.get("stats", {}).items()
+                if d in live
             }
-        )
+            stats.update(new_stats)
+            return self._commit(
+                {
+                    "version": latest["version"] + 1,
+                    "parent": latest["version"],
+                    "op": "compact",
+                    "partition_col": pc,
+                    "schema": latest["schema"],
+                    "partitions": merged,
+                    "touched": sorted(new_parts),
+                    "added": added,
+                    "stats_cols": list(latest.get("stats_cols", [])),
+                    "stats": stats,
+                    "tokens": list(latest.get("tokens", [])),
+                }
+            )
 
     # -- retention -----------------------------------------------------------
 
@@ -525,37 +896,39 @@ class VersionedTable:
         are unaffected. Returns the removed data dirs (relative)."""
         if not self.exists():
             return []
-        # ignore stale .tmp-* leftovers from a crashed commit attempt —
-        # only fsync'd, os.replace'd manifests count
-        names = sorted(
-            n for n in os.listdir(self._manifest_dir) if n.endswith(".json")
-        )
-        with open(self._pointer) as fh:
-            current = fh.read().strip()
-        # retention is relative to the current pointer, not lexically
-        # newer uncommitted manifests (there are none under the
-        # single-writer contract, but be strict anyway)
-        names = [n for n in names if n <= current]
-        keep, drop = names[-keep_last:], names[:-keep_last]
-        if current not in keep:
-            keep.append(current)
-        referenced: set[str] = set()
-        for n in keep:
-            with open(os.path.join(self._manifest_dir, n)) as fh:
-                for ds in json.load(fh)["partitions"].values():
-                    referenced.update(ds)
-        removed: list[str] = []
-        for n in drop:
-            path = os.path.join(self._manifest_dir, n)
-            with open(path) as fh:
-                for ds in json.load(fh)["partitions"].values():
-                    for d in ds:
-                        if d not in referenced:
-                            shutil.rmtree(
-                                os.path.join(self.root, d),
-                                ignore_errors=True,
-                            )
-                            removed.append(d)
-                            referenced.add(d)  # only rmtree once
-            os.remove(path)
-        return removed
+        with _WriterLock(self.root):
+            # ignore stale .tmp-* leftovers from a crashed commit attempt —
+            # only fsync'd, os.replace'd manifests count
+            names = sorted(
+                n
+                for n in os.listdir(self._manifest_dir)
+                if n.endswith(".json")
+            )
+            with open(self._pointer) as fh:
+                current = fh.read().strip()
+            # retention is relative to the current pointer; the writer
+            # lock pins it for the duration of the sweep
+            names = [n for n in names if n <= current]
+            keep, drop = names[-keep_last:], names[:-keep_last]
+            if current not in keep:
+                keep.append(current)
+            referenced: set[str] = set()
+            for n in keep:
+                with open(os.path.join(self._manifest_dir, n)) as fh:
+                    for ds in json.load(fh)["partitions"].values():
+                        referenced.update(ds)
+            removed: list[str] = []
+            for n in drop:
+                path = os.path.join(self._manifest_dir, n)
+                with open(path) as fh:
+                    for ds in json.load(fh)["partitions"].values():
+                        for d in ds:
+                            if d not in referenced:
+                                shutil.rmtree(
+                                    os.path.join(self.root, d),
+                                    ignore_errors=True,
+                                )
+                                removed.append(d)
+                                referenced.add(d)  # only rmtree once
+                os.remove(path)
+            return removed

@@ -314,7 +314,10 @@ def a17_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     both snapshots shuffle once on the primary key — or not at all when
     stored bucket-co-located (operators/partitioning.py write_bucketed);
     the delta output is proportional to the month's churn, not the
-    corpus."""
+    corpus. When the snapshots live in a VersionedTable, a30
+    (read_changes) is the at-scale path: the manifest already knows the
+    delta directories, so the same feed costs O(delta files) with no
+    corpus-wide join at all."""
     docs = table(spark, sf_dir, "documents")
     snap_a = docs.filter(F.col("doc_id") % 97 != 3).select("doc_id", "text")
     snap_b = docs.filter(F.col("doc_id") % 17 != 2).select(
@@ -574,9 +577,11 @@ def a28_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
     allow_schema_evolution=True. The manifest's schema becomes the
     union; readers pass it explicitly to the scan, so v1's files (which
     physically lack the column) surface NULL priority while the
-    evolved batch carries values — no rewrite of a single old byte
-    (the Iceberg add-column contract: evolution is a metadata commit,
-    cost O(1) at any table size). The oracle recomputes the expected
+    evolved batch carries values. The schema change ITSELF is a pure
+    metadata commit (the Iceberg add-column contract — cost O(1) at any
+    table size, untouched partitions' files are never rewritten), while
+    the accompanying merge still rewrites the partitions its delta
+    touches, exactly like any other merge. The oracle recomputes the expected
     end state straight from `orders`; tests/test_manifest.py
     additionally pins that type CHANGES are refused and that pinned
     pre-evolution readers keep the old schema."""
@@ -657,6 +662,112 @@ def a29_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(spark, prune=("l_orderkey", lo, hi)).filter(
         F.col("l_orderkey").between(lo, hi)
     ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+
+
+# --- a30: manifest change-feed read (incremental CDC at O(delta files)) --------------
+@register(
+    "a30",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 != 3
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 != 2
+    ),
+    d AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.text != b.text THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             md5(a.text) AS old_hash,
+             md5(b.text) AS new_hash
+      FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, change_type, old_hash, new_hash
+    FROM d WHERE change_type != 'unchanged'
+    """,
+)
+def a30_manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-FEED read from the VersionedTable manifest — a17's CDC
+    answer recomputed at O(delta files) instead of O(corpus): snapshot A
+    commits as v1, the monthly delta applies as one keyed MERGE (v2),
+    a compaction rewrites layout (v3, logically silent), and
+    read_changes(1) then streams the exact insert / delete /
+    update_pre/postimage rows by reading ONLY the directories the merge
+    commit added and replaced (operators/manifest.py::read_changes) —
+    the full corpus is never scanned and the compaction contributes
+    nothing. The oracle is a17's relational full-outer diff verbatim, so
+    a green hash proves manifest bookkeeping (added/replaced dirs,
+    parent schema, key columns) reconstructs the same logical delta the
+    O(corpus) join computes. a17 remains the from-raw-files path; this
+    is the at-scale one — a downstream consumer of a 100 TB table pays
+    for the month's churn, not the table."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 16).alias("bucket")
+    snap_a = docs.filter(F.col("doc_id") % 97 != 3).select(
+        "doc_id", "text", bucket
+    )
+    snap_b = docs.filter(F.col("doc_id") % 17 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 1, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        bucket,
+    )
+    root = _stage(sf_dir, "a30_changefeed")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(snap_a, "bucket")  # v1 = snapshot A
+
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    upserts = j.filter(
+        F.col("a.doc_id").isNull()
+        | (F.col("b.doc_id").isNotNull() & (F.col("a.text") != F.col("b.text")))
+    ).select(
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.text").alias("text"),
+        (F.col("b.doc_id") % 16).alias("bucket"),
+    )
+    removes = j.filter(F.col("b.doc_id").isNull()).select(
+        F.col("a.doc_id").alias("doc_id"),
+        (F.col("a.doc_id") % 16).alias("bucket"),
+    )
+    vt.merge(
+        upserts, key_cols=["doc_id"], partition_col="bucket",
+        deletes=removes,
+    )  # v2 = snapshot B
+    vt.compact(spark)  # v3: layout only — must not appear in the feed
+
+    ch = vt.read_changes(spark, from_version=1)
+    h = F.md5("text")
+    return ch.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("_change_type") == "insert", "added")
+            .when(F.col("_change_type") == "delete", "removed")
+            .otherwise("changed")
+        ).alias("change_type"),
+        F.max(
+            F.when(
+                F.col("_change_type").isin("delete", "update_preimage"), h
+            )
+        ).alias("old_hash"),
+        F.max(
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"), h
+            )
+        ).alias("new_hash"),
+    )
 
 
 # --- n16: personalized PageRank (random walk with restart) ---------------------------

@@ -1,0 +1,272 @@
+"""VersionedTable optimistic concurrency + change feed (round 8).
+
+Contracts under test:
+- two writers appending concurrently both land (no lost update; version
+  lineage stays linear, every parent == version-1);
+- a merge racing a commit that touched the same partitions raises
+  CommitConflict instead of silently discarding it;
+- disjoint-partition merges rebase and both survive;
+- compact racing an append rebases the appended rows back in;
+- read_changes streams the exact logical delta (insert / delete /
+  update_pre/postimage) of the commits in range, skips compactions, and
+  reads only delta directories;
+- merge(allow_schema_evolution=True) refuses a delta missing existing
+  columns (the silent-NULL-fill hazard);
+- manifest stats survive string partition values that hive inference
+  would re-type ('01' -> 1).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from scopus_spark.operators.manifest import CommitConflict, VersionedTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, b long")
+
+
+def _snap(df):
+    return sorted((r.k, r.v, r.b) for r in df.collect())
+
+
+def test_two_writer_append_race_loses_nothing(spark, tmp_path):
+    """Interleaved appends from two threads: both batches visible, one
+    linear version chain (the round-7 lost-update hole)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(0, "base", 0)]), "b")
+    errs: list[Exception] = []
+
+    def w(lo: int):
+        try:
+            for i in range(3):
+                VersionedTable(str(tmp_path / "t")).append(
+                    _df(spark, [(lo + i, f"w{lo}", (lo + i) % 2)])
+                )
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    t1, t2 = threading.Thread(target=w, args=(10,)), threading.Thread(
+        target=w, args=(20,)
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert t.version() == 7  # 1 create + 6 appends, none lost
+    got = {r.k for r in t.read(spark).collect()}
+    assert got == {0, 10, 11, 12, 20, 21, 22}
+    # lineage is linear: every manifest's parent is version-1
+    for v in range(2, 8):
+        assert t._read_manifest(v)["parent"] == v - 1
+
+
+def test_merge_conflict_on_overlapping_partitions(spark, tmp_path):
+    """A merge based on v1 must refuse to commit after another merge
+    touched the same partition."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    m1 = t._read_manifest()
+    # simulate: our merge pre-reads v1 now; a rival lands first
+    t.merge(_df(spark, [(1, "rival", 0)]), key_cols=["k"], partition_col="b")
+    assert t.version() == 2
+    # our merge also rewrites partition 0 -> stale rewrite -> conflict
+    with pytest.raises(CommitConflict):
+        # replay the race: monkey-path the base read by using a handle
+        # whose _read_manifest was taken at v1 is not possible from the
+        # public API, so drive the same code path via version check:
+        # merge() re-reads latest itself, so to force the conflict we
+        # interleave with a hook below.
+        _merge_with_stale_base(t, spark, m1)
+    # the rival's update survived
+    assert ("rival" in {r.v for r in t.read(spark).collect()})
+
+
+def _merge_with_stale_base(t, spark, stale_manifest):
+    """Drive merge() while forcing its initial manifest read to return a
+    stale snapshot — the timing a real race produces."""
+    real = t._read_manifest
+    calls = {"n": 0}
+
+    def fake(at_version=None):
+        if at_version is None and calls["n"] == 0:
+            calls["n"] += 1
+            return stale_manifest
+        return real(at_version)
+
+    t._read_manifest = fake
+    try:
+        t.merge(
+            _df(spark, [(1, "ours", 0)]), key_cols=["k"], partition_col="b"
+        )
+    finally:
+        t._read_manifest = real
+
+
+def test_merge_rebases_across_disjoint_partitions(spark, tmp_path):
+    """Merges touching DISJOINT partitions both land: the second rebases
+    onto the first instead of conflicting or overwriting."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    m1 = t._read_manifest()
+    t.merge(_df(spark, [(1, "first", 0)]), key_cols=["k"], partition_col="b")
+
+    real = t._read_manifest
+    calls = {"n": 0}
+
+    def fake(at_version=None):
+        if at_version is None and calls["n"] == 0:
+            calls["n"] += 1
+            return m1
+        return real(at_version)
+
+    t._read_manifest = fake
+    try:
+        t.merge(
+            _df(spark, [(2, "second", 1)]), key_cols=["k"], partition_col="b"
+        )
+    finally:
+        t._read_manifest = real
+    assert _snap(t.read(spark)) == [(1, "first", 0), (2, "second", 1)]
+    assert t.version() == 3
+
+
+def test_compact_rebases_concurrent_append(spark, tmp_path):
+    """compact() based on v1 commits after an append landed: the
+    appended rows must survive the rebase."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(
+        _df(spark, [(1, "a", 0), (2, "b", 0)]).repartition(4), "b"
+    )
+    m1 = t._read_manifest()
+    t.append(_df(spark, [(3, "late", 0)]))
+
+    real = t._read_manifest
+    calls = {"n": 0}
+
+    def fake(at_version=None):
+        if at_version is None and calls["n"] == 0:
+            calls["n"] += 1
+            return m1
+        return real(at_version)
+
+    t._read_manifest = fake
+    try:
+        t.compact(spark)
+    finally:
+        t._read_manifest = real
+    assert _snap(t.read(spark)) == [(1, "a", 0), (2, "b", 0), (3, "late", 0)]
+
+
+def test_change_feed_append_and_merge(spark, tmp_path):
+    """read_changes emits the logical delta only: inserts from appends,
+    insert/delete/update pairs from merges, nothing from compactions."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(
+        _df(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 0)]), "b"
+    )  # v1
+    t.append(_df(spark, [(4, "d", 1)]))  # v2
+    t.merge(  # v3: update k=1, insert k=5, delete k=3
+        _df(spark, [(1, "A", 0), (5, "e", 0)]),
+        key_cols=["k"],
+        partition_col="b",
+        deletes=spark.createDataFrame([(3, 0)], "k long, b long"),
+    )
+    t.compact(spark)  # v4: layout only
+
+    ch = t.read_changes(spark, 1, 4)
+    got = sorted(
+        (r.k, r.v, r._change_type, r._commit_version) for r in ch.collect()
+    )
+    assert got == [
+        (1, "A", "update_postimage", 3),
+        (1, "a", "update_preimage", 3),
+        (3, "c", "delete", 3),
+        (4, "d", "insert", 2),
+        (5, "e", "insert", 3),
+    ]
+    # survivors of the touched partition (none here besides k=1/3/5 in
+    # b=0... k=2 untouched partition) never appear
+    assert 2 not in {g[0] for g in got}
+    # empty range
+    assert t.read_changes(spark, 4, 4).count() == 0
+
+
+def test_change_feed_reads_only_delta_dirs(spark, tmp_path):
+    """The feed's scan set is the commits' added+replaced directories —
+    a full-corpus directory never enters the plan."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(
+        _df(spark, [(i, "x", i % 4) for i in range(40)]), "b"
+    )
+    t.append(_df(spark, [(100, "new", 0)]))  # touches partition 0 only
+    m2 = t._read_manifest(2)
+    assert set(m2["added"]) == {"0"}
+    # O(delta): the one appended dir, not the 4 base partitions
+    n_dirs = sum(len(ds) for ds in m2["added"].values())
+    assert n_dirs == 1
+    got = [(r.k, r._change_type) for r in t.read_changes(spark, 1).collect()]
+    assert got == [(100, "insert")]
+
+
+def test_schema_evolution_rejects_missing_old_columns(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    bad = spark.createDataFrame([(2, 1, "extra")], "k long, b long, nu string")
+    with pytest.raises(ValueError, match="missing existing table columns"):
+        t.merge(
+            bad, key_cols=["k"], partition_col="b",
+            allow_schema_evolution=True,
+        )
+
+
+def test_change_feed_spans_schema_evolution(spark, tmp_path):
+    """Pre-images from before an additive evolution surface NULL in the
+    evolved column; the feed still aligns on the final schema."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    evolved = spark.createDataFrame(
+        [(1, "a2", 0, "tagged")], "k long, v string, b long, tag string"
+    )
+    t.merge(
+        evolved, key_cols=["k"], partition_col="b",
+        allow_schema_evolution=True,
+    )
+    rows = {
+        (r._change_type): (r.k, r.v, r.tag)
+        for r in t.read_changes(spark, 1).collect()
+    }
+    assert rows["update_preimage"] == (1, "a", None)
+    assert rows["update_postimage"] == (1, "a2", "tagged")
+
+
+def test_stats_survive_retypeable_string_partition_values(spark, tmp_path):
+    """'01' as a string partition value must keep its stats keyed by the
+    directory name '01', not inference-re-typed to 1 (ADVICE r7)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "01"), (2, "01"), (9, "true")], "k long, p string"
+    )
+    t.write_initial(df, "p", stats_cols=["k"])
+    m = t._read_manifest()
+    assert set(m["partitions"]) == {"01", "true"}
+    recorded = {
+        d: s["k"] for d, s in m["stats"].items()
+    }
+    # every directory carries stats (nothing silently dropped)
+    all_dirs = {d for ds in m["partitions"].values() for d in ds}
+    assert set(recorded) == all_dirs
+    # and pruning on them actually skips the disjoint directory
+    pruned = t.data_dirs(prune=("k", 8, 10))
+    assert pruned == m["partitions"]["true"]
+
+
+def test_write_initial_race_raises(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    with pytest.raises(CommitConflict):
+        VersionedTable(str(tmp_path / "t")).write_initial(
+            _df(spark, [(2, "b", 0)]), "b"
+        )
