@@ -519,3 +519,95 @@ def paragraph_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text) — remove DUPLICATED
+    SPANS, keep the rest of the document (Lee et al. 2022 ExactSubstr):
+    any run of >= `n` tokens that appeared verbatim EARLIER in the
+    corpus is cut from the later occurrence; the first occurrence and
+    the host document survive. Sits between j47 (drop whole duplicated
+    paragraphs) and j1 (drop whole duplicated docs): boilerplate is
+    excised at exactly its extent.
+
+    Relational form of the suffix-array pass: a duplicated run of >= n
+    tokens is a run of duplicated n-grams, so the union of spans of
+    NON-FIRST n-gram occurrences (first = min (doc_id, start) over the
+    gram hash, the deterministic "seen earlier" order) equals the
+    duplicated-substring coverage at granularity n — j40's detection
+    turned into a transform. md5 grams keep DuckDB oracles
+    bit-identical.
+
+    Plan shape (the 100 TB story): gram building is map-side array
+    work; ONE corpus-scale shuffle on the uniform md5 gram key finds
+    first occurrences; only hashes with >= 2 occurrences join back
+    (delta-sized); removed POSITIONS aggregate per doc (delta-sized
+    rows, small arrays); reassembly is map-side — array_except of the
+    position sequence against the doc's removed set, then token lookup
+    — so the corpus token stream is never shuffled for reassembly
+    (unlike a posexplode/anti-join formulation, which would move every
+    token of every document)."""
+    tk = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tk.alias("w"),
+        F.size(tk).alias("n_tokens"),
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.md5(
+                            F.concat_ws("\x1f", F.slice("w", i, n))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
+    )
+    firsts = (
+        grams.groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "s")).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("h", "first")
+    )
+    removed = (
+        grams.join(firsts, "h")
+        .filter(F.struct("doc_id", "s") > F.col("first"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("p")).alias("ps"),
+            F.count(F.lit(1)).cast("long").alias("n_removed"),
+        )
+    )
+    keep = F.array_except(
+        F.sequence(F.lit(1), F.col("n_tokens")),
+        F.coalesce(F.col("ps"), F.array().cast("array<int>")),
+    )
+    return base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(keep, lambda p: F.element_at("w", p))
+        ).alias("clean_text"),
+    )

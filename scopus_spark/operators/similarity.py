@@ -1026,3 +1026,85 @@ def nn_descent(
             "cos_sim",
         )
     )
+
+
+def graph_beam_search(
+    embeddings: DataFrame,
+    graph: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    beam: int = 16,
+    hops: int = 3,
+) -> DataFrame:
+    """(rank, vec_id, label, cos_sim) — BEAM SEARCH over a prebuilt
+    k-NN graph (the nn_descent output): the HNSW-style query rung of
+    the ANN ladder. IVF/PQ probe by geometry; a graph search walks
+    "neighbors of good candidates are good candidates": start from a
+    deterministic entry set (the `beam` lowest vec_ids — no RNG, stable
+    across runs), score exactly against the query, and for `hops`
+    rounds expand the current best `beam` nodes one edge outward over
+    the SYMMETRIZED graph, keeping the best `beam` of everything seen.
+    Final answer = exact top-k of the visited set.
+
+    Per-hop cost is O(beam * degree) candidate ids — independent of
+    corpus size, which is the whole point: the graph (n·k edges,
+    partitioned on source id) is the only big table, the frontier is
+    broadcast into an equi-join against it, and vector scoring touches
+    only the new candidates (at 100 TB the base table is bucketed by
+    vec_id so the id-probe is a bucket-pruned lookup, not a scan).
+    Deterministic end-to-end: rounded-6dp cosine + id tie-break, fixed
+    entry set, fixed hop count. Recall vs the exact brute-force top-k
+    is pinned in tests/test_graph_search.py (the j48 pattern); with
+    beam >= corpus it degenerates to exact brute force."""
+    base = prepare_vectors(embeddings)
+    qrow = base.filter(F.col("vec_id") == query_vec_id).select(
+        "emb", "nrm"
+    ).collect()[0]
+    qe = F.array(*[F.lit(float(x)) for x in qrow.emb])
+    cos = (
+        F.round(_dot(F.col("emb"), qe) / (F.col("nrm") * F.lit(float(qrow.nrm))), 6)
+        + F.lit(0.0)
+    )
+    pool = base.filter(F.col("vec_id") != query_vec_id)
+
+    def score(ids: DataFrame) -> DataFrame:
+        return ids.join(pool, "vec_id").select(
+            "vec_id", "label", cos.alias("cos_sim")
+        )
+
+    edges = graph.select(
+        F.col("vec_id").alias("src"), F.col("nn_id").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+
+    entry = pool.orderBy("vec_id").limit(beam).select("vec_id")
+    visited = score(entry).localCheckpoint(eager=False)
+    for _ in range(hops):
+        frontier = visited.orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id").asc()
+        ).limit(beam)
+        new_ids = (
+            sym.join(
+                F.broadcast(frontier.select(F.col("vec_id").alias("src"))),
+                "src",
+            )
+            .select(F.col("dst").alias("vec_id"))
+            .filter(F.col("vec_id") != query_vec_id)
+            .distinct()
+            .join(visited.select("vec_id"), "vec_id", "left_anti")
+        )
+        visited = visited.union(score(new_ids)).localCheckpoint(eager=False)
+
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        visited.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "vec_id",
+            "label",
+            "cos_sim",
+        )
+    )

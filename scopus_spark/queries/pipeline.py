@@ -2464,3 +2464,181 @@ def j51_perceptual_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 3)
     )
     return multimodal.perceptual_dhash(media, bits=60)
+
+
+# --- j52: duplicate-SPAN removal (Lee et al. ExactSubstr as a transform) --------------
+@register(
+    "j52",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(n_tokens - 3, 1))) AS s,
+             unnest(list_transform(range(1, greatest(n_tokens - 3, 1)),
+                    i -> md5(array_to_string(w[i : i + 4], chr(31))))) AS h
+      FROM base
+      WHERE n_tokens >= 5
+    ),
+    occ AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+      FROM grams
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(range(s, s + 5)) AS p FROM occ WHERE rn > 1
+      )
+    ),
+    agg AS (
+      SELECT doc_id, list(p ORDER BY p) AS ps,
+             count(*) AS n_removed
+      FROM rem GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INT) AS n_tokens,
+           CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+           sha256(coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, b.n_tokens + 1),
+                           i -> NOT list_contains(coalesce(a.ps, []), i)),
+               i -> w[i]),
+             ' '), '')) AS clean_sha
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def j52_duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN REMOVAL — j40's detection turned into the Lee et
+    al. 2022 ExactSubstr transform (operators/dedup.substring_dedup):
+    every word 5-gram span that appeared verbatim earlier in the corpus
+    (first occurrence = min (doc_id, start) over the md5 gram hash) is
+    CUT from the later document; the first occurrence and the rest of
+    the host document survive, and the doc reassembles from the
+    surviving token positions in order. This is the tier real corpus
+    preps run between paragraph dedup (j47) and whole-doc dedup (j1):
+    it removes boilerplate at exactly its extent instead of dropping
+    the paragraph or document around it.
+
+    Emits per doc: n_tokens, n_removed (the audit count the pipeline
+    thresholds on) and sha256 of the reassembled clean text (keeps the
+    corpus-sized string column off the hashable compare surface, as
+    j47). The oracle recomputes the identical first-occurrence rule
+    relationally, so the hash gate proves the cut-and-reassemble, not
+    just the span metric. Idempotence (re-running the transform on its
+    own output removes nothing) is property-tested in
+    tests/test_substring_dedup.py.
+
+    Scale: one corpus-wide shuffle (uniform md5 gram key, map-side
+    partials collapse within-doc repeats); everything after the
+    >=2-occurrence filter is delta-sized; reassembly is MAP-SIDE
+    (array_except on positions) — the token stream never shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    out = dedup.substring_dedup(d, n=5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
+
+
+# --- j53: beam search over the NN-Descent k-NN graph ----------------------------------
+@register("j53")  # approximate by design (the j48/j49 adjudication): recall
+# vs the exact top-k is pinned in tests/test_graph_search.py, and
+# beam >= corpus provably degenerates to brute force (same test file).
+def j53_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH the j49 k-NN graph — the query half NN-Descent was built
+    for (operators/similarity.graph_beam_search): approximate top-10
+    for the j3 anchor query (vec_id 0) by HNSW-style beam expansion
+    over the symmetrized graph from a deterministic entry set. Closes
+    the ANN ladder's last rung: IVF probes geometry (j17/j28/j31),
+    int8/PQ shrink memory (j41/j48), the graph walk buys query latency
+    independent of corpus size — per hop it touches O(beam * degree)
+    candidate ids, never a cell's worth of vectors. Deterministic
+    end-to-end (fixed entry set, fixed hops, rounded cosine + id
+    tie-break); declared at the rows/schema tier because the answer is
+    approximate, with recall@10 >= 0.9 vs exact brute force pinned in
+    tests/test_graph_search.py."""
+    from scopus_spark.catalog import row_count_estimate
+
+    e = table(spark, sf_dir, "embeddings")
+    n = row_count_estimate(sf_dir, "embeddings")
+    g = similarity.nn_descent(
+        e, k=10, rounds=3, n_cells=similarity.auto_n_cells(n), n_rows=n
+    )
+    return similarity.graph_beam_search(
+        e, g, query_vec_id=0, k=10, beam=16, hops=3
+    )
+
+
+# --- j54: perceptual audio fingerprint over decoded PCM -------------------------------
+@register(
+    "j54",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE octet_length(encode(text)) >= 2
+    ),
+    s AS (
+      SELECT doc_id, i,
+             ('0x' || substr(hx, 4 * i - 3, 2))::BIGINT
+             + 256 * ('0x' || substr(hx, 4 * i - 1, 2))::BIGINT AS u
+      FROM (
+        SELECT doc_id, hx, unnest(range(1, n_bytes // 2 + 1)) AS i FROM b
+      )
+    ),
+    v AS (
+      SELECT doc_id, i,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM s
+    ),
+    en AS (
+      SELECT v.doc_id, (i - 1) // 64 AS f, ((i - 1) % 64) // 16 AS band,
+             sum(v.v * v.v) AS e
+      FROM v JOIN b ON v.doc_id = b.doc_id
+      WHERE (i - 1) // 64 < (b.n_bytes // 2) // 64
+      GROUP BY v.doc_id, (i - 1) // 64, ((i - 1) % 64) // 16
+    ),
+    d AS (
+      SELECT doc_id, f, band, e,
+             lag(e) OVER (PARTITION BY doc_id, band ORDER BY f) AS pe
+      FROM en
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN pe IS NOT NULL AND f <= 15 AND e > pe
+                      THEN (CAST(1 AS BIGINT) << ((f - 1) * 4 + band))
+                      ELSE CAST(0 AS BIGINT) END) AS fp
+      FROM d GROUP BY doc_id
+    )
+    SELECT b.doc_id AS media_id,
+           CAST((b.n_bytes // 2) // 64 AS BIGINT) AS n_frames,
+           CAST(coalesce(fp.fp, 0) AS BIGINT) AS fp
+    FROM b LEFT JOIN fp ON b.doc_id = fp.doc_id
+    """,
+)
+def j54_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL AUDIO FINGERPRINTING through the hash gate — the j51
+    sibling for the audio modality (operators/multimodal.
+    audio_fingerprint): the j35 WAV tier's decoded int16 PCM framed
+    into 64-sample frames, 4 exact-int64 band energies per frame
+    (Haitsma–Kalker 2002's energy-band skeleton with integer sums
+    instead of a float filterbank), and one bit per (frame delta,
+    band) — set iff the band's energy ROSE — packed into a 60-bit
+    int64. Every step is integer arithmetic, so the DuckDB oracle
+    reconstructs the identical fingerprint from the staged bytes
+    (hex-pair int16 decode, integer frame/band bucketing, shifted-bit
+    sum) and a green hash proves the container parse -> PCM decode ->
+    frame -> energy -> sign-delta loop bit-for-bit. Near-dup audio
+    pairing over fp is the j11 hamming-band machinery verbatim — the
+    fingerprint is the new part, declared here.
+
+    100 TB shape: pure Arrow-batch map work (encode -> decode ->
+    fingerprint, two mapInPandas stages, zero shuffle)."""
+    docs = table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 2)
+    return multimodal.audio_fingerprint(multimodal.attach_wav(docs))

@@ -321,6 +321,24 @@ def k9_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _count_followups(odf: pd.DataFrame, edf: pd.DataFrame) -> int:
+    """Sum over orders of |events in [od, od + 1 day)| — interval
+    counting via searchsorted on the SORTED event timestamps:
+    O((n_o + n_e)·log n_e) time, O(n_e) memory. The obvious
+    broadcast-matrix formulation is O(n_o·n_e) BYTES on one Python
+    worker — a 10^5 x 10^5 hot key would materialize ~10 GB of bools;
+    this form handles it in two binary-search passes (pinned by
+    tests/test_udfs_kernels.py on a synthetic hot key)."""
+    import numpy as np
+
+    od = odf["od"].to_numpy(dtype="datetime64[us]")
+    ts = np.sort(edf["ts"].to_numpy(dtype="datetime64[us]"))
+    day = np.timedelta64(1, "D")
+    lo = np.searchsorted(ts, od, side="left")
+    hi = np.searchsorted(ts, od + day, side="left")
+    return int((hi - lo).sum())
+
+
 # --- k10: cogrouped applyInPandas (two-sided per-key alignment) -----------------------
 @register(
     "k10",
@@ -354,8 +372,10 @@ def k10_cogrouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO pandas frames arrive together, the shape custom cross-source
     alignment logic (as-of matching, trajectory stitching, label
     attachment) actually needs. The kernel counts, per user, events
-    landing within 1 day after any of the user's orders — numpy
-    broadcasting over the two in-memory frames — plus both side counts
+    landing within 1 day after any of the user's orders — searchsorted
+    interval counting over the sorted event timestamps
+    (_count_followups: O((n_o+n_e)·log) time, O(n) memory, hot-key
+    safe) — plus both side counts
     (keys present on only one side arrive with an EMPTY opposite frame,
     exercised deliberately: user_id <= 200 overlaps only partially
     across the two tables). The oracle recomputes relationally, so the
@@ -379,20 +399,9 @@ def k10_cogrouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def align(key, odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         n_orders = len(odf)
         n_events = len(edf)
-        if n_orders and n_events:
-            od = odf["od"].to_numpy(dtype="datetime64[us]")
-            ts = edf["ts"].to_numpy(dtype="datetime64[us]")
-            day = np.timedelta64(1, "D")
-            hits = (ts[None, :] >= od[:, None]) & (
-                ts[None, :] < (od[:, None] + day)
-            )
-            n_follow = int(hits.sum())
-        else:
-            n_follow = 0
+        n_follow = _count_followups(odf, edf) if n_orders and n_events else 0
         return pd.DataFrame(
             {
                 "user_id": [int(key[0])],

@@ -35,10 +35,55 @@ SQL_CONFS: dict[str, str] = {
 }
 
 
+STAGE_ROOT = "/tmp/scopus_spark_stage"
+_SWEPT = False
+
+
+def sweep_stale_stage_dirs(root: str = STAGE_ROOT) -> list[str]:
+    """Remove staging dirs left by DEAD driver processes. Every staged
+    artifact is pid-scoped (``pid<N>`` / ``*_pid<N>`` under
+    ``<root>/<sf>/``) so concurrent sessions never collide — but
+    nothing ever pruned dirs whose owner exited, so a long-lived soak
+    box slowly filled /tmp (r7 verdict hygiene item 3). A kill(pid, 0)
+    probe identifies dead owners; live pids (including ours) are left
+    alone. Returns the removed paths (for the unit test)."""
+    import re
+    import shutil
+
+    removed: list[str] = []
+    if not os.path.isdir(root):
+        return removed
+    pat = re.compile(r"(?:^|_)pid(\d+)$")
+    for sf in os.listdir(root):
+        sf_dir = os.path.join(root, sf)
+        if not os.path.isdir(sf_dir):
+            continue
+        for entry in os.listdir(sf_dir):
+            m = pat.search(entry)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+                continue  # owner alive — leave it
+            except ProcessLookupError:
+                pass  # dead: safe to reclaim
+            except PermissionError:
+                continue  # alive under another uid
+            path = os.path.join(sf_dir, entry)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply engine SQL configs to an externally-created session."""
+    global _SWEPT
     for k, v in SQL_CONFS.items():
         spark.conf.set(k, v)
+    if not _SWEPT:
+        _SWEPT = True  # once per process; staged dirs are pid-scoped
+        sweep_stale_stage_dirs()
     return spark
 
 
