@@ -910,6 +910,11 @@ def nn_descent(
     equal output).
 
     Returns (vec_id, nn_id, rank, cos_sim) — rank 1..k per vec_id.
+    COVERAGE GUARANTEE: every vector owns at least one neighbor row —
+    a vector isolated by both init signals is paired with the lowest
+    other vec_id before descent (tests/test_nn_descent.py pins the
+    n=2 degenerate corpus), so callers never see a silently missing
+    neighbor list.
     """
     from pyspark.sql import Window
 
@@ -995,7 +1000,32 @@ def nn_descent(
             )
         )
         rand_pairs = p if rand_pairs is None else rand_pairs.union(p)
-    g = _topk(_score(cell_pairs.union(rand_pairs).distinct())).localCheckpoint(
+    init = cell_pairs.union(rand_pairs)
+    # coverage guarantee: a vector alone in its IVF cell AND alone in
+    # all three hash buckets would otherwise enter descent with ZERO
+    # candidates and silently vanish from the returned graph. Pair any
+    # such isolated vector with the globally-lowest other vec_id (a
+    # deterministic 1-row broadcast) so every vector owns >= 1 edge and
+    # descent can improve it from there.
+    anchor = (
+        vecs.orderBy("vec_id")
+        .limit(2)
+        .agg(F.min("vec_id").alias("lo1"), F.max("vec_id").alias("lo2"))
+    )
+    isolated = (
+        ids.join(init.select(F.col("v").alias("vec_id")).distinct(),
+                 "vec_id", "left_anti")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("vec_id").alias("v"),
+            # the anchor itself falls back to the SECOND-lowest id
+            F.when(F.col("vec_id") == F.col("lo1"), F.col("lo2"))
+            .otherwise(F.col("lo1"))
+            .alias("u"),
+        )
+        .filter(F.col("v") != F.col("u"))
+    )
+    g = _topk(_score(init.union(isolated).distinct())).localCheckpoint(
         eager=False
     )
 

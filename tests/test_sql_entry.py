@@ -89,3 +89,22 @@ def test_survey_inventory_matches_registry():
     for k in reg:
         want = "HASH" if k in oracles else "ROWS/UNIT"
         assert modes[k] == want, f"{k}: SURVEY says {modes[k]}, registry says {want}"
+    # the per-family prose line is generated too (r7 verdict hygiene 1):
+    # it must equal counts recomputed from the live registry
+    fm = re.search(
+        r"<!-- BEGIN GENERATED FAMILY COUNTS.*?-->\n(.*?)\n<!-- END GENERATED FAMILY COUNTS -->",
+        text,
+        re.S,
+    )
+    assert fm, "SURVEY.md lost its generated family-counts block"
+    from collections import Counter
+
+    fams = Counter(re.match(r"([a-z]+)", k).group(1) for k in reg)
+    want_line = (
+        ", ".join(f"{f}={fams[f]}" for f in sorted(fams))
+        + f" — {len(reg)} keys total."
+    )
+    assert fm.group(1).strip() == want_line, (
+        f"family counts drifted: survey={fm.group(1).strip()!r} "
+        f"registry={want_line!r} — run python tools/sync.py"
+    )

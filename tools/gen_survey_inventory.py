@@ -19,6 +19,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BEGIN = "<!-- BEGIN GENERATED KEY INVENTORY (tools/gen_survey_inventory.py) -->"
 END = "<!-- END GENERATED KEY INVENTORY -->"
+FAM_BEGIN = "<!-- BEGIN GENERATED FAMILY COUNTS (tools/gen_survey_inventory.py) -->"
+FAM_END = "<!-- END GENERATED FAMILY COUNTS -->"
+
+
+def build_family_counts() -> str:
+    """The §2 per-family prose line, generated so it can never drift from
+    the registry again (r7 verdict hygiene item 1)."""
+    from collections import Counter
+
+    from scopus_spark import registry
+
+    qs = registry.all_queries()
+    fams = Counter(re.match(r"([a-z]+)", k).group(1) for k in qs)
+    parts = ", ".join(f"{f}={fams[f]}" for f in sorted(fams))
+    return f"{parts} — {len(qs)} keys total."
 
 
 def _family_order(key: str) -> tuple[str, int]:
@@ -61,6 +76,14 @@ def main() -> None:
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SURVEY.md")
     text = open(path).read()
     block = f"{BEGIN}\n\n{build_table()}\n\n{END}"
+    if FAM_BEGIN in text:
+        fam_block = f"{FAM_BEGIN}\n{build_family_counts()}\n{FAM_END}"
+        text = re.sub(
+            re.escape(FAM_BEGIN) + r".*?" + re.escape(FAM_END),
+            fam_block,
+            text,
+            flags=re.S,
+        )
     if BEGIN in text:
         text = re.sub(
             re.escape(BEGIN) + r".*?" + re.escape(END), block, text, flags=re.S
