@@ -852,3 +852,113 @@ def n16_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=5,
         seeds=seeds,
     ).select(F.col("node").alias("doc_id"), F.col("pagerank").alias("ppr"))
+
+
+# --- a31: incremental aggregate maintenance from the change feed ----------------------
+@register(
+    "a31",
+    oracle="""
+    SELECT doc_id % 16 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(CASE WHEN doc_id % 13 = 1 THEN text || ' rev2'
+                                ELSE text END)) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 17 != 2
+    GROUP BY doc_id % 16
+    """,
+)
+def a31_incremental_aggregate_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-AGGREGATE MAINTENANCE off the change
+    feed — the downstream half of a30's story: a per-bucket aggregate
+    (doc count + total chars) materializes against snapshot A (v1),
+    then advances to snapshot B by folding ONLY read_changes(1, 2)
+    deltas — insert adds, delete subtracts, update subtracts the
+    preimage and adds the postimage. The oracle recomputes the
+    aggregate directly over snapshot B, so a green hash proves
+    base(v1) + fold(changes) == recompute(v2) exactly — the
+    incremental-view-maintenance identity every warehouse's
+    "refresh incrementally" button rests on. Counts and char sums are
+    exact int64 arithmetic; no float drift surface.
+
+    At 100 TB: the base aggregate is computed once; each refresh costs
+    O(churn) (the feed's delta files + a bucket-keyed agg of delta
+    rows), never O(corpus) — the monthly-snapshot consumer a17's
+    docstring promises."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 16).alias("bucket")
+    snap_a = docs.filter(F.col("doc_id") % 97 != 3).select(
+        "doc_id", "text", bucket
+    )
+    snap_b = docs.filter(F.col("doc_id") % 17 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 1, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        bucket,
+    )
+    root = _stage(sf_dir, "a31_ivm")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(snap_a, "bucket")
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    upserts = j.filter(
+        F.col("a.doc_id").isNull()
+        | (F.col("b.doc_id").isNotNull() & (F.col("a.text") != F.col("b.text")))
+    ).select(
+        F.col("b.doc_id").alias("doc_id"),
+        F.col("b.text").alias("text"),
+        (F.col("b.doc_id") % 16).alias("bucket"),
+    )
+    removes = j.filter(F.col("b.doc_id").isNull()).select(
+        F.col("a.doc_id").alias("doc_id"),
+        (F.col("a.doc_id") % 16).alias("bucket"),
+    )
+    vt.merge(upserts, key_cols=["doc_id"], partition_col="bucket", deletes=removes)
+
+    base_agg = (
+        vt.read(spark, at_version=1)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(-1)
+    )
+    deltas = (
+        vt.read_changes(spark, 1, 2)
+        .select(
+            "bucket",
+            sign.alias("s"),
+            (sign * F.length("text")).alias("dchars"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("s").cast("long").alias("dn"),
+            F.sum("dchars").cast("long").alias("dc"),
+        )
+    )
+    return (
+        base_agg.join(deltas, "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.coalesce("n_docs", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).cast("long").alias("n_docs"),
+            (
+                F.coalesce("total_chars", F.lit(0)) + F.coalesce("dc", F.lit(0))
+            ).cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )

@@ -2642,3 +2642,268 @@ def j54_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint, two mapInPandas stages, zero shuffle)."""
     docs = table(spark, sf_dir, "documents").filter(F.octet_length("text") >= 2)
     return multimodal.audio_fingerprint(multimodal.attach_wav(docs))
+
+
+# --- j55: eval-set decontamination (n-gram overlap audit) -----------------------------
+@register(
+    "j55",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(nt - 6, 1)),
+                    i -> md5(array_to_string(w[i : i + 7], chr(31))))) AS h
+      FROM base WHERE nt >= 8
+    ),
+    train AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 7 != 3),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, h FROM g WHERE doc_id % 7 = 3),
+    tg AS (
+      SELECT doc_id, count(DISTINCT h) AS n_grams
+      FROM train GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT t.doc_id,
+             count(DISTINCT t.h) AS n_shared_grams,
+             count(DISTINCT b.bench_id) AS n_bench_docs
+      FROM train t JOIN bench b USING (h)
+      GROUP BY t.doc_id
+    )
+    SELECT h.doc_id,
+           CAST(tg.n_grams AS BIGINT) AS n_grams,
+           CAST(h.n_shared_grams AS BIGINT) AS n_shared_grams,
+           CAST(h.n_bench_docs AS BIGINT) AS n_bench_docs,
+           round(CAST(h.n_shared_grams AS DOUBLE) / tg.n_grams, 6) + 0.0
+             AS share_frac
+    FROM hits h JOIN tg USING (doc_id)
+    """,
+)
+def j55_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-SET DECONTAMINATION audit (the GPT-3 appendix-C recipe, Brown
+    et al. 2020: flag training documents sharing long n-grams with the
+    benchmark): the corpus splits into a deterministic "benchmark" slice
+    (doc_id % 7 == 3) and the training remainder; any train document
+    sharing >= 1 word 8-gram with any benchmark document is reported
+    with its distinct shared-gram count, how many benchmark docs it
+    collides with, and the shared fraction of its gram vocabulary — the
+    numbers a pipeline thresholds on before dropping or quarantining
+    docs ahead of an eval release. Complements the dedup tier: j40/j52
+    find repeats anywhere; this is the ASYMMETRIC overlap against a
+    protected set.
+
+    Scale: gram construction is map-side; the one corpus-scale shuffle
+    is the train-gram distinct on the uniform md5 key. The benchmark
+    side is eval-set-sized — thousands of docs against a 100 TB corpus
+    — so its gram set BROADCASTS and the contamination join never
+    shuffles the corpus again; both aggs run on hit rows only
+    (delta-sized). md5 grams keep the oracle bit-identical."""
+    n = 8
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("nt"),
+    )
+    grams = (
+        base.filter(F.col("nt") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("nt") - (n - 1)),
+                    lambda i: F.md5(F.concat_ws("\x1f", F.slice("w", i, n))),
+                )
+            ).alias("h"),
+        )
+    )
+    train = grams.filter(F.col("doc_id") % 7 != 3).distinct()
+    bench = (
+        grams.filter(F.col("doc_id") % 7 == 3)
+        .select(F.col("doc_id").alias("bench_id"), "h")
+        .distinct()
+    )
+    tg = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").cast("long").alias("n_shared_grams"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
+    )
+    return hits.join(tg, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_shared_grams",
+        "n_bench_docs",
+        (
+            F.round(
+                F.col("n_shared_grams").cast("double") / F.col("n_grams"), 6
+            )
+            + F.lit(0.0)
+        ).alias("share_frac"),
+    )
+
+
+# --- j56: within-doc repetition quality signals (the Gopher filter rules) -------------
+_J56_PAR = 20  # paragraph = non-overlapping 20-token window (the j47 convention)
+
+
+@register(
+    "j56",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(w) AS word FROM base
+    ),
+    wc AS (
+      SELECT doc_id, max(c) AS top_w
+      FROM (SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word)
+      GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, nt),
+                    i -> w[i] || chr(31) || w[i + 1])) AS bg
+      FROM base WHERE nt >= 2
+    ),
+    bc AS (
+      SELECT doc_id, max(c) AS top_b
+      FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    ),
+    pars AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(CAST(ceil(nt / {_J56_PAR}.0) AS BIGINT)),
+               i -> array_to_string(
+                 w[CAST(i * {_J56_PAR} + 1 AS BIGINT)
+                   :CAST(i * {_J56_PAR} + {_J56_PAR} AS BIGINT)], ' '))) AS par
+      FROM base
+    ),
+    pc AS (
+      SELECT doc_id, count(*) AS n_pars, count(DISTINCT par) AS n_unique
+      FROM pars GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.nt AS INT) AS n_tokens,
+           round(CAST(wc.top_w AS DOUBLE) / b.nt, 6) + 0.0 AS top_word_frac,
+           round(CAST(coalesce(bc.top_b, 0) AS DOUBLE)
+                 / greatest(b.nt - 1, 1), 6) + 0.0 AS top_bigram_frac,
+           round(CAST(pc.n_pars - pc.n_unique AS DOUBLE) / pc.n_pars, 6) + 0.0
+             AS dup_par_frac,
+           (round(CAST(wc.top_w AS DOUBLE) / b.nt, 6) <= 0.2
+            AND round(CAST(coalesce(bc.top_b, 0) AS DOUBLE)
+                      / greatest(b.nt - 1, 1), 6) <= 0.18
+            AND round(CAST(pc.n_pars - pc.n_unique AS DOUBLE)
+                      / pc.n_pars, 6) <= 0.3) AS keep
+    FROM base b
+    JOIN wc USING (doc_id)
+    LEFT JOIN bc USING (doc_id)
+    JOIN pc USING (doc_id)
+    """,
+)
+def j56_repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOCUMENT repetition signals — the Gopher quality-filter
+    rules (Rae et al. 2021, App. A1: drop docs whose most frequent
+    word/n-gram or duplicated paragraphs dominate): per doc, the
+    fraction of tokens taken by the single most frequent word, by the
+    most frequent bigram, and the fraction of 20-token paragraphs that
+    repeat within the doc, plus the keep/drop verdict at Gopher-style
+    thresholds (0.2 / 0.18 / 0.3 on the ROUNDED values, so both engines
+    decide identically). The dedup tier (j1/j47/j52) handles
+    cross-corpus repetition; this is the intra-doc degeneracy filter —
+    spam keyword stuffing, templated listings, lyric loops — that runs
+    in every production quality pass alongside j5's length/charset
+    heuristics.
+
+    Scale: three groupBys keyed by (doc_id, token-ish) — all map-side
+    partial-aggregated, no joins wider than the doc roster, no windows,
+    no UDFs. Thresholds compare rounded(6dp) doubles, keeping the
+    boolean on the exact-compare surface."""
+    par = _J56_PAR
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("nt"),
+    )
+    words = base.select("doc_id", "nt", F.explode("w").alias("word"))
+    wc = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_w"))
+    )
+    bigrams = base.filter(F.col("nt") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("nt") - 1),
+                lambda i: F.concat_ws(
+                    "\x1f",
+                    F.element_at("w", i),
+                    F.element_at("w", i + F.lit(1)),
+                ),
+            )
+        ).alias("bg"),
+    )
+    bc = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_b"))
+    )
+    n_par = F.ceil(F.col("nt") / F.lit(float(par))).cast("int")
+    pars = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_par - 1),
+                lambda i: F.array_join(
+                    F.slice("w", i * par + 1, F.lit(par)), " "
+                ),
+            )
+        ).alias("par"),
+    )
+    pc = pars.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pars"),
+        F.countDistinct("par").alias("n_unique"),
+    )
+    top_word_frac = F.round(F.col("top_w").cast("double") / F.col("nt"), 6)
+    top_bigram_frac = F.round(
+        F.coalesce(F.col("top_b"), F.lit(0)).cast("double")
+        / F.greatest(F.col("nt") - 1, F.lit(1)),
+        6,
+    )
+    dup_par_frac = F.round(
+        (F.col("n_pars") - F.col("n_unique")).cast("double") / F.col("n_pars"),
+        6,
+    )
+    return (
+        base.select("doc_id", "nt")
+        .join(wc, "doc_id")
+        .join(bc, "doc_id", "left")
+        .join(pc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            (top_word_frac + F.lit(0.0)).alias("top_word_frac"),
+            (top_bigram_frac + F.lit(0.0)).alias("top_bigram_frac"),
+            (dup_par_frac + F.lit(0.0)).alias("dup_par_frac"),
+            (
+                (top_word_frac <= 0.2)
+                & (top_bigram_frac <= 0.18)
+                & (dup_par_frac <= 0.3)
+            ).alias("keep"),
+        )
+    )
