@@ -366,6 +366,41 @@ class VersionedTable:
             *[os.path.join(self.root, d) for d in dirs]
         ).select(*[f.name for f in schema.fields])
 
+    # -- HISTORY ---------------------------------------------------------------
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Snapshot lineage as a DataFrame (the DESCRIBE HISTORY analog):
+        one row per RETAINED manifest — version, parent, op, partition
+        key counts, directories added, whether the commit carried an
+        exactly-once token. Metadata-only (reads manifests, never data
+        files); vacuumed versions no longer appear."""
+        rows = []
+        if self.exists():
+            names = sorted(
+                n
+                for n in os.listdir(self._manifest_dir)
+                if n.endswith(".json")
+            )
+            for name in names:
+                with open(os.path.join(self._manifest_dir, name)) as fh:
+                    m = json.load(fh)
+                rows.append(
+                    (
+                        m["version"],
+                        m.get("parent", m["version"] - 1),
+                        m.get("op", "unknown"),
+                        len(m.get("touched", [])),
+                        len(m["partitions"]),
+                        sum(len(ds) for ds in m.get("added", {}).values()),
+                        bool(m.get("tokens")),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "version long, parent long, op string, n_touched int, "
+            "n_partitions int, n_added_dirs int, has_token boolean",
+        )
+
     # -- CHANGE FEED -----------------------------------------------------------
 
     def read_changes(

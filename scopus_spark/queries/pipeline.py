@@ -2907,3 +2907,85 @@ def j56_repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("keep"),
         )
     )
+
+
+# --- j57: sequence packing for pretraining (concat-and-chunk prefix sum) --------------
+_J57_CAP = 512  # context-window capacity in tokens
+_J57_BUCKET = 1024  # doc_id range width per prefix-sum bucket
+
+
+@register(
+    "j57",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT)                         AS n_tokens,
+           CAST(start // {_J57_CAP} AS BIGINT)           AS pack_id,
+           CAST(start % {_J57_CAP} AS BIGINT)            AS pack_offset,
+           CAST((start + n_tokens - 1) // {_J57_CAP}
+                - start // {_J57_CAP} + 1 AS BIGINT)     AS n_packs_spanned
+    FROM c
+    """,
+)
+def j57_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for pretraining — the GPT-style concat-and-chunk
+    layout: the corpus token stream (docs in doc_id order) is
+    conceptually concatenated and cut into fixed {cap}-token context
+    windows; each doc gets its pack id, offset inside the pack, and how
+    many windows it spans (the attention-mask / boundary-loss
+    bookkeeping a packing job must emit). The core computation is a
+    GLOBAL PREFIX SUM of token counts — the one primitive here Spark's
+    window would naively run on a single partition — implemented as the
+    scalable two-pass shape instead: per-range-bucket cumulative sums
+    (window partitioned by doc_id div {bucket}), bucket totals
+    prefix-summed on the tiny aggregated table (corpus/{bucket} rows),
+    and the offsets broadcast back. At 100 TB no stage ever sees more
+    than a bucket's rows in one task; the oracle is the plain
+    single-stream window cumsum, so the hash gate proves the
+    distributed prefix sum equals the sequential semantics exactly.
+    """
+    cap, bucket = _J57_CAP, _J57_BUCKET
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.col("doc_id") / bucket).cast("long").alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = t.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = t.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.withColumn(
+        "bkt_prefix", F.coalesce(F.sum("tot").over(w_bkt), F.lit(0))
+    ).select("bkt", "bkt_prefix")
+    start = (F.col("bkt_prefix") + F.col("local_start")).alias("start")
+    c = within.join(F.broadcast(prefixes), "bkt").select(
+        "doc_id", "n_tokens", start
+    )
+    # `div` = integer division (exact on int64; float `/` would round
+    # through double and drift past 2^53 at corpus scale)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"start div {cap}").cast("long").alias("pack_id"),
+        (F.col("start") % cap).cast("long").alias("pack_offset"),
+        (
+            F.expr(f"(start + n_tokens - 1) div {cap}")
+            - F.expr(f"start div {cap}")
+            + F.lit(1)
+        ).cast("long").alias("n_packs_spanned"),
+    )

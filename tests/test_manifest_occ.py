@@ -270,3 +270,64 @@ def test_write_initial_race_raises(spark, tmp_path):
         VersionedTable(str(tmp_path / "t")).write_initial(
             _df(spark, [(2, "b", 0)]), "b"
         )
+
+
+def test_history_lineage(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    t.append(_df(spark, [(3, "c", 0)]))
+    t.merge(_df(spark, [(1, "A", 0)]), key_cols=["k"], partition_col="b")
+    t.compact(spark)
+    h = {r.version: r for r in t.history(spark).collect()}
+    assert [h[v].op for v in sorted(h)] == [
+        "create", "append", "merge", "compact"
+    ]
+    assert all(h[v].parent == v - 1 for v in sorted(h))
+    t.vacuum(keep_last=2)
+    assert sorted(r.version for r in t.history(spark).collect()) == [3, 4]
+
+
+def test_live_thread_disjoint_merges_both_land(spark, tmp_path):
+    """Two REAL threads merging disjoint partitions concurrently: both
+    commits land (one rebases), no lost update, content correct."""
+    import threading
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    errs: list[Exception] = []
+
+    def m(k, v, b):
+        try:
+            VersionedTable(str(tmp_path / "t")).merge(
+                _df(spark, [(k, v, b)]), key_cols=["k"], partition_col="b"
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=m, args=(1, "left", 0))
+    t2 = threading.Thread(target=m, args=(2, "right", 1))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert t.version() == 3
+    assert _snap(t.read(spark)) == [(1, "left", 0), (2, "right", 1)]
+
+
+def test_change_feed_accumulates_across_commits(spark, tmp_path):
+    """Two merges + one append: the feed carries each commit's logical
+    delta tagged with its version."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    t.merge(_df(spark, [(1, "a2", 0)]), key_cols=["k"], partition_col="b")
+    t.append(_df(spark, [(3, "c", 1)]))
+    t.merge(_df(spark, [(1, "a3", 0)]), key_cols=["k"], partition_col="b")
+    got = sorted(
+        (r._commit_version, r._change_type, r.k, r.v)
+        for r in t.read_changes(spark, 1).collect()
+    )
+    assert got == [
+        (2, "update_postimage", 1, "a2"),
+        (2, "update_preimage", 1, "a"),
+        (3, "insert", 3, "c"),
+        (4, "update_postimage", 1, "a3"),
+        (4, "update_preimage", 1, "a2"),
+    ]
