@@ -754,12 +754,17 @@ class VersionedTable:
             ):
                 return latest["version"]
             if latest["version"] != m["version"]:
-                # rebase is sound only if no intervening commit touched
-                # our partitions: our rewrite of them is a function of
-                # the base snapshot's content
+                # rebase is sound only if no intervening commit CHANGED
+                # our partitions' content: our rewrite of them is a
+                # function of the base snapshot's content. A concurrent
+                # COMPACT is content-preserving, so replacing its output
+                # with our rewrite (derived from the equal base content)
+                # stays correct — only appends/merges/creates conflict.
                 for c in self._commits_between(
                     m["version"], latest["version"]
                 ):
+                    if c.get("op") == "compact":
+                        continue
                     inter = touched_keys & set(
                         c.get("touched", list(latest["partitions"]))
                     )

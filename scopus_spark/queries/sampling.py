@@ -441,3 +441,66 @@ def m9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_M9_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --- m10: temperature-scaled source mixture weights (data-mixture planning) -----------
+_M10_ALPHA = 0.7
+_M10_BUDGET = 1_000_000
+
+
+@register(
+    "m10",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             exp({_M10_ALPHA} * ln(CAST(n_docs AS DOUBLE))) AS raw_w
+      FROM s
+    ),
+    z AS (SELECT sum(raw_w) AS z FROM w)
+    SELECT w.source, w.n_docs, w.n_chars,
+           round(w.raw_w / z.z, 6) + 0.0 AS mix_weight,
+           CAST(floor({_M10_BUDGET} * w.raw_w / z.z) AS BIGINT)
+             AS token_budget
+    FROM w CROSS JOIN z
+    """,
+)
+def m10_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED DATA-MIXTURE PLANNING — the multilingual /
+    multi-source sampling recipe (exponentiated-count smoothing,
+    alpha = 0.7 as in XLM-R / mT5): per source, weight ∝ n_docs^alpha,
+    normalized, plus the integer token budget a 1M-token training epoch
+    would allocate. Alpha < 1 upsamples the tail sources and downsamples
+    the head — the knob every multi-corpus pretraining mix is tuned
+    with; this emits the exact plan a sampler (m1/m9's machinery)
+    executes. No RNG: the op is pure aggregation arithmetic, so it is
+    HASH-gated — n^alpha is written exp(alpha·ln n) IDENTICALLY in both
+    engines (one libm exp + one libm ln on the same doubles), and the
+    weight surfaces rounded.
+
+    Scale: one partial-aggregated groupBy(source) (bounded key space) +
+    a 1-row normalizer broadcast — the same shape at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    raw_w = F.exp(F.lit(_M10_ALPHA) * F.log(F.col("n_docs").cast("double")))
+    w = s.withColumn("raw_w", raw_w)
+    z = w.agg(F.sum("raw_w").alias("z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.round(F.col("raw_w") / F.col("z"), 6) + F.lit(0.0)).alias(
+            "mix_weight"
+        ),
+        F.floor(F.lit(_M10_BUDGET) * F.col("raw_w") / F.col("z"))
+        .cast("long")
+        .alias("token_budget"),
+    )

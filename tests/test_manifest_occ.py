@@ -331,3 +331,34 @@ def test_change_feed_accumulates_across_commits(spark, tmp_path):
         (4, "update_postimage", 1, "a3"),
         (4, "update_preimage", 1, "a2"),
     ]
+
+
+def test_merge_rebases_across_concurrent_compact(spark, tmp_path):
+    """A compact is content-preserving, so a merge based on the
+    pre-compact snapshot may still commit: its rewrite derives from
+    content equal to the compacted output."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(
+        _df(spark, [(1, "a", 0), (2, "b", 0)]).repartition(4), "b"
+    )
+    m1 = t._read_manifest()
+    t.compact(spark)  # v2 rewrites partition 0
+
+    real = t._read_manifest
+    calls = {"n": 0}
+
+    def fake(at_version=None):
+        if at_version is None and calls["n"] == 0:
+            calls["n"] += 1
+            return m1
+        return real(at_version)
+
+    t._read_manifest = fake
+    try:
+        t.merge(  # based on v1, touches the compacted partition
+            _df(spark, [(1, "A", 0)]), key_cols=["k"], partition_col="b"
+        )
+    finally:
+        t._read_manifest = real
+    assert t.version() == 3
+    assert _snap(t.read(spark)) == [(1, "A", 0), (2, "b", 0)]
