@@ -462,7 +462,8 @@ _M10_BUDGET = 1_000_000
              exp({_M10_ALPHA} * ln(CAST(n_docs AS DOUBLE))) AS raw_w
       FROM s
     ),
-    z AS (SELECT sum(raw_w) AS z FROM w)
+    z AS (SELECT CAST(sum(CAST(raw_w AS DECIMAL(38,18))) AS DOUBLE) AS z
+          FROM w)
     SELECT w.source, w.n_docs, w.n_chars,
            round(w.raw_w / z.z, 6) + 0.0 AS mix_weight,
            CAST(floor({_M10_BUDGET} * w.raw_w / z.z) AS BIGINT)
@@ -492,7 +493,14 @@ def m10_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw_w = F.exp(F.lit(_M10_ALPHA) * F.log(F.col("n_docs").cast("double")))
     w = s.withColumn("raw_w", raw_w)
-    z = w.agg(F.sum("raw_w").alias("z"))
+    # order-insensitive normalizer: the double sum would depend on
+    # partition order; summing through DECIMAL(38,18) is exact, so both
+    # engines (and any partitioning) agree bit-for-bit (the n6 trick)
+    z = w.agg(
+        F.sum(F.col("raw_w").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("z")
+    )
     return w.crossJoin(F.broadcast(z)).select(
         "source",
         "n_docs",
