@@ -455,6 +455,18 @@ class VersionedTable:
         def _read_dirs(dirs: list[str], schema: StructType) -> DataFrame:
             if not dirs:
                 return spark.createDataFrame([], schema)
+            gone = [
+                d
+                for d in dirs
+                if not os.path.isdir(os.path.join(self.root, d))
+            ]
+            if gone:
+                raise ValueError(
+                    f"change-feed data dirs {gone[:3]}{'...' if len(gone) > 3 else ''} "
+                    "no longer exist — the range's snapshots were vacuumed; "
+                    "retain snapshots >= from_version while consumers need "
+                    "the feed (vacuum keep_last)"
+                )
             return spark.read.schema(schema).parquet(
                 *[os.path.join(self.root, d) for d in dirs]
             ).select(*[f.name for f in schema.fields])

@@ -362,3 +362,12 @@ def test_merge_rebases_across_concurrent_compact(spark, tmp_path):
         t._read_manifest = real
     assert t.version() == 3
     assert _snap(t.read(spark)) == [(1, "A", 0), (2, "b", 0)]
+
+
+def test_change_feed_vacuumed_preimages_fail_loudly(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    t.merge(_df(spark, [(1, "a2", 0)]), key_cols=["k"], partition_col="b")
+    t.vacuum(keep_last=1)  # drops v1 and the merge's replaced dirs
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read_changes(spark, 1, 2).collect()
