@@ -311,3 +311,148 @@ def winnow_fingerprints_df(
         (-F.col("m.np")).cast("long").alias("pos"),
         F.col("m.h").alias("fp"),
     ).distinct()
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    par_tokens: int = 20,
+    max_word_frac: float = 0.2,
+    max_bigram_frac: float = 0.18,
+    max_dup_par_frac: float = 0.3,
+) -> DataFrame:
+    """(doc_id, n_tokens, top_word_frac, top_bigram_frac, dup_par_frac,
+    keep) — the Gopher within-document repetition filters (Rae et al.
+    2021 App. A1), shared by j56 (the declared signal report) and j58
+    (the end-to-end corpus-prep composite). Thresholds compare the
+    ROUNDED (6dp) fractions so any engine computing the same integers
+    reaches the same verdict. Three map-side partial groupBys; no
+    windows, no UDFs."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+        F.size(F.split(F.col(text_col), " ")).alias("nt"),
+    )
+    words = base.select("doc_id", F.explode("w").alias("word"))
+    wc = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_w"))
+    )
+    bigrams = base.filter(F.col("nt") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("nt") - 1),
+                lambda i: F.concat_ws(
+                    "\x1f",
+                    F.element_at("w", i),
+                    F.element_at("w", i + F.lit(1)),
+                ),
+            )
+        ).alias("bg"),
+    )
+    bc = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_b"))
+    )
+    n_par = F.ceil(F.col("nt") / F.lit(float(par_tokens))).cast("int")
+    pars = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_par - 1),
+                lambda i: F.array_join(
+                    F.slice("w", i * par_tokens + 1, F.lit(par_tokens)), " "
+                ),
+            )
+        ).alias("par"),
+    )
+    pc = pars.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pars"),
+        F.countDistinct("par").alias("n_unique"),
+    )
+    top_word_frac = F.round(F.col("top_w").cast("double") / F.col("nt"), 6)
+    top_bigram_frac = F.round(
+        F.coalesce(F.col("top_b"), F.lit(0)).cast("double")
+        / F.greatest(F.col("nt") - 1, F.lit(1)),
+        6,
+    )
+    dup_par_frac = F.round(
+        (F.col("n_pars") - F.col("n_unique")).cast("double") / F.col("n_pars"),
+        6,
+    )
+    return (
+        base.select("doc_id", "nt")
+        .join(wc, "doc_id")
+        .join(bc, "doc_id", "left")
+        .join(pc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            (top_word_frac + F.lit(0.0)).alias("top_word_frac"),
+            (top_bigram_frac + F.lit(0.0)).alias("top_bigram_frac"),
+            (dup_par_frac + F.lit(0.0)).alias("dup_par_frac"),
+            (
+                (top_word_frac <= max_word_frac)
+                & (top_bigram_frac <= max_bigram_frac)
+                & (dup_par_frac <= max_dup_par_frac)
+            ).alias("keep"),
+        )
+    )
+
+
+def pack_sequences(
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    cap: int = 512,
+    bucket: int = 1024,
+) -> DataFrame:
+    """(doc_id, n_tokens, pack_id, pack_offset, n_packs_spanned) —
+    concat-and-chunk sequence packing over (id, token-count) rows in
+    id order. The global prefix sum runs as the scalable two-pass
+    shape: per-id-range-bucket window cumsums, bucket totals
+    prefix-summed on the tiny aggregated table, offsets broadcast
+    back — no stage ever materializes a single global partition.
+    Shared by j57 (raw corpus) and j58 (the cleaned corpus)."""
+    from pyspark.sql.window import Window
+
+    t = counts.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).alias("n_tokens"),
+        (F.col(id_col) / bucket).cast("long").alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = t.withColumn(
+        "local_start", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = t.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
+    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.withColumn(
+        "bkt_prefix", F.coalesce(F.sum("tot").over(w_bkt), F.lit(0))
+    ).select("bkt", "bkt_prefix")
+    c = within.join(F.broadcast(prefixes), "bkt").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("bkt_prefix") + F.col("local_start")).alias("start"),
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"start div {cap}").cast("long").alias("pack_id"),
+        (F.col("start") % cap).cast("long").alias("pack_offset"),
+        (
+            F.expr(f"(start + n_tokens - 1) div {cap}")
+            - F.expr(f"start div {cap}")
+            + F.lit(1)
+        ).cast("long").alias("n_packs_spanned"),
+    )

@@ -2829,84 +2829,12 @@ def j56_repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: three groupBys keyed by (doc_id, token-ish) — all map-side
     partial-aggregated, no joins wider than the doc roster, no windows,
     no UDFs. Thresholds compare rounded(6dp) doubles, keeping the
-    boolean on the exact-compare surface."""
-    par = _J56_PAR
+    boolean on the exact-compare surface. Shared implementation:
+    operators/text.repetition_signals (j58 consumes the same filter)."""
+    from scopus_spark.operators.text import repetition_signals
+
     d = table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        F.split("text", " ").alias("w"),
-        F.size(F.split("text", " ")).alias("nt"),
-    )
-    words = base.select("doc_id", "nt", F.explode("w").alias("word"))
-    wc = (
-        words.groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_w"))
-    )
-    bigrams = base.filter(F.col("nt") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("nt") - 1),
-                lambda i: F.concat_ws(
-                    "\x1f",
-                    F.element_at("w", i),
-                    F.element_at("w", i + F.lit(1)),
-                ),
-            )
-        ).alias("bg"),
-    )
-    bc = (
-        bigrams.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_b"))
-    )
-    n_par = F.ceil(F.col("nt") / F.lit(float(par))).cast("int")
-    pars = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_par - 1),
-                lambda i: F.array_join(
-                    F.slice("w", i * par + 1, F.lit(par)), " "
-                ),
-            )
-        ).alias("par"),
-    )
-    pc = pars.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_pars"),
-        F.countDistinct("par").alias("n_unique"),
-    )
-    top_word_frac = F.round(F.col("top_w").cast("double") / F.col("nt"), 6)
-    top_bigram_frac = F.round(
-        F.coalesce(F.col("top_b"), F.lit(0)).cast("double")
-        / F.greatest(F.col("nt") - 1, F.lit(1)),
-        6,
-    )
-    dup_par_frac = F.round(
-        (F.col("n_pars") - F.col("n_unique")).cast("double") / F.col("n_pars"),
-        6,
-    )
-    return (
-        base.select("doc_id", "nt")
-        .join(wc, "doc_id")
-        .join(bc, "doc_id", "left")
-        .join(pc, "doc_id")
-        .select(
-            "doc_id",
-            F.col("nt").alias("n_tokens"),
-            (top_word_frac + F.lit(0.0)).alias("top_word_frac"),
-            (top_bigram_frac + F.lit(0.0)).alias("top_bigram_frac"),
-            (dup_par_frac + F.lit(0.0)).alias("dup_par_frac"),
-            (
-                (top_word_frac <= 0.2)
-                & (top_bigram_frac <= 0.18)
-                & (dup_par_frac <= 0.3)
-            ).alias("keep"),
-        )
-    )
+    return repetition_signals(d, par_tokens=_J56_PAR)
 
 
 # --- j57: sequence packing for pretraining (concat-and-chunk prefix sum) --------------
@@ -2952,40 +2880,143 @@ def j57_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-stream window cumsum, so the hash gate proves the
     distributed prefix sum equals the sequential semantics exactly.
     """
-    cap, bucket = _J57_CAP, _J57_BUCKET
+    from scopus_spark.operators.text import pack_sequences
+
     d = table(spark, sf_dir, "documents")
-    t = d.select(
+    counts = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(
+        counts, cap=_J57_CAP, bucket=_J57_BUCKET
+    )
+
+
+# --- j58: end-to-end corpus-prep composite (filter -> span-dedup -> pack) -------------
+@register(
+    "j58",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS word FROM base),
+    wc AS (
+      SELECT doc_id, max(c) AS top_w
+      FROM (SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word)
+      GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, nt),
+                    i -> w[i] || chr(31) || w[i + 1])) AS bg
+      FROM base WHERE nt >= 2
+    ),
+    bc AS (
+      SELECT doc_id, max(c) AS top_b
+      FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    ),
+    pars AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(CAST(ceil(nt / 20.0) AS BIGINT)),
+               i -> array_to_string(
+                 w[CAST(i * 20 + 1 AS BIGINT):CAST(i * 20 + 20 AS BIGINT)],
+                 ' '))) AS par
+      FROM base
+    ),
+    pc AS (
+      SELECT doc_id, count(*) AS n_pars, count(DISTINCT par) AS n_unique
+      FROM pars GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT b.doc_id
+      FROM base b
+      JOIN wc USING (doc_id)
+      LEFT JOIN bc USING (doc_id)
+      JOIN pc USING (doc_id)
+      WHERE round(CAST(wc.top_w AS DOUBLE) / b.nt, 6) <= 0.2
+        AND round(CAST(coalesce(bc.top_b, 0) AS DOUBLE)
+                  / greatest(b.nt - 1, 1), 6) <= 0.18
+        AND round(CAST(pc.n_pars - pc.n_unique AS DOUBLE) / pc.n_pars, 6)
+              <= 0.3
+    ),
+    kb AS (SELECT b.* FROM base b JOIN kept USING (doc_id)),
+    grams AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(nt - 3, 1))) AS s,
+             unnest(list_transform(range(1, greatest(nt - 3, 1)),
+                    i -> md5(array_to_string(w[i : i + 4], chr(31))))) AS h
+      FROM kb WHERE nt >= 5
+    ),
+    occ AS (
+      SELECT doc_id, s,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+      FROM grams
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(range(s, s + 5)) AS p FROM occ WHERE rn > 1
+      )
+    ),
+    remc AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+    clean AS (
+      SELECT kb.doc_id,
+             kb.nt - coalesce(remc.n_removed, 0) AS cn
+      FROM kb LEFT JOIN remc USING (doc_id)
+    ),
+    ne AS (SELECT doc_id, cn FROM clean WHERE cn > 0),
+    c AS (
+      SELECT doc_id, cn,
+             coalesce(sum(cn) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM ne
+    )
+    SELECT doc_id,
+           CAST(cn AS INT)                           AS n_tokens_clean,
+           CAST(start // 512 AS BIGINT)              AS pack_id,
+           CAST(start % 512 AS BIGINT)               AS pack_offset,
+           CAST((start + cn - 1) // 512 - start // 512 + 1 AS BIGINT)
+             AS n_packs_spanned
+    FROM c
+    """,
+)
+def j58_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END CORPUS-PREP COMPOSITE — the three round-8 operators
+    chained exactly the way a production pretraining pipeline runs them,
+    through one hash gate: (1) Gopher repetition filtering drops
+    degenerate docs (operators/text.repetition_signals, j56's rules);
+    (2) Lee et al. duplicate-SPAN removal cuts cross-corpus boilerplate
+    from the survivors (operators/dedup.substring_dedup, j52's
+    transform — note the first-occurrence set is computed on the
+    FILTERED corpus, as it would be in the real pipeline order);
+    (3) the cleaned token counts pack into 512-token context windows
+    (operators/text.pack_sequences, j57's distributed prefix sum),
+    empty-after-dedup docs dropping out. The oracle chains the same
+    three stages as one SQL pipeline, so a green hash proves the
+    OPERATORS COMPOSE — intermediate schemas, filter semantics and the
+    packing order all line up, not just each stage in isolation.
+
+    Scale: the union of the three stages' shapes — nothing new joins
+    corpus-wide; the dedup gram shuffle dominates exactly as in j52."""
+    from scopus_spark.operators.text import pack_sequences, repetition_signals
+
+    d = table(spark, sf_dir, "documents")
+    kept = d.join(
+        repetition_signals(d).filter(F.col("keep")).select("doc_id"),
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        (F.col("doc_id") / bucket).cast("long").alias("bkt"),
     )
-    w_in = (
-        Window.partitionBy("bkt")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within = t.withColumn(
-        "local_start", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-    )
-    totals = t.groupBy("bkt").agg(F.sum("n_tokens").alias("tot"))
-    w_bkt = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    prefixes = totals.withColumn(
-        "bkt_prefix", F.coalesce(F.sum("tot").over(w_bkt), F.lit(0))
-    ).select("bkt", "bkt_prefix")
-    start = (F.col("bkt_prefix") + F.col("local_start")).alias("start")
-    c = within.join(F.broadcast(prefixes), "bkt").select(
-        "doc_id", "n_tokens", start
-    )
-    # `div` = integer division (exact on int64; float `/` would round
-    # through double and drift past 2^53 at corpus scale)
-    return c.select(
+    clean = dedup.substring_dedup(kept, n=5).select(
         "doc_id",
-        "n_tokens",
-        F.expr(f"start div {cap}").cast("long").alias("pack_id"),
-        (F.col("start") % cap).cast("long").alias("pack_offset"),
-        (
-            F.expr(f"(start + n_tokens - 1) div {cap}")
-            - F.expr(f"start div {cap}")
-            + F.lit(1)
-        ).cast("long").alias("n_packs_spanned"),
+        (F.col("n_tokens") - F.col("n_removed")).cast("int").alias("cn"),
+    )
+    ne = clean.filter(F.col("cn") > 0)
+    out = pack_sequences(ne, tokens_col="cn", cap=512)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens_clean"),
+        "pack_id",
+        "pack_offset",
+        "n_packs_spanned",
     )

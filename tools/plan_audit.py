@@ -66,6 +66,8 @@ ALLOW: dict[tuple[str, str], str] = {
     "quantization scale)",
     ("j42", "BroadcastNestedLoopJoin"): _ONE_ROW + " (corpus stats N/avgdl "
     "and the 1-row df table)",
+    ("m10", "BroadcastNestedLoopJoin"): _ONE_ROW + " (the mixture-weight "
+    "normalizer z — one decimal-exact sum row against bounded sources)",
     ("j43", "BroadcastNestedLoopJoin"): "broadcast centroid-pair bound "
     "table via the shared j37 pair stage (bounded by n_cells²)",
     ("j48", "BroadcastNestedLoopJoin"): "broadcast single-row PQ codebook "
