@@ -715,3 +715,91 @@ def i15_versioned_append_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("t_us") >= q_lo) & (F.col("t_us") < q_hi))
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+# --- i16: VersionedTable as a STREAMING SOURCE (append commits -> stream) -------------
+@register(
+    "i16",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def i16_versioned_table_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VersionedTable as a STREAMING SOURCE — the inverse of
+    i14/i15's sinks, and the Delta-style 'stream a table' contract for
+    APPEND-ONLY tables: because every commit writes new immutable
+    parquet files and never rewrites an existing one, the table's data
+    tree IS a valid file-stream source — Structured Streaming's file
+    index discovers exactly the files new commits added, so a
+    checkpointed aggregate consumes each append once. Three appends
+    land in two stream runs against ONE checkpoint: the first
+    availableNow pass folds commits 1-2, the third commit lands, and
+    the second pass reads ONLY its files (asserted by the aggregate
+    state being correct without reprocessing — double-counting would
+    break the hash). The oracle recomputes the aggregate over
+    everything ingested, so a green hash proves streamed-incremental ==
+    batch. Append-only is the contract (a MERGE rewrites survivors into
+    new files and would double-count — that case streams via a30's
+    change feed instead; documented here exactly as Delta documents its
+    streaming-source limitation). Money-ish sums ride exact int64 cents
+    (per-row round, then integer sum) so no float-order surface exists.
+
+    At 100 TB this is the lakehouse bridge: batch jobs append partitions,
+    a streaming consumer tails the table with file-index increments —
+    no message bus between them."""
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    root = _stage(sf_dir, "i16_source")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.pmod("user_id", F.lit(8)).alias("bucket"),
+    )
+    vt = VersionedTable(root)
+    vt.write_initial(ev.filter(F.col("event_id") % 3 == 0), "bucket")
+    vt.append(ev.filter(F.col("event_id") % 3 == 1))
+
+    ckpt = os.path.join(root, "_consumer_checkpoint")
+    name = f"i16_agg_{uuid.uuid4().hex[:8]}"
+
+    def run_pass() -> None:
+        sch = StructType.fromJson(_json.loads(vt._read_manifest()["schema"]))
+        q = (
+            spark.readStream.schema(sch)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(root, "data", "*", "*"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .writeStream.outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_pass()  # consumes commits 1-2
+    vt.append(ev.filter(F.col("event_id") % 3 == 2))
+    run_pass()  # incremental: file index feeds ONLY commit 3's files
+    return spark.table(name)
