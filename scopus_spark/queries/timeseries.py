@@ -1021,3 +1021,90 @@ def o14_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.select(
         "user_id", "ts", "value", med.alias("roll_median")
     )
+
+
+# --- o15: Theil-Sen robust trend per user (median of pairwise slopes) -----------------
+@register(
+    "o15",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             CAST(b.c - a.c AS DOUBLE)
+               / date_diff('day', a.d, b.d) AS slope
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT user_id, slope,
+             row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM pairs
+    )
+    SELECT user_id,
+           CAST(max(cnt) AS BIGINT) AS n_pairs,
+           round((min(slope) + max(slope)) / 2, 6) + 0.0 AS ts_slope
+    FROM ranked
+    WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+    GROUP BY user_id
+    """,
+)
+def o15_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL–SEN robust trend per user — the median of all pairwise
+    slopes of the user's daily event-count series (Theil 1950 / Sen
+    1968): the robust-regression answer to "is this entity's activity
+    trending up or down" with a 29% breakdown point, where an OLS slope
+    (o4's tier) is dragged arbitrarily by one burst day. The slope
+    median is EXACT via the d28 two-rank trick (the two order
+    statistics that bracket the median, averaged — no percentile
+    approximation), so the whole operator stays on the hash gate.
+
+    Scale: the pairwise self-join is PER-ENTITY (the o8/k3 bounded-
+    entity argument — a user's day count is bounded, so pairs per user
+    are bounded-quadratic in a small constant, never corpus-quadratic);
+    one shuffle builds the daily series, one equi-join on user_id fans
+    out the pairs map-side, one window ranks slopes within the user.
+    Every slope is one integer subtraction / integer day-diff division
+    — bit-identical cross-engine; the median average is one IEEE add +
+    halve, rounded 6dp."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
+    )
+    wrk = Window.partitionBy("user_id").orderBy("slope")
+    wall = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+    )
+    k1 = F.floor((F.col("cnt") + 1) / 2)
+    k2 = F.floor((F.col("cnt") + 2) / 2)
+    return (
+        ranked.filter((F.col("rn") == k1) | (F.col("rn") == k2))
+        .groupBy("user_id")
+        .agg(
+            F.max("cnt").cast("long").alias("n_pairs"),
+            (
+                F.round((F.min("slope") + F.max("slope")) / 2, 6)
+                + F.lit(0.0)
+            ).alias("ts_slope"),
+        )
+    )
