@@ -171,10 +171,25 @@ class VersionedTable:
 
     def _commits_between(self, base: int, latest: int) -> list[dict]:
         """The commit manifests (base, latest], oldest first — the
-        history an optimistic writer rebases across."""
-        return [
-            self._read_manifest(v) for v in range(base + 1, latest + 1)
-        ]
+        history an optimistic writer rebases across.
+
+        A concurrent vacuum() (which can run between a writer's base
+        _read_manifest() and its commit section) may have dropped
+        manifests in this range; that surfaces as CommitConflict — the
+        caller re-runs against the current snapshot — never as a raw
+        FileNotFoundError mid-rebase. Retention contract: vacuum
+        keep_last must cover in-flight writers' base versions (see
+        vacuum())."""
+        try:
+            return [
+                self._read_manifest(v) for v in range(base + 1, latest + 1)
+            ]
+        except (FileNotFoundError, ValueError) as e:
+            raise CommitConflict(
+                f"base snapshot v{base} history was vacuumed while this "
+                "commit was in flight — re-run against the current "
+                f"snapshot ({e})"
+            ) from e
 
     # -- metadata ------------------------------------------------------------
 
@@ -183,6 +198,15 @@ class VersionedTable:
 
     def version(self) -> int:
         return self._read_manifest()["version"] if self.exists() else 0
+
+    def schema(self, at_version: int | None = None) -> StructType:
+        """The table schema of the current snapshot (or, with
+        ``at_version``, any retained older one) — the public accessor
+        consumers use to declare a readStream schema or validate a
+        batch, without reaching into manifest internals."""
+        return StructType.fromJson(
+            json.loads(self._read_manifest(at_version)["schema"])
+        )
 
     def _read_manifest(self, at_version: int | None = None) -> dict:
         if at_version is None:
@@ -220,15 +244,27 @@ class VersionedTable:
 
     # -- data ----------------------------------------------------------------
 
+    def _discard_commit_dir(self, commit_dir: str) -> None:
+        """Reclaim a just-written data/<commit>/ directory whose commit
+        will never land (CommitConflict, or a token-replay no-op that
+        wrote a redundant copy). No manifest references it — the
+        original writer's rule ('never delete what a manifest lists')
+        is vacuous here, and without this sweep every conflicted retry
+        would permanently leak a full rewrite of its touched
+        partitions with no GC path (vacuum only reclaims dirs dropped
+        manifests reference)."""
+        shutil.rmtree(commit_dir, ignore_errors=True)
+
     def _write_commit_data(
         self,
         df: DataFrame,
         partition_col: str,
         stats_cols: list[str] | None = None,
-    ) -> tuple[dict[str, list[str]], dict[str, dict[str, list]]]:
+    ) -> tuple[dict[str, list[str]], dict[str, dict[str, list]], str]:
         """Write df as immutable files under data/<commit>/ and return
         ({partition value (as dir string): [relative data dirs]},
-        {relative data dir: {stat col: [min, max]}}).
+        {relative data dir: {stat col: [min, max]}},
+        the absolute commit directory — so conflict paths can reclaim it).
 
         With ``stats_cols``, one bounded aggregate (one row per touched
         partition value) records per-directory min/max for those columns
@@ -277,7 +313,7 @@ class VersionedTable:
                     stats[d] = {
                         c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in stats_cols
                     }
-        return out, stats
+        return out, stats, commit_dir
 
     def write_initial(
         self,
@@ -292,11 +328,12 @@ class VersionedTable:
         ``commit_token`` seeds the exactly-once token window so a
         replayed create-batch (streaming retry of batch 0) is
         recognized by the append/merge that follows."""
-        parts, stats = self._write_commit_data(
+        parts, stats, commit_dir = self._write_commit_data(
             df, partition_col, stats_cols
         )
         with _WriterLock(self.root):
             if self.exists():
+                self._discard_commit_dir(commit_dir)
                 raise CommitConflict(
                     f"table already exists at {self.root}; write_initial "
                     "raced another creator — read the current snapshot "
@@ -607,7 +644,7 @@ class VersionedTable:
                 "schema-strict — evolve via merge(allow_schema_evolution"
                 "=True) first"
             )
-        new_parts, new_stats = self._write_commit_data(
+        new_parts, new_stats, commit_dir = self._write_commit_data(
             df, m["partition_col"], m.get("stats_cols") or None
         )
         with _WriterLock(self.root):
@@ -615,8 +652,13 @@ class VersionedTable:
             if commit_token is not None and commit_token in latest.get(
                 "tokens", []
             ):
+                # replayed batch raced us between the pre-check and the
+                # lock: its data landed under the ORIGINAL commit's dirs;
+                # ours are a redundant copy no manifest will ever list
+                self._discard_commit_dir(commit_dir)
                 return latest["version"]
             if latest["schema"] != m["schema"]:
+                self._discard_commit_dir(commit_dir)
                 raise CommitConflict(
                     "schema changed concurrently; this append's files "
                     "were validated against the old schema — re-run"
@@ -679,9 +721,12 @@ class VersionedTable:
                 delta = delta.join(
                     deletes.select(*key_cols), key_cols, "left_anti"
                 )
-            parts0, stats0 = self._write_commit_data(delta, partition_col)
+            parts0, stats0, commit_dir0 = self._write_commit_data(
+                delta, partition_col
+            )
             with _WriterLock(self.root):
                 if self.exists():
+                    self._discard_commit_dir(commit_dir0)
                     raise CommitConflict(
                         f"table appeared concurrently at {self.root}; "
                         "re-run the merge against the current snapshot"
@@ -749,7 +794,7 @@ class VersionedTable:
             merged = survivors.unionByName(delta, allowMissingColumns=True)
         else:
             merged = survivors.unionByName(delta)
-        new_parts, new_stats = self._write_commit_data(
+        new_parts, new_stats, commit_dir = self._write_commit_data(
             merged, partition_col, m.get("stats_cols") or None
         )
 
@@ -764,6 +809,7 @@ class VersionedTable:
             if commit_token is not None and commit_token in latest.get(
                 "tokens", []
             ):
+                self._discard_commit_dir(commit_dir)
                 return latest["version"]
             if latest["version"] != m["version"]:
                 # rebase is sound only if no intervening commit CHANGED
@@ -772,21 +818,25 @@ class VersionedTable:
                 # COMPACT is content-preserving, so replacing its output
                 # with our rewrite (derived from the equal base content)
                 # stays correct — only appends/merges/creates conflict.
-                for c in self._commits_between(
-                    m["version"], latest["version"]
-                ):
-                    if c.get("op") == "compact":
-                        continue
-                    inter = touched_keys & set(
-                        c.get("touched", list(latest["partitions"]))
-                    )
-                    if inter:
-                        raise CommitConflict(
-                            f"concurrent {c.get('op', 'commit')} "
-                            f"v{c['version']} touched partitions "
-                            f"{sorted(inter)} this merge also rewrites; "
-                            "re-run the merge against the new snapshot"
+                try:
+                    for c in self._commits_between(
+                        m["version"], latest["version"]
+                    ):
+                        if c.get("op") == "compact":
+                            continue
+                        inter = touched_keys & set(
+                            c.get("touched", list(latest["partitions"]))
                         )
+                        if inter:
+                            raise CommitConflict(
+                                f"concurrent {c.get('op', 'commit')} "
+                                f"v{c['version']} touched partitions "
+                                f"{sorted(inter)} this merge also rewrites; "
+                                "re-run the merge against the new snapshot"
+                            )
+                except CommitConflict:
+                    self._discard_commit_dir(commit_dir)
+                    raise
                 if latest["schema"] != m["schema"]:
                     # concurrent ADDITIVE evolution on disjoint
                     # partitions: final schema is the union; our files
@@ -870,7 +920,7 @@ class VersionedTable:
         df = self.read(
             spark, partition_values=targets, at_version=m["version"]
         ).repartition(F.col(pc))
-        new_parts, new_stats = self._write_commit_data(
+        new_parts, new_stats, commit_dir = self._write_commit_data(
             df, pc, m.get("stats_cols") or None
         )
         target_keys = set(targets)
@@ -887,33 +937,37 @@ class VersionedTable:
                 # its manifest's vacuum releases them); a MERGE made our
                 # rewrite stale, so it conflicts.
                 extra: dict[str, list[str]] = {}
-                for c in self._commits_between(
-                    m["version"], latest["version"]
-                ):
-                    op = c.get("op")
-                    hit = target_keys & set(
-                        c.get("touched", list(latest["partitions"]))
-                    )
-                    if not hit:
-                        continue
-                    if op == "append":
-                        for k in hit:
-                            extra.setdefault(k, []).extend(
-                                c.get("added", {}).get(k, [])
-                            )
-                    elif op != "compact":
-                        raise CommitConflict(
-                            f"concurrent {op or 'commit'} v{c['version']} "
-                            f"rewrote partitions {sorted(hit)} this "
-                            "compaction also rewrites; re-run compact()"
+                try:
+                    for c in self._commits_between(
+                        m["version"], latest["version"]
+                    ):
+                        op = c.get("op")
+                        hit = target_keys & set(
+                            c.get("touched", list(latest["partitions"]))
                         )
+                        if not hit:
+                            continue
+                        if op == "append":
+                            for k in hit:
+                                extra.setdefault(k, []).extend(
+                                    c.get("added", {}).get(k, [])
+                                )
+                        elif op != "compact":
+                            raise CommitConflict(
+                                f"concurrent {op or 'commit'} v{c['version']} "
+                                f"rewrote partitions {sorted(hit)} this "
+                                "compaction also rewrites; re-run compact()"
+                            )
+                    if latest["schema"] != m["schema"]:
+                        raise CommitConflict(
+                            "schema changed concurrently during compaction; "
+                            "re-run compact() against the new snapshot"
+                        )
+                except CommitConflict:
+                    self._discard_commit_dir(commit_dir)
+                    raise
                 for k, ds in extra.items():
                     new_parts.setdefault(k, []).extend(ds)
-                if latest["schema"] != m["schema"]:
-                    raise CommitConflict(
-                        "schema changed concurrently during compaction; "
-                        "re-run compact() against the new snapshot"
-                    )
             merged = dict(latest["partitions"])
             merged.update(new_parts)
             live = {d for ds in merged.values() for d in ds}
@@ -945,7 +999,15 @@ class VersionedTable:
         """Drop manifests older than the newest ``keep_last`` and delete
         data directories ONLY they reference. Never touches anything a
         retained manifest lists, so pinned readers of retained snapshots
-        are unaffected. Returns the removed data dirs (relative)."""
+        are unaffected. Returns the removed data dirs (relative).
+
+        Retention contract for concurrent writers/readers: ``keep_last``
+        must cover every in-flight writer's BASE version and every
+        change-feed consumer's from_version. A writer whose base was
+        vacuumed mid-flight fails loudly with CommitConflict at rebase
+        time (see _commits_between) and re-runs; a lazy read() pinned to
+        a vacuumed snapshot fails at scan time. Both are recoverable,
+        but sizing keep_last to the longest job avoids the retry."""
         if not self.exists():
             return []
         with _WriterLock(self.root):

@@ -910,11 +910,15 @@ def nn_descent(
     equal output).
 
     Returns (vec_id, nn_id, rank, cos_sim) — rank 1..k per vec_id.
-    COVERAGE GUARANTEE: every vector owns at least one neighbor row —
-    a vector isolated by both init signals is paired with the lowest
-    other vec_id before descent (tests/test_nn_descent.py pins the
-    n=2 degenerate corpus), so callers never see a silently missing
-    neighbor list.
+    COVERAGE GUARANTEE (n >= 2): every vector owns at least one
+    neighbor row — a vector isolated by both init signals is paired
+    with the lowest other vec_id before descent
+    (tests/test_nn_descent.py pins the n=2 degenerate corpus), so
+    callers never see a silently missing neighbor list. An n=1 corpus
+    has no possible neighbor at all (the anchor pairing would be the
+    vector with itself), so it is refused explicitly rather than
+    returning an empty graph that contradicts the guarantee (ADVICE
+    r8).
     """
     from pyspark.sql import Window
 
@@ -922,6 +926,11 @@ def nn_descent(
         n = embeddings.count()
         n_cells = n_cells if n_cells is not None else auto_n_cells(n)
         n_rows = n_rows if n_rows is not None else n
+    if n_rows < 2:
+        raise ValueError(
+            f"nn_descent needs >= 2 vectors (got {n_rows}): a k-NN graph "
+            "over a single vector has no edges to return"
+        )
     base = prepare_vectors(embeddings)
     cents = _refine_centroids(base, n_cells, iters=0)
     # pin the cell assignment: its interpreted transform over the

@@ -466,8 +466,8 @@ _M10_BUDGET = 1_000_000
           FROM w)
     SELECT w.source, w.n_docs, w.n_chars,
            round(w.raw_w / z.z, 6) + 0.0 AS mix_weight,
-           CAST(floor({_M10_BUDGET} * w.raw_w / z.z) AS BIGINT)
-             AS token_budget
+           CAST(floor({_M10_BUDGET} * (round(w.raw_w / z.z, 6) + 0.0))
+                AS BIGINT) AS token_budget
     FROM w CROSS JOIN z
     """,
 )
@@ -508,7 +508,16 @@ def m10_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("raw_w") / F.col("z"), 6) + F.lit(0.0)).alias(
             "mix_weight"
         ),
-        F.floor(F.lit(_M10_BUDGET) * F.col("raw_w") / F.col("z"))
+        # budget rides the ROUNDED ratio (round-before-compare, the repo
+        # hash-gate convention): floor of budget * an UNROUNDED exp/ln
+        # quotient could flip across engines' libm when the product lands
+        # within 1 ulp of an integer (ADVICE r8). round(x, 6) yields the
+        # identical double on both engines (mix_weight already rides it),
+        # so budget * it and the floor are bit-identical too.
+        F.floor(
+            F.lit(_M10_BUDGET)
+            * (F.round(F.col("raw_w") / F.col("z"), 6) + F.lit(0.0))
+        )
         .cast("long")
         .alias("token_budget"),
     )

@@ -371,3 +371,113 @@ def test_change_feed_vacuumed_preimages_fail_loudly(spark, tmp_path):
     t.vacuum(keep_last=1)  # drops v1 and the merge's replaced dirs
     with pytest.raises(ValueError, match="vacuumed"):
         t.read_changes(spark, 1, 2).collect()
+
+
+def _live_and_on_disk(t):
+    """(dirs any manifest references, dirs actually under data/)."""
+    import json
+    import os
+
+    referenced: set[str] = set()
+    for name in os.listdir(t._manifest_dir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(t._manifest_dir, name)) as fh:
+            m = json.load(fh)
+        for ds in m["partitions"].values():
+            referenced.update(ds)
+        for ds in m.get("tombstones", {}).values():
+            referenced.update(ds)
+    on_disk = set()
+    data = os.path.join(t.root, "data")
+    for commit in os.listdir(data):
+        cdir = os.path.join(data, commit)
+        leaves = [n for n in os.listdir(cdir) if n.startswith("__part=")]
+        if not leaves:
+            on_disk.add(os.path.join("data", commit))  # empty commit dir
+        for n in leaves:
+            on_disk.add(os.path.join("data", commit, n))
+    return referenced, on_disk
+
+
+def test_conflicted_merge_reclaims_orphan_commit_dir(spark, tmp_path):
+    """ADVICE r8: a merge that loses the race must rmtree its just-written
+    data/<commit>/ dirs — otherwise every conflicted retry permanently
+    leaks a rewrite of the touched partitions (no manifest references the
+    dirs, so vacuum can never reclaim them)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    m1 = t._read_manifest()
+    t.merge(_df(spark, [(1, "rival", 0)]), key_cols=["k"], partition_col="b")
+    with pytest.raises(CommitConflict):
+        _merge_with_stale_base(t, spark, m1)
+    referenced, on_disk = _live_and_on_disk(t)
+    assert on_disk <= referenced, f"orphans leaked: {on_disk - referenced}"
+
+
+def test_write_initial_race_reclaims_orphan_commit_dir(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    with pytest.raises(CommitConflict):
+        t.write_initial(_df(spark, [(9, "z", 0)]), "b")
+    referenced, on_disk = _live_and_on_disk(t)
+    assert on_disk <= referenced
+
+
+def test_append_token_replay_race_reclaims_dirs(spark, tmp_path):
+    """A replayed append whose token check only fires INSIDE the lock
+    (the pre-check raced the original commit) is a no-op that must also
+    reclaim the redundant copy it wrote."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    m1 = t._read_manifest()  # pre-token snapshot
+    t.append(_df(spark, [(2, "b", 0)]), commit_token="tok")
+    v = t.version()
+
+    real = t._read_manifest
+    calls = {"n": 0}
+
+    def fake(at_version=None):
+        if at_version is None and calls["n"] == 0:
+            calls["n"] += 1
+            return m1  # replayer's pre-check misses the token
+        return real(at_version)
+
+    t._read_manifest = fake
+    try:
+        assert t.append(_df(spark, [(2, "b", 0)]), commit_token="tok") == v
+    finally:
+        t._read_manifest = real
+    assert t.version() == v
+    referenced, on_disk = _live_and_on_disk(t)
+    assert on_disk <= referenced
+
+
+def test_vacuumed_rebase_history_surfaces_as_commit_conflict(spark, tmp_path):
+    """ADVICE r8: a concurrent vacuum that drops manifests an in-flight
+    writer would rebase across must surface as CommitConflict ('re-run'),
+    never a raw FileNotFoundError/ValueError mid-rebase."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    t.merge(_df(spark, [(1, "x", 0)]), key_cols=["k"], partition_col="b")
+    t.merge(_df(spark, [(2, "y", 1)]), key_cols=["k"], partition_col="b")
+    os.remove(os.path.join(t._manifest_dir, "v000002.json"))  # "vacuumed"
+    with pytest.raises(CommitConflict, match="vacuumed"):
+        t._commits_between(1, 3)
+
+
+def test_public_schema_accessor(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    names = [f.name for f in t.schema().fields]
+    assert names == ["k", "v", "b"]
+    t.merge(
+        _df(spark, [(1, "a", 0)]).withColumn("extra", F.lit(1)),
+        key_cols=["k"],
+        partition_col="b",
+        allow_schema_evolution=True,
+    )
+    assert [f.name for f in t.schema()] == ["k", "v", "b", "extra"]
+    assert [f.name for f in t.schema(at_version=1)] == ["k", "v", "b"]

@@ -98,3 +98,18 @@ def test_every_vector_covered_degenerate_corpus(spark):
     g = similarity.nn_descent(e, k=3, rounds=1, n_cells=2, n_rows=2)
     rows = {(r.vec_id, r.nn_id) for r in g.collect()}
     assert rows == {(0, 1), (1, 0)}
+
+
+def test_nn_descent_refuses_single_vector_corpus(spark):
+    """ADVICE r8: the coverage guarantee holds for n >= 2; an n=1 corpus
+    cannot have a neighbor, so the call is refused loudly instead of
+    returning a graph the vector silently vanished from."""
+    import pytest
+
+    from scopus_spark.operators import similarity
+
+    one = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a")], "vec_id long, emb array<double>, label string"
+    )
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        similarity.nn_descent(one, k=2, rounds=1)
