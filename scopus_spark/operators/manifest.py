@@ -208,6 +208,22 @@ class VersionedTable:
             json.loads(self._read_manifest(at_version)["schema"])
         )
 
+    def commit_info(self, version: int) -> dict:
+        """Public metadata of ONE commit: ``{version, parent, op,
+        touched, added}`` where ``added`` maps partition value -> the
+        relative data dirs that commit introduced. This is the
+        incremental-consumer surface (streaming sources enumerate new
+        commits' directories from it at O(delta) cost) — a stable copy,
+        not a handle into manifest internals."""
+        m = self._read_manifest(version)
+        return {
+            "version": m["version"],
+            "parent": m.get("parent", m["version"] - 1),
+            "op": m.get("op", "unknown"),
+            "touched": list(m.get("touched", [])),
+            "added": {k: list(v) for k, v in m.get("added", {}).items()},
+        }
+
     def _read_manifest(self, at_version: int | None = None) -> dict:
         if at_version is None:
             with open(self._pointer) as fh:

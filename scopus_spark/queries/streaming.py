@@ -732,34 +732,37 @@ def i16_versioned_table_stream_source(spark: SparkSession, sf_dir: str) -> DataF
     """The VersionedTable as a STREAMING SOURCE — the inverse of
     i14/i15's sinks, and the Delta-style 'stream a table' contract for
     APPEND-ONLY tables: because every commit writes new immutable
-    parquet files and never rewrites an existing one, the table's data
-    tree IS a valid file-stream source — Structured Streaming's file
-    index discovers exactly the files new commits added, so a
-    checkpointed aggregate consumes each append once. Three appends
-    land in two stream runs against ONE checkpoint: the first
-    availableNow pass folds commits 1-2, the third commit lands, and
-    the second pass reads ONLY its files (asserted by the aggregate
-    state being correct without reprocessing — double-counting would
-    break the hash). The oracle recomputes the aggregate over
-    everything ingested, so a green hash proves streamed-incremental ==
-    batch. Append-only is the contract (a MERGE rewrites survivors into
-    new files and would double-count — that case streams via a30's
-    change feed instead; documented here exactly as Delta documents its
-    streaming-source limitation). Money-ish sums ride exact int64 cents
-    (per-row round, then integer sum) so no float-order surface exists.
+    parquet files and never rewrites an existing one, new commits' data
+    directories form a valid file-stream source. Discovery is
+    MANIFEST-DRIVEN (streaming/table_source.AppendStreamSource, VERDICT
+    r8 fix): each pass asks the manifest which directories the commits
+    since the last consumed version ADDED and passes ONLY those as the
+    load path — per-trigger listing cost is O(new commits' dirs), not
+    O(all table files), which is what the round-8 whole-table glob
+    cost. Three appends land in two stream runs against ONE checkpoint:
+    the first availableNow pass folds commits 1-2, the third commit
+    lands, and the second pass LISTS AND READS only commit 3's
+    directories (pinned by tests/test_table_stream_source.py's
+    load-path assert; the aggregate state being correct without
+    reprocessing — double-counting would break the hash — proves the
+    read side). The oracle recomputes the aggregate over everything
+    ingested, so a green hash proves streamed-incremental == batch.
+    Append-only is ENFORCED, not assumed: the source raises on a
+    merge/compact commit in the window and points at the i17 change
+    feed (exactly as Delta documents its streaming-source limitation).
+    Money-ish sums ride exact int64 cents (per-row round, then integer
+    sum) so no float-order surface exists.
 
     At 100 TB this is the lakehouse bridge: batch jobs append partitions,
-    a streaming consumer tails the table with file-index increments —
-    no message bus between them."""
-    import json as _json
+    a streaming consumer tails the table with manifest-enumerated
+    increments — no message bus between them."""
     import os
     import shutil
     import uuid
 
-    from pyspark.sql.types import StructType
-
     from scopus_spark.operators.manifest import VersionedTable
     from scopus_spark.queries.scans import _stage
+    from scopus_spark.streaming.table_source import AppendStreamSource
 
     root = _stage(sf_dir, "i16_source")
     shutil.rmtree(root, ignore_errors=True)
@@ -775,14 +778,17 @@ def i16_versioned_table_stream_source(spark: SparkSession, sf_dir: str) -> DataF
     vt.append(ev.filter(F.col("event_id") % 3 == 1))
 
     ckpt = os.path.join(root, "_consumer_checkpoint")
+    src = AppendStreamSource(vt, ckpt)
     name = f"i16_agg_{uuid.uuid4().hex[:8]}"
 
     def run_pass() -> None:
-        sch = StructType.fromJson(_json.loads(vt._read_manifest()["schema"]))
+        path, upto = src.new_load_path()
+        if path is None:
+            return
         q = (
-            spark.readStream.schema(sch)
+            spark.readStream.schema(vt.schema())
             .option("pathGlobFilter", "*.parquet")
-            .parquet(os.path.join(root, "data", "*", "*"))
+            .parquet(path)
             .groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -798,8 +804,162 @@ def i16_versioned_table_stream_source(spark: SparkSession, sf_dir: str) -> DataF
             .start()
         )
         q.awaitTermination()
+        src.mark_consumed(upto)
 
     run_pass()  # consumes commits 1-2
     vt.append(ev.filter(F.col("event_id") % 3 == 2))
-    run_pass()  # incremental: file index feeds ONLY commit 3's files
+    run_pass()  # incremental: load path covers ONLY commit 3's dirs
     return spark.table(name)
+
+
+# --- i17: CHANGE-DATA-FEED streaming source (CDF across MERGE commits) -----------------
+@register(
+    "i17",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(user_id % 8 AS BIGINT) AS bucket,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM ev WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id, bucket
+    ),
+    b AS (
+      SELECT user_id, bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM ev WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id, bucket
+    ),
+    d AS (SELECT user_id FROM b WHERE n_events % 4 = 0),
+    delta AS (SELECT * FROM b WHERE user_id NOT IN (SELECT user_id FROM d)),
+    v1 AS (
+      SELECT user_id, bucket, n_events, total_cents,
+             'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      FROM a
+    ),
+    v2_ins AS (
+      SELECT delta.*, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      FROM delta WHERE user_id NOT IN (SELECT user_id FROM a)
+    ),
+    v2_del AS (
+      SELECT a.*, 'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      FROM a WHERE user_id IN (SELECT user_id FROM d)
+    ),
+    chg AS (
+      SELECT a.user_id FROM a JOIN delta USING (user_id)
+      WHERE a.n_events <> delta.n_events OR a.total_cents <> delta.total_cents
+    ),
+    v2_pre AS (
+      SELECT a.*, 'update_preimage' AS _change_type,
+             CAST(2 AS BIGINT) AS _commit_version
+      FROM a WHERE user_id IN (SELECT user_id FROM chg)
+    ),
+    v2_post AS (
+      SELECT delta.*, 'update_postimage' AS _change_type,
+             CAST(2 AS BIGINT) AS _commit_version
+      FROM delta WHERE user_id IN (SELECT user_id FROM chg)
+    )
+    SELECT * FROM v1
+    UNION ALL SELECT * FROM v2_ins
+    UNION ALL SELECT * FROM v2_del
+    UNION ALL SELECT * FROM v2_pre
+    UNION ALL SELECT * FROM v2_post
+    """,
+)
+def i17_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE FEED as a STREAMING SOURCE — Delta's 'table changes as
+    a stream' contract (streaming/table_source.ChangeFeedConsumer), the
+    piece i16's append-only file tail cannot cover: a checkpointed
+    consumer records the last consumed commit version and each trigger
+    emits ``read_changes(last, current)`` — row-level insert / delete /
+    update_preimage / update_postimage images + ``_commit_version`` —
+    at O(delta files) cost, correct ACROSS MERGE COMMITS (where a file
+    stream would double-count the survivor rewrite).
+
+    The scripted run is the real contract: v1 creates the table from
+    the early-events per-user summary; stream pass 1 consumes it
+    (insert rows); a MERGE lands BETWEEN the passes (late-events
+    summary upserted, delete-wins tombstones for every user whose late
+    count is divisible by 4); pass 2 consumes ONLY v2's delta — its
+    insert/delete/update split, not a re-emission of v1 (re-emission
+    would double v1's rows and break the hash). The returned DataFrame
+    is the concatenation of what the two passes emitted; the oracle
+    recomputes the exact same change rows relationally (early agg A,
+    late agg B, delete set D, insert = delta∖A, delete = A∩D, update =
+    A∩delta with differing payloads), so a green hash proves the
+    checkpointed incremental feed ≡ the relational delta, including
+    that SURVIVOR rows (rewritten byte-identical by the partition
+    rewrite) emit nothing. Exact int64 cents keep the compare surface
+    float-free. Batch-vs-stream equivalence and at-least-once replay
+    (a failed sink re-polls the SAME range) are pinned in
+    tests/test_change_feed_stream.py.
+
+    At 100 TB this is the standard lakehouse incremental contract
+    (Delta CDF as a stream): downstream consumers of a MERGE-ing table
+    see O(churn) rows per trigger, never a snapshot diff."""
+    import os
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+    from scopus_spark.streaming.table_source import ChangeFeedConsumer
+
+    root = _stage(sf_dir, "i17_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.pmod("user_id", F.lit(8)).cast("long").alias("bucket"),
+        F.col("ts").cast("timestamp").alias("tss"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    early = summarize(ev.filter(F.col("tss") < cut))
+    late = summarize(ev.filter(F.col("tss") >= cut))
+    deletes = late.filter(F.col("n_events") % 4 == 0).select(
+        "user_id", "bucket"
+    )
+
+    vt = VersionedTable(root)
+    vt.write_initial(early, "bucket")  # v1
+
+    consumer = ChangeFeedConsumer(
+        vt, os.path.join(root, "_cdf_checkpoint")
+    )
+    emitted: list[DataFrame] = []
+
+    def sink(df: DataFrame, from_v: int, to_v: int) -> None:
+        # pin the pass's rows eagerly: the NEXT commit must not be able
+        # to retroactively change what this trigger emitted
+        emitted.append(df.localCheckpoint(eager=True))
+
+    consumer.run_available(spark, sink)  # pass 1: v1 inserts
+    vt.merge(  # lands BETWEEN the two stream passes
+        late.join(deletes.select("user_id"), "user_id", "left_anti"),
+        key_cols=["user_id"],
+        partition_col="bucket",
+        deletes=deletes,
+    )
+    consumer.run_available(spark, sink)  # pass 2: ONLY v2's delta
+
+    out = emitted[0]
+    for piece in emitted[1:]:
+        out = out.unionByName(piece)
+    return out.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        "total_cents",
+        "_change_type",
+        "_commit_version",
+    )

@@ -1,30 +1,35 @@
 """VersionedTable as a streaming source (i16): a checkpointed file-
-stream consumer tails an append-only table — the second pass must read
-ONLY the files the new commit added (no reprocessing), and the final
-aggregate equals the batch recompute."""
+stream consumer tails an append-only table with MANIFEST-DRIVEN
+discovery (streaming/table_source.AppendStreamSource) — the second
+pass's load path must cover ONLY the directories the new commit added
+(O(delta) listing, the VERDICT r8 fix), the second pass must read only
+those files (no reprocessing), and the final aggregate equals the batch
+recompute. Non-append commits in the window are refused loudly."""
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 from scopus_spark.operators.manifest import VersionedTable
+from scopus_spark.streaming.table_source import AppendStreamSource
 
 
 def _df(spark, rows):
     return spark.createDataFrame(rows, "k long, v long, b long")
 
 
-def _run_pass(spark, vt, root, ckpt, name):
-    sch = StructType.fromJson(json.loads(vt._read_manifest()["schema"]))
+def _run_pass(spark, vt, src, ckpt, name):
+    path, upto = src.new_load_path()
+    if path is None:
+        return 0, None
     q = (
-        spark.readStream.schema(sch)
+        spark.readStream.schema(vt.schema())
         .option("pathGlobFilter", "*.parquet")
-        .parquet(os.path.join(root, "data", "*", "*"))
+        .parquet(path)
         .groupBy("b")
         .agg(F.sum("v").cast("long").alias("total"))
         .writeStream.outputMode("complete")
@@ -35,7 +40,8 @@ def _run_pass(spark, vt, root, ckpt, name):
         .start()
     )
     q.awaitTermination()
-    return sum(p["numInputRows"] for p in q.recentProgress)
+    src.mark_consumed(upto)
+    return sum(p["numInputRows"] for p in q.recentProgress), path
 
 
 def test_second_pass_reads_only_new_commit(spark, tmp_path):
@@ -44,14 +50,36 @@ def test_second_pass_reads_only_new_commit(spark, tmp_path):
     vt.write_initial(_df(spark, [(i, 10, i % 2) for i in range(6)]), "b")
     vt.append(_df(spark, [(10 + i, 100, i % 2) for i in range(4)]))
     ckpt = str(tmp_path / "ckpt")
+    src = AppendStreamSource(vt, ckpt)
     name = f"tbl_{uuid.uuid4().hex[:8]}"
 
-    n1 = _run_pass(spark, vt, root, ckpt, name)
+    n1, path1 = _run_pass(spark, vt, src, ckpt, name)
     assert n1 == 10  # commits 1+2
+    assert src.consumed_version() == 2
 
     vt.append(_df(spark, [(20 + i, 1000, i % 2) for i in range(3)]))
-    n2 = _run_pass(spark, vt, root, ckpt, name)
+    n2, path2 = _run_pass(spark, vt, src, ckpt, name)
     assert n2 == 3  # ONLY the new commit's rows — incremental, no replay
+
+    # O(delta) DISCOVERY: the second pass's load path names exactly the
+    # one commit directory v3 added — never a whole-table glob
+    v3_dirs = {
+        d for ds in vt.commit_info(3)["added"].values() for d in ds
+    }
+    v3_commit_ids = {d.split(os.sep)[1] for d in v3_dirs}
+    assert len(v3_commit_ids) == 1
+    (cid,) = v3_commit_ids
+    assert path2 == os.path.join(root, "data", cid, "*")
+    # and the first pass's path covered exactly commits 1+2's ids
+    ids12 = {
+        d.split(os.sep)[1]
+        for v in (1, 2)
+        for ds in vt.commit_info(v)["added"].values()
+        for d in ds
+    }
+    assert sorted(ids12) == sorted(
+        path1.split(os.sep)[-2].strip("{}").split(",")
+    )
 
     got = {r.b: r.total for r in spark.table(name).collect()}
     want = {
@@ -62,3 +90,24 @@ def test_second_pass_reads_only_new_commit(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+    # caught up: no new commits -> no pass
+    n3, path3 = _run_pass(spark, vt, src, ckpt, name)
+    assert (n3, path3) == (0, None)
+
+
+def test_append_source_refuses_rewrite_commits(spark, tmp_path):
+    """A merge in the unconsumed window rewrites rows already consumed
+    into new files — the file stream would double-count, so the source
+    raises and points at the change-feed consumer."""
+    root = str(tmp_path / "t")
+    vt = VersionedTable(root)
+    vt.write_initial(_df(spark, [(1, 10, 0), (2, 20, 1)]), "b")
+    ckpt = str(tmp_path / "ckpt")
+    src = AppendStreamSource(vt, ckpt)
+    path, upto = src.new_load_path()
+    assert path is not None
+    src.mark_consumed(upto)
+    vt.merge(_df(spark, [(1, 11, 0)]), key_cols=["k"], partition_col="b")
+    with pytest.raises(ValueError, match="ChangeFeedConsumer"):
+        src.new_load_path()
