@@ -67,6 +67,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _PART_DIR = "__part"
+# deletion-vector column: which data directory a tombstone row applies to.
+# Tombstones are scoped to the directories that existed when the delete
+# committed (the Iceberg/Delta deletion-vector contract: DVs attach to
+# files) — rows appended to the partition AFTERWARDS are untouched.
+_TOMB_DIR_COL = "_applies_dir"
 # Replay-detection memory: how many recent commit tokens each manifest
 # carries. Streaming retries only ever replay the LAST batch, so a small
 # window is already generous; bounded so manifests never grow with history.
@@ -407,7 +412,15 @@ class VersionedTable:
         The manifest schema is passed EXPLICITLY to the reader: files
         committed before a schema evolution lack the added columns and
         surface them as NULL (the parquet missing-column contract), and
-        no footer schema inference runs at all."""
+        no footer schema inference runs at all.
+
+        MERGE-ON-READ deletes: partitions with live tombstones
+        (delete_keys commits) reconstruct by anti-joining the scan
+        against the partition's tombstone (key, applies-dir) pairs —
+        delta-sized, broadcast by AQE — so a row is suppressed iff a
+        tombstone names BOTH its key and the directory it was read
+        from. Tables without tombstones take the plain-scan fast path
+        unchanged (zero overhead)."""
         # resolve the manifest ONCE: dirs and schema must come from the
         # same snapshot even if a commit lands between the two uses
         m = self._read_manifest(at_version)
@@ -415,9 +428,67 @@ class VersionedTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not dirs:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
+        raw = spark.read.schema(schema).parquet(
             *[os.path.join(self.root, d) for d in dirs]
-        ).select(*[f.name for f in schema.fields])
+        )
+        tomb_dirs = self._tombstone_dirs(m, partition_values)
+        if not tomb_dirs:
+            return raw.select(*[f.name for f in schema.fields])
+        return self._apply_tombstones(
+            spark, raw, schema, tomb_dirs, m["tombstone_key_cols"]
+        )
+
+    @staticmethod
+    def _rel_dir_col():
+        """The manifest-relative data dir (data/<commit>/__part=<val>)
+        of each row's source file — path-component slicing of
+        input_file_name, scheme-agnostic."""
+        parts = F.split(F.input_file_name(), "/")
+        return F.concat_ws("/", F.slice(parts, -4, 3))
+
+    def _tombstone_dirs(
+        self, m: dict, partition_values: list | None
+    ) -> list[str]:
+        tombs = m.get("tombstones", {})
+        if not tombs:
+            return []
+        if partition_values is not None:
+            keys = list(
+                dict.fromkeys(_partition_dir(v) for v in partition_values)
+            )
+            return [d for k in keys for d in tombs.get(k, [])]
+        return [d for ds in tombs.values() for d in ds]
+
+    def _tombstone_schema(
+        self, table_schema: StructType, key_cols: list[str]
+    ) -> StructType:
+        from pyspark.sql.types import StringType, StructField
+
+        by_name = {f.name: f for f in table_schema.fields}
+        return StructType(
+            [by_name[k] for k in key_cols]
+            + [StructField(_TOMB_DIR_COL, StringType(), False)]
+        )
+
+    def _apply_tombstones(
+        self,
+        spark: SparkSession,
+        raw: DataFrame,
+        schema: StructType,
+        tomb_dirs: list[str],
+        key_cols: list[str],
+    ) -> DataFrame:
+        tomb = spark.read.schema(
+            self._tombstone_schema(schema, key_cols)
+        ).parquet(*[os.path.join(self.root, d) for d in tomb_dirs])
+        data = raw.withColumn("_vt_dir", self._rel_dir_col()).alias("d")
+        t = tomb.alias("t")
+        cond = F.col("d._vt_dir") == F.col(f"t.{_TOMB_DIR_COL}")
+        for k in key_cols:
+            cond = cond & (F.col(f"d.{k}") == F.col(f"t.{k}"))
+        return data.join(t, cond, "left_anti").select(
+            *[f.name for f in schema.fields]
+        )
 
     # -- HISTORY ---------------------------------------------------------------
 
@@ -476,7 +547,12 @@ class VersionedTable:
           — rewritten byte-identical by the partition rewrite — compare
           equal and drop out, so the feed is the LOGICAL delta, not the
           physical rewrite);
-        - compact commits are layout-only and contribute nothing.
+        - delete_keys commits (deletion vectors) stream the PRE-IMAGES
+          of the tombstoned rows as ``delete`` rows, reading only the
+          covered directories + the delta-sized tombstones;
+        - compact commits are layout-only and contribute nothing
+          (tombstone folding removes no LOGICAL rows — the deletes
+          already streamed when their tombstones committed).
 
         Output: the to_version schema (older commits' missing evolved
         columns surface NULL) plus ``_change_type`` and
@@ -505,9 +581,16 @@ class VersionedTable:
                 f"{sorted(reserved)}"
             )
 
-        def _read_dirs(dirs: list[str], schema: StructType) -> DataFrame:
+        def _read_dirs(
+            dirs: list[str], schema: StructType, with_dir: bool = False
+        ) -> DataFrame:
             if not dirs:
-                return spark.createDataFrame([], schema)
+                out = spark.createDataFrame([], schema)
+                return (
+                    out.withColumn("_vt_dir", F.lit(None).cast("string"))
+                    if with_dir
+                    else out
+                )
             gone = [
                 d
                 for d in dirs
@@ -520,9 +603,30 @@ class VersionedTable:
                     "retain snapshots >= from_version while consumers need "
                     "the feed (vacuum keep_last)"
                 )
-            return spark.read.schema(schema).parquet(
+            out = spark.read.schema(schema).parquet(
                 *[os.path.join(self.root, d) for d in dirs]
-            ).select(*[f.name for f in schema.fields])
+            )
+            if with_dir:
+                return out.withColumn("_vt_dir", self._rel_dir_col())
+            return out.select(*[f.name for f in schema.fields])
+
+        def _read_tombstones(
+            dirs: list[str], schema: StructType, key_cols: list[str]
+        ) -> DataFrame:
+            return _read_dirs(
+                dirs, self._tombstone_schema(schema, key_cols)
+            )
+
+        def _minus_tombstones(
+            data: DataFrame, tomb: DataFrame, key_cols: list[str]
+        ) -> DataFrame:
+            """Suppress rows a tombstone names (key AND source dir) —
+            `data` must carry _vt_dir."""
+            d, t = data.alias("d"), tomb.alias("t")
+            cond = F.col("d._vt_dir") == F.col(f"t.{_TOMB_DIR_COL}")
+            for k in key_cols:
+                cond = cond & (F.col(f"d.{k}") == F.col(f"t.{k}"))
+            return d.join(t, cond, "left_anti")
 
         def _finalize(df: DataFrame, change: str, v: int) -> DataFrame:
             have = set(df.columns)
@@ -557,15 +661,69 @@ class VersionedTable:
             if op in ("create", "append"):
                 pieces.append(_finalize(new, "insert", v))
                 continue
+            if op == "delete":
+                # deletion-vector commit: the delta is the PRE-IMAGES of
+                # the rows the new tombstones suppress — read only the
+                # covered dirs, drop rows PRIOR tombstones had already
+                # deleted (they were not live, so they don't re-delete),
+                # then keep exactly the rows the new tombstones name.
+                kc = c["key_cols"]
+                covered = _read_dirs(
+                    [d for ds in c.get("applies", {}).values() for d in ds],
+                    cschema,
+                    with_dir=True,
+                )
+                prior_dirs = [
+                    d
+                    for ds in c.get("prior_tombstones", {}).values()
+                    for d in ds
+                ]
+                if prior_dirs:
+                    covered = _minus_tombstones(
+                        covered,
+                        _read_tombstones(prior_dirs, cschema, kc),
+                        kc,
+                    )
+                new_tomb = _read_tombstones(
+                    [
+                        d
+                        for ds in c.get("tombstones_added", {}).values()
+                        for d in ds
+                    ],
+                    cschema,
+                    kc,
+                ).alias("t")
+                d = covered.alias("d")
+                cond = F.col("d._vt_dir") == F.col(f"t.{_TOMB_DIR_COL}")
+                for k in kc:
+                    cond = cond & (F.col(f"d.{k}") == F.col(f"t.{k}"))
+                deleted = d.join(new_tomb, cond, "left_semi").select(*names)
+                pieces.append(_finalize(deleted, "delete", v))
+                continue
             # merge: logical delta = added vs replaced on the merge keys
             key_cols = c["key_cols"]
             pschema = StructType.fromJson(
                 json.loads(c.get("parent_schema", c["schema"]))
             )
+            replaced_tombs = [
+                d
+                for ds in c.get("replaced_tombstones", {}).values()
+                for d in ds
+            ]
             old = _read_dirs(
                 [d for ds in c.get("replaced", {}).values() for d in ds],
                 pschema,
+                with_dir=bool(replaced_tombs),
             )
+            if replaced_tombs:
+                # rows already deleted by folded tombstones were not
+                # live at the parent snapshot: they are not pre-images
+                tkc = c["tombstone_key_cols"]
+                old = _minus_tombstones(
+                    old,
+                    _read_tombstones(replaced_tombs, pschema, tkc),
+                    tkc,
+                ).select(*[f.name for f in pschema.fields])
             for f in cschema.fields:  # align pre-evolution pre-images
                 if f.name not in old.columns:
                     old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -697,6 +855,11 @@ class VersionedTable:
                     "partitions": parts,
                     "touched": sorted(new_parts),
                     "added": new_parts,
+                    # tombstones carry forward untouched: they are scoped
+                    # to the dirs they were committed against, and an
+                    # append never replaces a dir
+                    "tombstones": latest.get("tombstones", {}),
+                    "tombstone_key_cols": latest.get("tombstone_key_cols"),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
                     "tokens": tokens,
@@ -879,6 +1042,7 @@ class VersionedTable:
             tokens = list(latest.get("tokens", []))
             if commit_token is not None:
                 tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
+            old_tombs = latest.get("tombstones", {})
             return self._commit(
                 {
                     "version": latest["version"] + 1,
@@ -890,10 +1054,200 @@ class VersionedTable:
                     "touched": sorted(touched_keys),
                     "added": new_parts,
                     "replaced": replaced,
+                    # the rewrite read THROUGH the touched partitions'
+                    # tombstones, so the new files already lack those
+                    # rows: fold them (clear); untouched partitions'
+                    # tombstones carry. The folded set is recorded for
+                    # the change feed's pre-image reconstruction.
+                    "tombstones": {
+                        k: list(v)
+                        for k, v in old_tombs.items()
+                        if k not in touched_keys
+                    },
+                    "replaced_tombstones": {
+                        k: list(old_tombs[k])
+                        for k in touched_keys
+                        if k in old_tombs
+                    },
+                    "tombstone_key_cols": latest.get("tombstone_key_cols"),
                     "key_cols": list(key_cols),
                     "parent_schema": m["schema"],
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
+                    "tokens": tokens,
+                }
+            )
+
+    # -- DELETION VECTORS (merge-on-read deletes) -------------------------------
+
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        key_cols: list[str],
+        commit_token: str | None = None,
+    ) -> int:
+        """ROW-LEVEL DELETE without rewriting a single data file — the
+        deletion-vector / merge-on-read answer to merge()'s
+        copy-on-write: a 1-row delete in a 10 GB partition costs the
+        tombstone's bytes, not 10 GB of IO. The commit writes the
+        delete-key set as per-partition TOMBSTONE directories (one row
+        per (key, data-dir-it-applies-to) pair — delta-sized: |keys in
+        partition| x |dirs in partition|), and read() reconstructs by
+        anti-joining covered directories against them. Compaction folds
+        tombstones in (the rewrite reads through read(), so the new
+        files simply lack the rows) and clears them; merge() on a
+        touched partition does the same.
+
+        ``keys`` must carry key_cols plus the table's partition column
+        (the merge() contract: the partition is a pure function of the
+        key, or the delete could miss the row's partition). Tombstones
+        are scoped to the data directories that exist AT THE BASE
+        SNAPSHOT: rows appended to the partition after this delete's
+        base are untouched — which is why deletes COMMUTE with appends
+        and with other deletes under optimistic rebase, and why an
+        intervening merge/compact (which replaces the covered dirs)
+        conflicts instead of silently no-op'ing against dead
+        directories. Key columns must be non-null (equality-join
+        semantics, same as merge). ``key_cols`` is a table-level
+        property once the first tombstone lands: later deletes must use
+        the same keys until compaction folds everything in.
+
+        Exactly-once ``commit_token`` contract as merge()/append().
+        At 100 TB this is the GDPR/right-to-be-forgotten and CDC-delete
+        shape: O(churn) commit cost, rewrite deferred to the next
+        scheduled compaction."""
+        if not self.exists():
+            raise ValueError("delete_keys() needs an existing table")
+        spark = keys.sparkSession
+        m = self._read_manifest()
+        if commit_token is not None and commit_token in m.get("tokens", []):
+            return m["version"]
+        pc = m["partition_col"]
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        want = {f.name: f.dataType for f in schema.fields}
+        got = {f.name: f.dataType for f in keys.schema.fields}
+        missing = [c for c in [*key_cols, pc] if c not in got]
+        if missing:
+            raise ValueError(
+                f"delete_keys() batch must carry key_cols + the "
+                f"partition column; missing {missing}"
+            )
+        bad = [
+            c
+            for c in {*key_cols, pc}
+            if c not in want or got[c] != want[c]
+        ]
+        if bad:
+            raise ValueError(
+                f"delete_keys() columns {bad} do not match the table "
+                "schema (same name + type required — tombstones "
+                "anti-join by equality)"
+            )
+        prior_kc = m.get("tombstone_key_cols")
+        if prior_kc is not None and list(prior_kc) != list(key_cols):
+            raise ValueError(
+                f"table already carries tombstones keyed by {prior_kc}; "
+                f"a delete keyed by {list(key_cols)} cannot compose — "
+                "compact() first to fold the existing tombstones in"
+            )
+        key_batch = keys.select(
+            *dict.fromkeys([*key_cols, pc])
+        ).distinct()
+        touched = [
+            r[0] for r in key_batch.select(pc).distinct().collect()
+        ]
+        touched_keys = {
+            k
+            for k in (_partition_dir(v) for v in touched)
+            if k in m["partitions"]  # keys in empty partitions: no-op
+        }
+        if not touched_keys:
+            return m["version"]
+        applies = {k: list(m["partitions"][k]) for k in touched_keys}
+        dirs_df = spark.createDataFrame(
+            [(k, d) for k, ds in applies.items() for d in ds],
+            f"__vt_pk string, {_TOMB_DIR_COL} string",
+        )
+        tomb = key_batch.join(
+            F.broadcast(dirs_df),
+            F.col(pc).cast("string") == F.col("__vt_pk"),
+        ).select(*dict.fromkeys([*key_cols, pc]), _TOMB_DIR_COL)
+        new_tombs, _, commit_dir = self._write_commit_data(tomb, pc)
+        with _WriterLock(self.root):
+            latest = self._read_manifest()
+            if commit_token is not None and commit_token in latest.get(
+                "tokens", []
+            ):
+                self._discard_commit_dir(commit_dir)
+                return latest["version"]
+            if latest["version"] != m["version"]:
+                try:
+                    for c in self._commits_between(
+                        m["version"], latest["version"]
+                    ):
+                        op = c.get("op")
+                        inter = touched_keys & set(
+                            c.get("touched", list(latest["partitions"]))
+                        )
+                        # appends add NEW dirs (out of scope by the
+                        # applies-to contract) and deletes add disjoint
+                        # tombstones — both commute. merge/compact
+                        # REPLACED the dirs this tombstone targets: a
+                        # rebase would anti-join dead paths, silently
+                        # deleting nothing.
+                        if inter and op not in ("append", "delete"):
+                            raise CommitConflict(
+                                f"concurrent {op or 'commit'} "
+                                f"v{c['version']} rewrote partitions "
+                                f"{sorted(inter)} this delete targets; "
+                                "re-run delete_keys() against the new "
+                                "snapshot"
+                            )
+                except CommitConflict:
+                    self._discard_commit_dir(commit_dir)
+                    raise
+            latest_kc = latest.get("tombstone_key_cols")
+            if latest_kc is not None and list(latest_kc) != list(key_cols):
+                self._discard_commit_dir(commit_dir)
+                raise CommitConflict(
+                    f"a concurrent delete keyed by {latest_kc} landed "
+                    f"first; this delete's keys {list(key_cols)} cannot "
+                    "compose — compact() and re-run"
+                )
+            tombs = {
+                k: list(v)
+                for k, v in latest.get("tombstones", {}).items()
+            }
+            for k, ds in new_tombs.items():
+                tombs.setdefault(k, []).extend(ds)
+            tokens = list(latest.get("tokens", []))
+            if commit_token is not None:
+                tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
+            return self._commit(
+                {
+                    "version": latest["version"] + 1,
+                    "parent": latest["version"],
+                    "op": "delete",
+                    "partition_col": pc,
+                    "schema": latest["schema"],
+                    "partitions": latest["partitions"],
+                    "touched": sorted(new_tombs),
+                    "added": {},
+                    "tombstones": tombs,
+                    "tombstones_added": new_tombs,
+                    "tombstone_key_cols": list(key_cols),
+                    # change-feed support: the data dirs this tombstone
+                    # covers (as of base) and the tombstones that were
+                    # ALREADY live on them (rows those deleted must not
+                    # re-emit as deletes)
+                    "applies": applies,
+                    "prior_tombstones": {
+                        k: list(latest.get("tombstones", {}).get(k, []))
+                        for k in touched_keys
+                    },
+                    "key_cols": list(key_cols),
+                    "stats_cols": list(latest.get("stats_cols", [])),
+                    "stats": latest.get("stats", {}),
                     "tokens": tokens,
                 }
             )
@@ -921,8 +1275,14 @@ class VersionedTable:
         m = self._read_manifest()
         parts = m["partitions"]
         if partition_values is None:
+            # fragmented layouts AND tombstoned partitions both qualify:
+            # folding deletion vectors back into plain files is the
+            # second half of compaction's job (merge-on-read debt)
             targets = [
-                k for k, ds in parts.items() if self._n_files(ds) > 1
+                k
+                for k, ds in parts.items()
+                if self._n_files(ds) > 1
+                or m.get("tombstones", {}).get(k)
             ]
         else:
             targets = [
@@ -1003,6 +1363,14 @@ class VersionedTable:
                     "partitions": merged,
                     "touched": sorted(new_parts),
                     "added": added,
+                    # the rewrite read through the targets' tombstones
+                    # (folded); non-target partitions' tombstones carry
+                    "tombstones": {
+                        k: list(v)
+                        for k, v in latest.get("tombstones", {}).items()
+                        if k not in target_keys
+                    },
+                    "tombstone_key_cols": latest.get("tombstone_key_cols"),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
                     "tokens": list(latest.get("tokens", [])),
@@ -1042,23 +1410,29 @@ class VersionedTable:
             keep, drop = names[-keep_last:], names[:-keep_last]
             if current not in keep:
                 keep.append(current)
+            def _dirs_of(manifest: dict):
+                for ds in manifest["partitions"].values():
+                    yield from ds
+                # tombstone dirs are first-class data: a retained
+                # snapshot's merge-on-read reconstruction needs them
+                for ds in manifest.get("tombstones", {}).values():
+                    yield from ds
+
             referenced: set[str] = set()
             for n in keep:
                 with open(os.path.join(self._manifest_dir, n)) as fh:
-                    for ds in json.load(fh)["partitions"].values():
-                        referenced.update(ds)
+                    referenced.update(_dirs_of(json.load(fh)))
             removed: list[str] = []
             for n in drop:
                 path = os.path.join(self._manifest_dir, n)
                 with open(path) as fh:
-                    for ds in json.load(fh)["partitions"].values():
-                        for d in ds:
-                            if d not in referenced:
-                                shutil.rmtree(
-                                    os.path.join(self.root, d),
-                                    ignore_errors=True,
-                                )
-                                removed.append(d)
-                                referenced.add(d)  # only rmtree once
+                    for d in _dirs_of(json.load(fh)):
+                        if d not in referenced:
+                            shutil.rmtree(
+                                os.path.join(self.root, d),
+                                ignore_errors=True,
+                            )
+                            removed.append(d)
+                            referenced.add(d)  # only rmtree once
                 os.remove(path)
             return removed

@@ -962,3 +962,80 @@ def a31_incremental_aggregate_maintenance(
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+# --- a32: deletion-vector row-level deletes + fold/vacuum lifecycle -------------------
+@register(
+    "a32",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash, CAST(2 AS BIGINT) AS n_copies
+    FROM documents
+    WHERE NOT (doc_id % 7 = 2 OR doc_id % 13 = 5)
+    """,
+)
+def a32_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level deletes through the hash gate — the
+    deletion-vector lifecycle (operators/manifest.delete_keys) that
+    fixes copy-on-write merge()'s #1 practical pain at scale: a delete
+    commit writes per-partition TOMBSTONE key sets scoped to the data
+    directories existing at its base snapshot — O(churn) bytes, not a
+    rewrite of every touched partition — and read() reconstructs via a
+    delta-sized anti-join on (key, source-directory).
+
+    The scripted lifecycle: (1) the documents corpus commits with a
+    deliberately fragmented layout; (2) TWO stacked delete_keys commits
+    land (doc_id % 7 == 2, then doc_id % 13 == 5 — overlapping keys
+    prove idempotent stacking) with not one data file rewritten;
+    (3) the MERGE-ON-READ read materializes (tombstone anti-join plan);
+    (4) compact() FOLDS the tombstones into plain single-file dirs and
+    clears them; (5) vacuum(keep_last=1) reclaims the superseded
+    fragments AND the folded tombstone dirs; (6) the folded read runs
+    against the post-vacuum snapshot. The returned frame unions both
+    reads and requires n_copies == 2 per (doc_id, content_hash): the
+    oracle emits the relational delete with a literal 2, so the hash is
+    green ONLY IF the merge-on-read plan and the folded plan BOTH equal
+    the relational result exactly — divergence in either read changes a
+    count or a row and trips the gate. Change-feed correctness across
+    tombstone commits and the conflict/rebase matrix are pinned in
+    tests/test_deletion_vectors.py.
+
+    At 100 TB this is the GDPR / CDC-delete shape: deletes cost their
+    churn at commit time, reads pay one broadcast anti-join until the
+    next scheduled compaction folds the debt away."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 8).alias("bucket")
+    )
+    root = _stage(sf_dir, "a32_deletion_vectors")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(docs.repartition(16), "bucket")  # fragmented on purpose
+    vt.delete_keys(
+        docs.filter(F.col("doc_id") % 7 == 2).select("doc_id", "bucket"),
+        key_cols=["doc_id"],
+    )
+    vt.delete_keys(  # stacks; doc_ids hitting both rules delete once
+        docs.filter(F.col("doc_id") % 13 == 5).select("doc_id", "bucket"),
+        key_cols=["doc_id"],
+    )
+    # merge-on-read: pin the tombstone-anti-join read BEFORE vacuum
+    # reclaims the dirs its lazy plan references
+    mor = (
+        vt.read(spark)
+        .select("doc_id", F.md5("text").alias("content_hash"))
+        .localCheckpoint(eager=True)
+    )
+    vt.compact(spark)  # folds tombstones into plain files
+    vt.vacuum(keep_last=1)
+    folded = vt.read(spark).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    return (
+        mor.unionByName(folded)
+        .groupBy("doc_id", "content_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+    )
