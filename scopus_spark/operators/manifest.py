@@ -48,10 +48,23 @@ Every manifest records its commit's ``op``, the partition keys it
 insert/delete/update_pre/update_post images at O(delta files) cost by
 reading only the added/replaced directories of the commits in range.
 
-At 100 TB the pointer swap + flock become the catalog's atomic
-compare-and-swap; the rebase/conflict logic transfers verbatim —
-everything else (immutable files, manifest pruning by partition value,
-snapshot-pinned readers) is already the at-scale shape.
+ROW-LEVEL DELETES (round 9) are merge-on-read DELETION VECTORS:
+``delete_keys`` commits per-partition tombstone key sets scoped to the
+data directories existing at its base snapshot — O(churn) bytes, no
+rewrite — and ``read`` reconstructs via a delta-sized anti-join on
+(key, source dir). Deletes commute with appends and other deletes
+under rebase; compaction and merges FOLD tombstones back into plain
+files; the change feed streams tombstoned rows' pre-images.
+
+The commit critical section is behind a pluggable ``CommitCoordinator``
+(round 9): ``exclusive(table)`` bounds the section and
+``swap_or_conflict(manifest, expected_version)`` publishes iff the
+version still matches. The local implementation is an flock +
+pointer-swap; at 100 TB the same interface is a catalog's atomic
+compare-and-swap (conditional-put), and the rebase/conflict logic
+transfers verbatim — everything else (immutable files, manifest
+pruning by partition value, snapshot-pinned readers) is already the
+at-scale shape.
 """
 
 from __future__ import annotations
@@ -166,13 +179,68 @@ class _WriterLock:
         self._fd = None
 
 
+class CommitCoordinator:
+    """Pluggable serialization seam for the commit critical section —
+    the ONLY two primitives the rebase logic needs, so a real catalog
+    can slot in without touching any mutator:
+
+    - ``exclusive(table)``: a context manager bounding the critical
+      section (re-read latest, rebase, publish). The local impl holds
+      an flock for the whole section; a CAS-based catalog may return a
+      NO-OP context, because correctness is carried by the second
+      primitive:
+    - ``swap_or_conflict(table, manifest, expected_version)``: publish
+      ``manifest`` iff the table's current version still equals
+      ``expected_version``, else raise CommitConflict. This is
+      compare-and-swap shaped on purpose — on an object store it maps
+      to a conditional-put / catalog CAS verbatim, and every mutator
+      already handles CommitConflict by reclaiming its staged data
+      dirs and asking the caller to re-run against the new snapshot.
+    """
+
+    def exclusive(self, table: "VersionedTable"):
+        raise NotImplementedError
+
+    def swap_or_conflict(
+        self, table: "VersionedTable", manifest: dict, expected_version: int
+    ) -> int:
+        raise NotImplementedError
+
+
+class LocalFlockCoordinator(CommitCoordinator):
+    """Single-host coordinator: exclusivity is an flock on the table
+    root (threads + processes on one box; crash-released by the OS),
+    and the swap is trivially conditional because the lock is held
+    across the read-rebase-publish section. The expected-version check
+    still runs — it is the invariant a distributed coordinator relies
+    on, so the fake/CAS test path and the flock path exercise the SAME
+    contract."""
+
+    def exclusive(self, table: "VersionedTable"):
+        return _WriterLock(table.root)
+
+    def swap_or_conflict(
+        self, table: "VersionedTable", manifest: dict, expected_version: int
+    ) -> int:
+        current = table.version()
+        if current != expected_version:
+            raise CommitConflict(
+                f"commit raced: expected v{expected_version}, table is at "
+                f"v{current} — re-run against the current snapshot"
+            )
+        return table._commit(manifest)
+
+
 class VersionedTable:
     """Handle to one snapshot-isolated table rooted at ``root``."""
 
-    def __init__(self, root: str):
+    def __init__(
+        self, root: str, coordinator: CommitCoordinator | None = None
+    ):
         self.root = root
         self._manifest_dir = os.path.join(root, "_manifests")
         self._pointer = os.path.join(root, "_current")
+        self.coordinator = coordinator or LocalFlockCoordinator()
 
     def _commits_between(self, base: int, latest: int) -> list[dict]:
         """The commit manifests (base, latest], oldest first — the
@@ -276,6 +344,21 @@ class VersionedTable:
         manifests reference)."""
         shutil.rmtree(commit_dir, ignore_errors=True)
 
+    def _swap_or_reclaim(
+        self, commit_dir: str, expected_version: int, manifest: dict
+    ) -> int:
+        """Publish through the coordinator; if the swap loses (a CAS
+        coordinator can conflict at publish time even after a clean
+        rebase), reclaim the staged commit dir before surfacing the
+        conflict."""
+        try:
+            return self.coordinator.swap_or_conflict(
+                self, manifest, expected_version
+            )
+        except CommitConflict:
+            self._discard_commit_dir(commit_dir)
+            raise
+
     def _write_commit_data(
         self,
         df: DataFrame,
@@ -352,29 +435,34 @@ class VersionedTable:
         parts, stats, commit_dir = self._write_commit_data(
             df, partition_col, stats_cols
         )
-        with _WriterLock(self.root):
-            if self.exists():
-                self._discard_commit_dir(commit_dir)
-                raise CommitConflict(
-                    f"table already exists at {self.root}; write_initial "
-                    "raced another creator — read the current snapshot "
-                    "and append/merge instead"
+        with self.coordinator.exclusive(self):
+            try:
+                if self.exists():
+                    raise CommitConflict(
+                        f"table already exists at {self.root}; "
+                        "write_initial raced another creator — read the "
+                        "current snapshot and append/merge instead"
+                    )
+                return self.coordinator.swap_or_conflict(
+                    self,
+                    {
+                        "version": 1,
+                        "parent": 0,
+                        "op": "create",
+                        "partition_col": partition_col,
+                        "schema": df.schema.json(),
+                        "partitions": parts,
+                        "touched": sorted(parts),
+                        "added": parts,
+                        "stats_cols": list(stats_cols or []),
+                        "stats": stats,
+                        "tokens": [commit_token] if commit_token else [],
+                    },
+                    expected_version=0,
                 )
-            return self._commit(
-                {
-                    "version": 1,
-                    "parent": 0,
-                    "op": "create",
-                    "partition_col": partition_col,
-                    "schema": df.schema.json(),
-                    "partitions": parts,
-                    "touched": sorted(parts),
-                    "added": parts,
-                    "stats_cols": list(stats_cols or []),
-                    "stats": stats,
-                    "tokens": [commit_token] if commit_token else [],
-                }
-            )
+            except CommitConflict:
+                self._discard_commit_dir(commit_dir)
+                raise
 
     def data_dirs(
         self,
@@ -821,7 +909,7 @@ class VersionedTable:
         new_parts, new_stats, commit_dir = self._write_commit_data(
             df, m["partition_col"], m.get("stats_cols") or None
         )
-        with _WriterLock(self.root):
+        with self.coordinator.exclusive(self):
             latest = self._read_manifest()
             if commit_token is not None and commit_token in latest.get(
                 "tokens", []
@@ -845,7 +933,9 @@ class VersionedTable:
             tokens = list(latest.get("tokens", []))
             if commit_token is not None:
                 tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
-            return self._commit(
+            return self._swap_or_reclaim(
+                commit_dir,
+                latest["version"],
                 {
                     "version": latest["version"] + 1,
                     "parent": latest["version"],
@@ -903,14 +993,16 @@ class VersionedTable:
             parts0, stats0, commit_dir0 = self._write_commit_data(
                 delta, partition_col
             )
-            with _WriterLock(self.root):
+            with self.coordinator.exclusive(self):
                 if self.exists():
                     self._discard_commit_dir(commit_dir0)
                     raise CommitConflict(
                         f"table appeared concurrently at {self.root}; "
                         "re-run the merge against the current snapshot"
                     )
-                return self._commit(
+                return self._swap_or_reclaim(
+                    commit_dir0,
+                    0,
                     {
                         "version": 1,
                         "parent": 0,
@@ -983,7 +1075,7 @@ class VersionedTable:
             for k in touched_keys
             if k in m["partitions"]
         }
-        with _WriterLock(self.root):
+        with self.coordinator.exclusive(self):
             latest = self._read_manifest()
             if commit_token is not None and commit_token in latest.get(
                 "tokens", []
@@ -1043,7 +1135,9 @@ class VersionedTable:
             if commit_token is not None:
                 tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
             old_tombs = latest.get("tombstones", {})
-            return self._commit(
+            return self._swap_or_reclaim(
+                commit_dir,
+                latest["version"],
                 {
                     "version": latest["version"] + 1,
                     "parent": latest["version"],
@@ -1173,7 +1267,7 @@ class VersionedTable:
             F.col(pc).cast("string") == F.col("__vt_pk"),
         ).select(*dict.fromkeys([*key_cols, pc]), _TOMB_DIR_COL)
         new_tombs, _, commit_dir = self._write_commit_data(tomb, pc)
-        with _WriterLock(self.root):
+        with self.coordinator.exclusive(self):
             latest = self._read_manifest()
             if commit_token is not None and commit_token in latest.get(
                 "tokens", []
@@ -1223,7 +1317,9 @@ class VersionedTable:
             tokens = list(latest.get("tokens", []))
             if commit_token is not None:
                 tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
-            return self._commit(
+            return self._swap_or_reclaim(
+                commit_dir,
+                latest["version"],
                 {
                     "version": latest["version"] + 1,
                     "parent": latest["version"],
@@ -1303,7 +1399,7 @@ class VersionedTable:
         # snapshot the dirs THIS commit introduced before any rebase
         # concatenates foreign append dirs into new_parts
         added = {k: list(ds) for k, ds in new_parts.items()}
-        with _WriterLock(self.root):
+        with self.coordinator.exclusive(self):
             latest = self._read_manifest()
             if latest["version"] != m["version"]:
                 # rebase: appends to a target key concatenate back onto
@@ -1345,6 +1441,15 @@ class VersionedTable:
                 for k, ds in extra.items():
                     new_parts.setdefault(k, []).extend(ds)
             merged = dict(latest["partitions"])
+            for k in target_keys:
+                if k not in new_parts:
+                    # the target's tombstone-folded content is EMPTY
+                    # (every row deleted): the partition leaves the
+                    # snapshot, exactly like a merge that empties one.
+                    # Carrying the old dirs forward would RESURRECT the
+                    # tombstoned rows the moment the tombstones are
+                    # cleared below.
+                    merged.pop(k, None)
             merged.update(new_parts)
             live = {d for ds in merged.values() for d in ds}
             stats = {
@@ -1353,7 +1458,9 @@ class VersionedTable:
                 if d in live
             }
             stats.update(new_stats)
-            return self._commit(
+            return self._swap_or_reclaim(
+                commit_dir,
+                latest["version"],
                 {
                     "version": latest["version"] + 1,
                     "parent": latest["version"],
@@ -1394,7 +1501,10 @@ class VersionedTable:
         but sizing keep_last to the longest job avoids the retry."""
         if not self.exists():
             return []
-        with _WriterLock(self.root):
+        # vacuum needs REAL exclusion (it mutates shared retention state),
+        # so it runs under the coordinator's exclusive section — a
+        # CAS-only coordinator must provide one (or not offer vacuum)
+        with self.coordinator.exclusive(self):
             # ignore stale .tmp-* leftovers from a crashed commit attempt —
             # only fsync'd, os.replace'd manifests count
             names = sorted(

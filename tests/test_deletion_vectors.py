@@ -271,3 +271,25 @@ def test_vacuum_retains_live_tombstones(spark, tmp_path):
     want = _snap(t.read(spark))
     t.vacuum(keep_last=1)  # current snapshot still needs its tombstones
     assert _snap(t.read(spark)) == want
+
+
+def test_compact_pops_partition_emptied_by_tombstones(spark, tmp_path):
+    """Regression: a partition whose EVERY row is tombstoned writes no
+    compacted output — compact must drop it from the snapshot, not carry
+    the raw dirs forward while clearing the tombstones (which would
+    resurrect the deleted rows)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, BASE), "b")
+    t.append(_df(spark, [(6, "f", 0)]))
+    t.merge(_df(spark, [(1, "a2", 1)]), key_cols=["k"], partition_col="b")
+    # partition 1 holds {1, 3, 5}: delete all of them
+    t.delete_keys(_keys(spark, [1, 3, 5]), key_cols=["k"])
+    want = _snap(t.read(spark))
+    assert want == [(2, "b", 0), (4, "d", 0), (6, "f", 0)]
+    t.compact(spark)
+    m = t._read_manifest()
+    assert m.get("tombstones") == {}
+    assert "1" not in m["partitions"]  # the emptied partition left
+    assert _snap(t.read(spark)) == want
+    t.vacuum(keep_last=1)
+    assert _snap(t.read(spark)) == want
