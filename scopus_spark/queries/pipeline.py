@@ -3020,3 +3020,88 @@ def j58_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_offset",
         "n_packs_spanned",
     )
+
+
+# --- j59: temporal video perceptual fingerprint over decoded AVI frames ---------------
+@register(
+    "j59",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             (octet_length(encode(text)) // 3) // 4 AS n_frames
+      FROM documents WHERE octet_length(encode(text)) >= 12
+    ),
+    sj AS (
+      SELECT doc_id, hx, n_frames,
+             unnest(range(0, least((n_frames + 1) // 2, 15))) AS j
+      FROM b
+    ),
+    px AS (
+      SELECT doc_id, j, i,
+             (299 * ('0x' || substr(hx, 2 * (3 * (8 * j + i)) + 1, 2))::BIGINT
+            + 587 * ('0x' || substr(hx, 2 * (3 * (8 * j + i) + 1) + 1, 2))::BIGINT
+            + 114 * ('0x' || substr(hx, 2 * (3 * (8 * j + i) + 2) + 1, 2))::BIGINT
+             ) // 1000 AS l
+      FROM (SELECT doc_id, hx, j, unnest(range(0, 4)) AS i FROM sj)
+    ),
+    sb AS (
+      SELECT doc_id, j, i, l,
+             lead(l) OVER (PARTITION BY doc_id, j ORDER BY i) AS nl
+      FROM px
+    ),
+    spat AS (
+      SELECT doc_id,
+             sum(CASE WHEN i < 3 AND l < nl
+                      THEN (CAST(1 AS BIGINT) << (4 * j + i))
+                      ELSE CAST(0 AS BIGINT) END) AS sbits
+      FROM sb GROUP BY doc_id
+    ),
+    fr AS (SELECT doc_id, j, sum(l) AS fl FROM px GROUP BY doc_id, j),
+    tb AS (
+      SELECT doc_id, j, fl,
+             lag(fl) OVER (PARTITION BY doc_id ORDER BY j) AS pfl
+      FROM fr
+    ),
+    tmp AS (
+      SELECT doc_id,
+             sum(CASE WHEN pfl IS NOT NULL AND fl > pfl
+                      THEN (CAST(1 AS BIGINT) << (4 * j - 1))
+                      ELSE CAST(0 AS BIGINT) END) AS tbits
+      FROM tb GROUP BY doc_id
+    )
+    SELECT b.doc_id AS media_id,
+           CAST(b.n_frames AS BIGINT) AS n_frames,
+           CAST((b.n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(coalesce(s.sbits, 0) + coalesce(t.tbits, 0) AS BIGINT)
+             AS vhash
+    FROM b LEFT JOIN spat s ON b.doc_id = s.doc_id
+           LEFT JOIN tmp t ON b.doc_id = t.doc_id
+    """,
+)
+def j59_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL VIDEO FINGERPRINTING through the hash gate — the last
+    rung of the perceptual-fingerprint matrix (j51 image dHash, j54
+    audio Haitsma–Kalker, j59 video): the j36 AVI tier's decoded 2x2
+    frames, sampled every 2nd frame, each contributing 3 within-frame
+    luma-difference dHash bits plus 1 frame-delta bit (total luma rose
+    vs the previous sampled frame), packed 4 bits per sampled frame
+    into a 59-bit int64 (operators/multimodal.video_fingerprint).
+    Every step — container parse, DIB decode, integer luma, strict
+    comparisons, bit packing — is exact integer arithmetic, so the
+    DuckDB oracle reconstructs the identical fingerprint straight off
+    the staged bytes (hex-pair pixel decode, windowed lead/lag for the
+    spatial and temporal deltas, shifted-bit sums) and a green hash
+    proves the decode -> sample -> luma -> fingerprint loop
+    bit-for-bit. Near-dup video pairing over vhash is the j11
+    hamming-band machinery verbatim — the fingerprint is the new part,
+    declared here.
+
+    100 TB shape: pure Arrow-batch map work over the media table
+    (decode + fingerprint in one mapInPandas pass, zero shuffle until
+    the tiny band join)."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") >= 12
+    )
+    return multimodal.video_fingerprint(
+        multimodal.attach_avi(docs), every_n=2, max_frames=15
+    )
