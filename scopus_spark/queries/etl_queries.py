@@ -1039,3 +1039,126 @@ def a32_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "content_hash")
         .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
     )
+
+
+# --- a33: exactly-once CDC table-to-table replication over the change feed ------------
+@register(
+    "a33",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(user_id % 8 AS BIGINT) AS bucket,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM ev WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id, bucket
+    ),
+    b AS (
+      SELECT user_id, bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM ev WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id, bucket
+    ),
+    d AS (SELECT user_id FROM b WHERE n_events % 4 = 0),
+    delta AS (SELECT * FROM b WHERE user_id NOT IN (SELECT user_id FROM d)),
+    s2 AS (
+      SELECT * FROM delta
+      UNION ALL
+      SELECT * FROM a WHERE user_id NOT IN (SELECT user_id FROM b)
+    )
+    SELECT user_id, bucket, n_events, total_cents
+    FROM s2 WHERE user_id % 5 != 0
+    """,
+)
+def a33_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE TABLE-TO-TABLE CDC REPLICATION — the round-9
+    features composed into the pipeline they exist for: a source
+    VersionedTable's commit history (create -> merge-with-deletes ->
+    deletion-vector delete) streams through the checkpointed
+    ChangeFeedConsumer (i17) into a REPLICA VersionedTable via
+    streaming/table_source.apply_changes_to_table — commits re-apply in
+    source order, upserts as keyed merges, the source's
+    deletion-vector commit as replica delete_keys (merge-on-read, so
+    the replica pays O(churn) exactly like the source did), every
+    applied commit tokened '<stream>:<source version>' so the
+    consumer's at-least-once window replays as manifest no-ops.
+
+    The scripted run replicates INCREMENTALLY: pass 1 applies v1+v2
+    (the i17 data: early-events summary created, late summary merged
+    with delete-wins tombstones for late-count % 4 == 0), then a
+    deletion-vector commit lands on the SOURCE (user_id % 5 == 0), and
+    pass 2 carries ONLY that delete across. The returned frame is the
+    REPLICA read back through its own manifest; the oracle recomputes
+    the source's final state relationally — a green hash proves
+    feed -> apply -> replica ≡ source end state across all three
+    commit kinds, including that pass 2 did not re-apply (double
+    merges would double nothing here by token idempotence — pinned
+    separately by tests/test_replication.py's replay case).
+
+    At 100 TB this is cross-region / dev-fork replication over the
+    manifest layer: the wire carries O(churn) rows per trigger and no
+    snapshot diff ever runs."""
+    import os
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+    from scopus_spark.streaming.table_source import (
+        ChangeFeedConsumer,
+        replication_sink,
+    )
+
+    root = _stage(sf_dir, "a33_repl")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.pmod("user_id", F.lit(8)).cast("long").alias("bucket"),
+        F.col("ts").cast("timestamp").alias("tss"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+
+    early = summarize(ev.filter(F.col("tss") < cut))
+    late = summarize(ev.filter(F.col("tss") >= cut))
+    deletes = late.filter(F.col("n_events") % 4 == 0).select(
+        "user_id", "bucket"
+    )
+
+    source = VersionedTable(os.path.join(root, "source"))
+    source.write_initial(early, "bucket")  # v1
+    source.merge(  # v2
+        late.join(deletes.select("user_id"), "user_id", "left_anti"),
+        key_cols=["user_id"],
+        partition_col="bucket",
+        deletes=deletes,
+    )
+
+    replica = VersionedTable(os.path.join(root, "replica"))
+    consumer = ChangeFeedConsumer(source, os.path.join(root, "_ckpt"))
+    sink = replication_sink(
+        replica, key_cols=["user_id"], partition_col="bucket",
+        stream_name="a33",
+    )
+    consumer.run_available(spark, sink)  # pass 1: v1 + v2 replicate
+
+    source.delete_keys(  # v3: deletion-vector commit on the SOURCE
+        source.read(spark)
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "bucket"),
+        key_cols=["user_id"],
+    )
+    consumer.run_available(spark, sink)  # pass 2: ONLY v3's deletes
+
+    return replica.read(spark).select(
+        "user_id", "bucket", "n_events", "total_cents"
+    )
