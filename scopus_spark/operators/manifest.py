@@ -89,6 +89,15 @@ _TOMB_DIR_COL = "_applies_dir"
 # carries. Streaming retries only ever replay the LAST batch, so a small
 # window is already generous; bounded so manifests never grow with history.
 _TOKEN_WINDOW = 128
+# Per-directory Bloom filters for point-lookup skipping: m bits / k hashes
+# sized for directory-level membership (a directory holding ~1e4-1e6 rows
+# of a high-cardinality key still prunes usefully because the QUESTION is
+# per-directory, not per-row: "can key x be in this directory at all").
+# xxhash64(col, seed) with integer seeds keeps write-side (JVM expression)
+# and probe-side (1-row JVM job) bit-identical.
+_BLOOM_BITS = 1024
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 4
 
 
 class CommitConflict(RuntimeError):
@@ -125,6 +134,30 @@ def _evolve_schema(old: StructType, new: StructType) -> StructType:
                 f"{f.dataType.simpleString()}"
             )
     return StructType(out)
+
+
+def _bloom_word_expr(col: str, w: int) -> str:
+    """SQL expression for word ``w`` of one row's Bloom contribution:
+    OR of (1 << bit-offset) for each of the k hash positions that land
+    in this word. Evaluated JVM-side; bit_or-aggregated per directory."""
+    terms = []
+    for seed in range(_BLOOM_K):
+        h = f"pmod(xxhash64(`{col}`, {seed}), {_BLOOM_BITS})"
+        terms.append(
+            f"(CASE WHEN CAST({h} / 64 AS INT) = {w} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST({h} % 64 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " | ".join(terms)
+
+
+def _bloom_admits(words: list[int] | None, positions: list[int]) -> bool:
+    """Directory-level membership test: True unless the filter PROVES
+    absence (a missing filter always admits — skipping is a superset
+    guarantee, the stats-pruning rule)."""
+    if words is None:
+        return True
+    return all((words[h >> 6] >> (h & 63)) & 1 for h in positions)
 
 
 def _filter_dirs(
@@ -364,10 +397,17 @@ class VersionedTable:
         df: DataFrame,
         partition_col: str,
         stats_cols: list[str] | None = None,
-    ) -> tuple[dict[str, list[str]], dict[str, dict[str, list]], str]:
+        bloom_cols: list[str] | None = None,
+    ) -> tuple[
+        dict[str, list[str]],
+        dict[str, dict[str, list]],
+        dict[str, dict[str, list[int]]],
+        str,
+    ]:
         """Write df as immutable files under data/<commit>/ and return
         ({partition value (as dir string): [relative data dirs]},
         {relative data dir: {stat col: [min, max]}},
+        {relative data dir: {bloom col: [16 int64 filter words]}},
         the absolute commit directory — so conflict paths can reclaim it).
 
         With ``stats_cols``, one bounded aggregate (one row per touched
@@ -398,11 +438,20 @@ class VersionedTable:
                     os.path.join("data", commit_id, name)
                 ]
         stats: dict[str, dict[str, list]] = {}
-        if stats_cols and out:  # an all-empty batch writes no files at all
+        blooms: dict[str, dict[str, list[int]]] = {}
+        if (stats_cols or bloom_cols) and out:
+            # an all-empty batch writes no files at all
             aggs = []
-            for c in stats_cols:
+            for c in stats_cols or []:
                 aggs.append(F.min(c).alias(f"_lo_{c}"))
                 aggs.append(F.max(c).alias(f"_hi_{c}"))
+            for ci, c in enumerate(bloom_cols or []):
+                for w in range(_BLOOM_WORDS):
+                    aggs.append(
+                        F.bit_or(F.expr(_bloom_word_expr(c, w))).alias(
+                            f"_bf_{ci}_{w}"
+                        )
+                    )
             # read the LEAF dirs directly (no hive partition discovery)
             # and group by the partition column stored inside the files:
             # directory-name type inference would re-type string values
@@ -414,10 +463,20 @@ class VersionedTable:
             for r in written.groupBy(partition_col).agg(*aggs).collect():
                 key = _partition_dir(r[partition_col])
                 for d in out.get(key, []):
-                    stats[d] = {
-                        c: [r[f"_lo_{c}"], r[f"_hi_{c}"]] for c in stats_cols
-                    }
-        return out, stats, commit_dir
+                    if stats_cols:
+                        stats[d] = {
+                            c: [r[f"_lo_{c}"], r[f"_hi_{c}"]]
+                            for c in stats_cols
+                        }
+                    if bloom_cols:
+                        blooms[d] = {
+                            c: [
+                                int(r[f"_bf_{ci}_{w}"] or 0)
+                                for w in range(_BLOOM_WORDS)
+                            ]
+                            for ci, c in enumerate(bloom_cols)
+                        }
+        return out, stats, blooms, commit_dir
 
     def write_initial(
         self,
@@ -425,15 +484,18 @@ class VersionedTable:
         partition_col: str,
         stats_cols: list[str] | None = None,
         commit_token: str | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
-        """Create the table (snapshot v1) from df. ``stats_cols`` is a
-        TABLE property: every later commit (append/merge/compact)
-        maintains per-directory min/max for these columns.
+        """Create the table (snapshot v1) from df. ``stats_cols`` and
+        ``bloom_cols`` are TABLE properties: every later commit
+        (append/merge/compact) maintains per-directory min/max stats
+        resp. Bloom filters for these columns (feeding read(prune=...)
+        range skipping and read(point=...) membership skipping).
         ``commit_token`` seeds the exactly-once token window so a
         replayed create-batch (streaming retry of batch 0) is
         recognized by the append/merge that follows."""
-        parts, stats, commit_dir = self._write_commit_data(
-            df, partition_col, stats_cols
+        parts, stats, blooms, commit_dir = self._write_commit_data(
+            df, partition_col, stats_cols, bloom_cols
         )
         with self.coordinator.exclusive(self):
             try:
@@ -456,6 +518,8 @@ class VersionedTable:
                         "added": parts,
                         "stats_cols": list(stats_cols or []),
                         "stats": stats,
+                        "bloom_cols": list(bloom_cols or []),
+                        "blooms": blooms,
                         "tokens": [commit_token] if commit_token else [],
                     },
                     expected_version=0,
@@ -469,16 +533,57 @@ class VersionedTable:
         partition_values: list | None = None,
         prune: tuple | None = None,
         at_version: int | None = None,
+        point: tuple | None = None,
+        spark: SparkSession | None = None,
     ) -> list[str]:
         """The relative data directories a read with these filters would
         scan. ``prune=(col, lo, hi)`` drops every directory whose
         recorded [min, max] for a stats column cannot intersect
-        [lo, hi]; directories without stats for the column are KEPT
-        (skipping must never lose rows — the Iceberg rule). Exposed so
-        tests and planners can observe skipping without reading data."""
-        return _filter_dirs(
-            self._read_manifest(at_version), partition_values, prune
-        )
+        [lo, hi]; ``point=(col, value)`` additionally drops every
+        directory whose BLOOM FILTER proves the value absent (requires
+        ``spark`` for the probe-hash job). Directories without
+        stats/blooms for the column are KEPT (skipping must never lose
+        rows — the Iceberg rule). Exposed so tests and planners can
+        observe skipping without reading data."""
+        m = self._read_manifest(at_version)
+        dirs = _filter_dirs(m, partition_values, prune)
+        if point is not None:
+            if spark is None:
+                raise ValueError("data_dirs(point=...) needs spark")
+            dirs = self._bloom_filter_dirs(spark, m, dirs, point)
+        return dirs
+
+    def _bloom_positions(self, spark: SparkSession, value, dtype) -> list[int]:
+        """The k bit positions a value probes — ONE 1-row JVM job using
+        the SAME xxhash64(value-as-column-type, seed) expressions the
+        write side folded, so probe and filter are bit-identical."""
+        cols = [
+            F.pmod(
+                F.xxhash64(F.lit(value).cast(dtype), F.lit(seed)),
+                F.lit(_BLOOM_BITS),
+            ).alias(f"h{seed}")
+            for seed in range(_BLOOM_K)
+        ]
+        r = spark.range(1).select(*cols).collect()[0]
+        return [int(r[f"h{seed}"]) for seed in range(_BLOOM_K)]
+
+    def _bloom_filter_dirs(
+        self, spark: SparkSession, m: dict, dirs: list[str], point: tuple
+    ) -> list[str]:
+        col, value = point
+        if value is None:
+            raise ValueError("point lookup value must be non-null")
+        blooms = m.get("blooms", {})
+        if not blooms:
+            return dirs
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        dtype = {f.name: f.dataType for f in schema.fields}[col]
+        pos = self._bloom_positions(spark, value, dtype)
+        return [
+            d
+            for d in dirs
+            if _bloom_admits(blooms.get(d, {}).get(col), pos)
+        ]
 
     def read(
         self,
@@ -486,6 +591,7 @@ class VersionedTable:
         partition_values: list | None = None,
         at_version: int | None = None,
         prune: tuple | None = None,
+        point: tuple | None = None,
     ) -> DataFrame:
         """A DataFrame pinned to the CURRENT snapshot — or, with
         ``at_version``, TIME TRAVEL to any retained older snapshot
@@ -493,9 +599,12 @@ class VersionedTable:
         readable forever). Optionally pruned to the given partition
         values via manifest metadata — no directory listing of untouched
         partitions ever happens — and/or to ``prune=(col, lo, hi)``
-        range-skipped directories via manifest min/max stats. Pruning is
-        a superset guarantee: callers still apply their row filter; the
-        manifest only bounds which directories must be scanned.
+        range-skipped directories via manifest min/max stats, and/or to
+        ``point=(col, value)`` Bloom-membership-skipped directories
+        (the high-cardinality point-lookup case min/max is blind to).
+        Pruning is a superset guarantee: callers still apply their row
+        filter; the manifest only bounds which directories must be
+        scanned.
 
         The manifest schema is passed EXPLICITLY to the reader: files
         committed before a schema evolution lack the added columns and
@@ -513,6 +622,13 @@ class VersionedTable:
         # same snapshot even if a commit lands between the two uses
         m = self._read_manifest(at_version)
         dirs = _filter_dirs(m, partition_values, prune)
+        if point is not None:
+            # Bloom membership skipping: directories whose filter proves
+            # the value absent never reach the scan. Same superset
+            # guarantee as prune — callers still apply their row filter
+            # (a bloom admit can be a false positive, never a false
+            # negative).
+            dirs = self._bloom_filter_dirs(spark, m, dirs, point)
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not dirs:
             return spark.createDataFrame([], schema)
@@ -906,8 +1022,11 @@ class VersionedTable:
                 "schema-strict — evolve via merge(allow_schema_evolution"
                 "=True) first"
             )
-        new_parts, new_stats, commit_dir = self._write_commit_data(
-            df, m["partition_col"], m.get("stats_cols") or None
+        new_parts, new_stats, new_blooms, commit_dir = self._write_commit_data(
+            df,
+            m["partition_col"],
+            m.get("stats_cols") or None,
+            m.get("bloom_cols") or None,
         )
         with self.coordinator.exclusive(self):
             latest = self._read_manifest()
@@ -930,6 +1049,8 @@ class VersionedTable:
                 parts.setdefault(key, []).extend(dirs)
             stats = dict(latest.get("stats", {}))
             stats.update(new_stats)
+            blooms = dict(latest.get("blooms", {}))
+            blooms.update(new_blooms)
             tokens = list(latest.get("tokens", []))
             if commit_token is not None:
                 tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
@@ -952,6 +1073,8 @@ class VersionedTable:
                     "tombstone_key_cols": latest.get("tombstone_key_cols"),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
+                    "bloom_cols": list(latest.get("bloom_cols", [])),
+                    "blooms": blooms,
                     "tokens": tokens,
                 }
             )
@@ -990,7 +1113,7 @@ class VersionedTable:
                 delta = delta.join(
                     deletes.select(*key_cols), key_cols, "left_anti"
                 )
-            parts0, stats0, commit_dir0 = self._write_commit_data(
+            parts0, stats0, _blooms0, commit_dir0 = self._write_commit_data(
                 delta, partition_col
             )
             with self.coordinator.exclusive(self):
@@ -1065,8 +1188,11 @@ class VersionedTable:
             merged = survivors.unionByName(delta, allowMissingColumns=True)
         else:
             merged = survivors.unionByName(delta)
-        new_parts, new_stats, commit_dir = self._write_commit_data(
-            merged, partition_col, m.get("stats_cols") or None
+        new_parts, new_stats, new_blooms, commit_dir = self._write_commit_data(
+            merged,
+            partition_col,
+            m.get("stats_cols") or None,
+            m.get("bloom_cols") or None,
         )
 
         touched_keys = {_partition_dir(v) for v in touched}
@@ -1131,6 +1257,12 @@ class VersionedTable:
                 if d in live
             }
             stats.update(new_stats)
+            blooms = {
+                d: b
+                for d, b in latest.get("blooms", {}).items()
+                if d in live
+            }
+            blooms.update(new_blooms)
             tokens = list(latest.get("tokens", []))
             if commit_token is not None:
                 tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
@@ -1168,6 +1300,8 @@ class VersionedTable:
                     "parent_schema": m["schema"],
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
+                    "bloom_cols": list(latest.get("bloom_cols", [])),
+                    "blooms": blooms,
                     "tokens": tokens,
                 }
             )
@@ -1266,7 +1400,7 @@ class VersionedTable:
             F.broadcast(dirs_df),
             F.col(pc).cast("string") == F.col("__vt_pk"),
         ).select(*dict.fromkeys([*key_cols, pc]), _TOMB_DIR_COL)
-        new_tombs, _, commit_dir = self._write_commit_data(tomb, pc)
+        new_tombs, _, _nb, commit_dir = self._write_commit_data(tomb, pc)
         with self.coordinator.exclusive(self):
             latest = self._read_manifest()
             if commit_token is not None and commit_token in latest.get(
@@ -1344,6 +1478,8 @@ class VersionedTable:
                     "key_cols": list(key_cols),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": latest.get("stats", {}),
+                    "bloom_cols": list(latest.get("bloom_cols", [])),
+                    "blooms": latest.get("blooms", {}),
                     "tokens": tokens,
                 }
             )
@@ -1392,8 +1528,8 @@ class VersionedTable:
         df = self.read(
             spark, partition_values=targets, at_version=m["version"]
         ).repartition(F.col(pc))
-        new_parts, new_stats, commit_dir = self._write_commit_data(
-            df, pc, m.get("stats_cols") or None
+        new_parts, new_stats, new_blooms, commit_dir = self._write_commit_data(
+            df, pc, m.get("stats_cols") or None, m.get("bloom_cols") or None
         )
         target_keys = set(targets)
         # snapshot the dirs THIS commit introduced before any rebase
@@ -1458,6 +1594,12 @@ class VersionedTable:
                 if d in live
             }
             stats.update(new_stats)
+            blooms = {
+                d: b
+                for d, b in latest.get("blooms", {}).items()
+                if d in live
+            }
+            blooms.update(new_blooms)
             return self._swap_or_reclaim(
                 commit_dir,
                 latest["version"],
@@ -1480,6 +1622,8 @@ class VersionedTable:
                     "tombstone_key_cols": latest.get("tombstone_key_cols"),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
+                    "bloom_cols": list(latest.get("bloom_cols", [])),
+                    "blooms": blooms,
                     "tokens": list(latest.get("tokens", [])),
                 }
             )

@@ -1162,3 +1162,70 @@ def a33_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replica.read(spark).select(
         "user_id", "bucket", "n_events", "total_cents"
     )
+
+
+# --- a34: Bloom-filter point-lookup data skipping through the manifest ----------------
+@register(
+    "a34",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_custkey = (SELECT max(o_custkey) FROM orders)
+    """,
+)
+def a34_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER DATA SKIPPING for point lookups — the membership
+    half of the manifest metadata story (a29 gave min/max range
+    skipping; this covers the case ranges are BLIND to): orders land in
+    four append commits INTERLEAVED on o_orderkey (every directory's
+    key range overlaps every other, so [min, max] prunes nothing),
+    with each commit recording a per-directory 1024-bit / 4-probe
+    xxhash64 Bloom filter over o_custkey — built entirely JVM-side by
+    bit_or-folding per-row filter words during the same bounded
+    read-back that computes stats. The lookup ("all orders of the
+    highest customer id") resolves the snapshot, probes the SAME
+    xxhash64 positions (one 1-row JVM job — write side and probe side
+    are bit-identical by construction), drops every directory whose
+    filter proves the customer absent, and scans only the admitted
+    rest; the residual row filter keeps the result exact through any
+    false positive. The oracle is the plain filtered scan, so a green
+    hash proves lossless skipping; that the skipping actually BITES
+    (admitted < total where ranges overlap 100%) and that no present
+    key is ever skipped (no false negatives, checked exhaustively) is
+    pinned in tests/test_bloom_skipping.py.
+
+    At 100 TB this is the needle-in-haystack shape (order lookup, user
+    GDPR export, trace fetch) over an append-only lake: metadata-only
+    pruning to a handful of directories, no index build, no clustering
+    requirement — the Iceberg/Delta bloom story at directory grain."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+        (F.col("o_orderkey") % 2).alias("bucket"),
+    )
+    root = _stage(sf_dir, "a34_bloom")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(
+        o.filter(F.col("o_orderkey") % 4 == 0),
+        "bucket",
+        stats_cols=["o_orderkey"],
+        bloom_cols=["o_custkey"],
+    )
+    for i in (1, 2, 3):  # interleaved: min/max on o_orderkey is blind
+        vt.append(o.filter(F.col("o_orderkey") % 4 == i))
+    target = o.agg(F.max("o_custkey")).collect()[0][0]  # 1-row aggregate
+    return (
+        vt.read(spark, point=("o_custkey", target))
+        .filter(F.col("o_custkey") == target)
+        .select("o_orderkey", "o_custkey", "price_cents")
+    )
