@@ -707,7 +707,7 @@ class VersionedTable:
             names = sorted(
                 n
                 for n in os.listdir(self._manifest_dir)
-                if n.endswith(".json")
+                if n.endswith(".json") and n.startswith("v")
             )
             for name in names:
                 with open(os.path.join(self._manifest_dir, name)) as fh:
@@ -1077,6 +1077,195 @@ class VersionedTable:
                     "blooms": blooms,
                     "tokens": tokens,
                 }
+            )
+
+    # -- WRITE-AUDIT-PUBLISH (staged commits) ----------------------------------
+
+    def _staged_path(self, staged_id: str) -> str:
+        return os.path.join(
+            self._manifest_dir, f"staged-{staged_id}.json"
+        )
+
+    def _read_staged(self, staged_id: str) -> dict:
+        path = self._staged_path(staged_id)
+        if not os.path.isfile(path):
+            raise ValueError(
+                f"no staged commit {staged_id!r} under {self.root} "
+                "(already published or discarded?)"
+            )
+        with open(path) as fh:
+            return json.load(fh)
+
+    def stage_append(self, df: DataFrame) -> str:
+        """WRITE-AUDIT-PUBLISH, stage phase: write the batch's immutable
+        data files AND a staged manifest, but do NOT move the pointer —
+        the batch is INVISIBLE to every reader until ``publish_staged``
+        swaps it in, and reclaimable without trace via
+        ``discard_staged`` if the audit fails. This is the Iceberg WAP /
+        Delta branch-commit governance contract: a pipeline lands its
+        output, a validation job queries exactly that output
+        (``read_staged``), and only a passing audit makes it part of
+        the table. vacuum() treats staged data dirs as referenced, so a
+        long audit never races retention.
+
+        Returns the staged id. The batch is schema-validated against
+        the CURRENT schema now (fail fast at stage time); publish
+        re-checks under the commit lock, exactly like a plain append's
+        rebase. At 100 TB the stage is the expensive part (the batch's
+        bytes) and runs lock-free; audit cost is the validation
+        queries; publish is one metadata CAS."""
+        if not self.exists():
+            raise ValueError(
+                "stage_append() needs an existing table; use "
+                "write_initial() first"
+            )
+        m = self._read_manifest()
+        want = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(m["schema"])).fields
+        }
+        got = {f.name: f.dataType for f in df.schema.fields}
+        if got.keys() != want.keys() or any(
+            got[n] != want[n] for n in want
+        ):
+            raise ValueError(
+                "stage_append() batch schema does not match the table "
+                f"schema (want {sorted(want)}, got {sorted(got)})"
+            )
+        new_parts, new_stats, new_blooms, _commit_dir = (
+            self._write_commit_data(
+                df,
+                m["partition_col"],
+                m.get("stats_cols") or None,
+                m.get("bloom_cols") or None,
+            )
+        )
+        staged_id = uuid.uuid4().hex[:12]
+        staged = {
+            "staged_id": staged_id,
+            "parent": m["version"],
+            "op": "append",
+            "partition_col": m["partition_col"],
+            "schema": m["schema"],
+            # staged manifests carry ONLY the batch's dirs under
+            # "partitions": that is what read_staged audits and what
+            # vacuum protects via _dirs_of
+            "partitions": new_parts,
+            "touched": sorted(new_parts),
+            "added": new_parts,
+            "stats": new_stats,
+            "blooms": new_blooms,
+        }
+        path = self._staged_path(staged_id)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(staged, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+        return staged_id
+
+    def read_staged(self, spark: SparkSession, staged_id: str) -> DataFrame:
+        """The AUDIT surface: exactly the staged batch's rows (never the
+        rest of the table), read through the staged manifest."""
+        staged = self._read_staged(staged_id)
+        schema = StructType.fromJson(json.loads(staged["schema"]))
+        dirs = [d for ds in staged["partitions"].values() for d in ds]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, d) for d in dirs]
+        ).select(*[f.name for f in schema.fields])
+
+    def publish_staged(
+        self, staged_id: str, commit_token: str | None = None
+    ) -> int:
+        """WRITE-AUDIT-PUBLISH, publish phase: fold the staged batch
+        into the current snapshot as a normal append commit (one
+        metadata CAS — no data moves) and drop the staging record. The
+        rebase rules are a plain append's: commits that landed since
+        the stage concatenate freely; a concurrent schema change
+        conflicts (the staged files were validated against the old
+        schema). Downstream incremental consumers see an ordinary
+        append (change feed: insert rows; file stream: new dirs) — WAP
+        changes WHEN a batch becomes visible, never what it looks
+        like."""
+        staged = self._read_staged(staged_id)
+        with self.coordinator.exclusive(self):
+            latest = self._read_manifest()
+            if commit_token is not None and commit_token in latest.get(
+                "tokens", []
+            ):
+                # replayed publish: the ORIGINAL stage's dirs are live in
+                # a committed manifest; this staged copy is redundant —
+                # reclaim its record AND its data dirs
+                for cid in {
+                    d.split(os.sep)[1]
+                    for ds in staged["partitions"].values()
+                    for d in ds
+                }:
+                    shutil.rmtree(
+                        os.path.join(self.root, "data", cid),
+                        ignore_errors=True,
+                    )
+                os.remove(self._staged_path(staged_id))
+                return latest["version"]
+            if latest["schema"] != staged["schema"]:
+                raise CommitConflict(
+                    "schema changed since this batch was staged; "
+                    "discard_staged() and re-stage against the new schema"
+                )
+            parts = {k: list(v) for k, v in latest["partitions"].items()}
+            for key, dirs in staged["added"].items():
+                parts.setdefault(key, []).extend(dirs)
+            stats = dict(latest.get("stats", {}))
+            stats.update(staged.get("stats", {}))
+            blooms = dict(latest.get("blooms", {}))
+            blooms.update(staged.get("blooms", {}))
+            tokens = list(latest.get("tokens", []))
+            if commit_token is not None:
+                tokens = (tokens + [commit_token])[-_TOKEN_WINDOW:]
+            version = self.coordinator.swap_or_conflict(
+                self,
+                {
+                    "version": latest["version"] + 1,
+                    "parent": latest["version"],
+                    "op": "append",
+                    "staged_id": staged_id,
+                    "partition_col": latest["partition_col"],
+                    "schema": latest["schema"],
+                    "partitions": parts,
+                    "touched": sorted(staged["added"]),
+                    "added": staged["added"],
+                    "tombstones": latest.get("tombstones", {}),
+                    "tombstone_key_cols": latest.get("tombstone_key_cols"),
+                    "stats_cols": list(latest.get("stats_cols", [])),
+                    "stats": stats,
+                    "bloom_cols": list(latest.get("bloom_cols", [])),
+                    "blooms": blooms,
+                    "tokens": tokens,
+                },
+                latest["version"],
+            )
+            os.remove(self._staged_path(staged_id))
+            return version
+
+    def discard_staged(self, staged_id: str) -> None:
+        """Failed-audit exit: reclaim the staged batch's data dirs and
+        staging record. The table is untouched — no reader ever saw the
+        batch, no manifest ever referenced it."""
+        staged = self._read_staged(staged_id)
+        commits = {
+            d.split(os.sep)[1]
+            for ds in staged["partitions"].values()
+            for d in ds
+        }
+        # remove the record FIRST so a concurrent vacuum cannot re-read
+        # it mid-delete and 'protect' half-deleted dirs
+        os.remove(self._staged_path(staged_id))
+        for cid in commits:
+            shutil.rmtree(
+                os.path.join(self.root, "data", cid), ignore_errors=True
             )
 
     # -- MERGE ---------------------------------------------------------------
@@ -1651,11 +1840,17 @@ class VersionedTable:
         with self.coordinator.exclusive(self):
             # ignore stale .tmp-* leftovers from a crashed commit attempt —
             # only fsync'd, os.replace'd manifests count
-            names = sorted(
+            all_json = [
                 n
                 for n in os.listdir(self._manifest_dir)
                 if n.endswith(".json")
-            )
+            ]
+            # retention applies to COMMITTED manifests only; staged
+            # (write-audit-publish) manifests are neither droppable nor
+            # reclaimable here — their data dirs are protected until
+            # publish_staged()/discard_staged() decides their fate
+            names = sorted(n for n in all_json if n.startswith("v"))
+            staged = [n for n in all_json if n.startswith("staged-")]
             with open(self._pointer) as fh:
                 current = fh.read().strip()
             # retention is relative to the current pointer; the writer
@@ -1673,7 +1868,7 @@ class VersionedTable:
                     yield from ds
 
             referenced: set[str] = set()
-            for n in keep:
+            for n in keep + staged:
                 with open(os.path.join(self._manifest_dir, n)) as fh:
                     referenced.update(_dirs_of(json.load(fh)))
             removed: list[str] = []

@@ -1229,3 +1229,72 @@ def a34_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") == target)
         .select("o_orderkey", "o_custkey", "price_cents")
     )
+
+
+# --- a35: write-audit-publish staged commits (governed ingestion) ---------------------
+@register(
+    "a35",
+    oracle="""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id % 3 = 0 OR (doc_id % 3 = 1 AND n_chars >= 50)
+    """,
+)
+def a35_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH through the hash gate — the governance
+    contract every production training-corpus ingest runs (Iceberg WAP
+    / Delta branch commits), on the manifest layer
+    (operators/manifest.stage_append / read_staged / publish_staged /
+    discard_staged): a batch lands as immutable files + a STAGED
+    manifest that no reader can see, an audit job queries exactly that
+    batch, and only a passing audit publishes it (one metadata CAS —
+    no data moves). The scripted run exercises both verdicts: the base
+    corpus slice commits normally; a GOOD batch (doc_id % 3 == 1,
+    n_chars >= 50) stages, its audit (share of sub-50-char rows must
+    be under 50%, computed off read_staged — a REAL branch, not
+    staging theater) passes, and it publishes; a BAD batch (the
+    sub-50-char slice) stages, fails the same audit, and is DISCARDED
+    — its files reclaimed, no manifest ever referencing them. The
+    returned frame is the final table; the oracle keeps exactly the
+    base + the good batch, so a green hash proves staged-but-discarded
+    data is invisible and published data is byte-complete. Staging
+    isolation, vacuum protection of pending audits, publish rebase /
+    schema-conflict rules, and exactly-once publish tokens are pinned
+    in tests/test_wap.py.
+
+    At 100 TB: stage cost = the batch's bytes (lock-free), audit cost
+    = the validation queries, publish cost = one CAS. Quality gates
+    stop bad data BEFORE visibility instead of vacuuming it out of
+    consumers' checkpoints after."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("doc_id") % 4).alias("bucket"),
+    )
+    root = _stage(sf_dir, "a35_wap")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(d.filter(F.col("doc_id") % 3 == 0), "bucket")
+
+    def audited_ingest(batch: DataFrame) -> None:
+        sid = vt.stage_append(batch)
+        audit = vt.read_staged(spark, sid).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("n_chars") < 50).alias("n_bad"),
+        ).collect()[0]
+        if audit.n > 0 and audit.n_bad / audit.n < 0.5:
+            vt.publish_staged(sid)
+        else:
+            vt.discard_staged(sid)
+
+    good = d.filter((F.col("doc_id") % 3 == 1) & (F.col("n_chars") >= 50))
+    bad = d.filter((F.col("doc_id") % 3 == 2) & (F.col("n_chars") < 50))
+    audited_ingest(good)  # passes -> published
+    audited_ingest(bad)  # fails -> discarded without trace
+    return vt.read(spark).select("doc_id", "source", "n_chars")
