@@ -1883,5 +1883,20 @@ class VersionedTable:
                             )
                             removed.append(d)
                             referenced.add(d)  # only rmtree once
+                            # reap the data/<commit>/ shell once its last
+                            # partition leaf is gone — otherwise empty
+                            # commit dirs (holding only _SUCCESS markers)
+                            # accumulate forever
+                            shell = os.path.dirname(
+                                os.path.join(self.root, d)
+                            )
+                            try:
+                                if not any(
+                                    x.startswith(f"{_PART_DIR}=")
+                                    for x in os.listdir(shell)
+                                ):
+                                    shutil.rmtree(shell, ignore_errors=True)
+                            except FileNotFoundError:
+                                pass
                 os.remove(path)
             return removed
