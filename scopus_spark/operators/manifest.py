@@ -80,11 +80,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _PART_DIR = "__part"
-# deletion-vector column: which data directory a tombstone row applies to.
-# Tombstones are scoped to the directories that existed when the delete
-# committed (the Iceberg/Delta deletion-vector contract: DVs attach to
-# files) — rows appended to the partition AFTERWARDS are untouched.
-_TOMB_DIR_COL = "_applies_dir"
+# deletion-vector column: the data directories a tombstone row applies to
+# (array<string> — ONE row per deleted key, not a key x dirs cross
+# product: the repeated array dictionary/RLE-compresses to ~nothing in
+# parquet, so tombstone storage is O(keys) even for partitions with long
+# append histories). Tombstones are scoped to the directories that
+# existed when the delete committed (the Iceberg/Delta deletion-vector
+# contract: DVs attach to files) — rows appended AFTERWARDS are
+# untouched.
+_TOMB_DIR_COL = "_applies"
 # Replay-detection memory: how many recent commit tokens each manifest
 # carries. Streaming retries only ever replay the LAST batch, so a small
 # window is already generous; bounded so manifests never grow with history.
@@ -666,12 +670,17 @@ class VersionedTable:
     def _tombstone_schema(
         self, table_schema: StructType, key_cols: list[str]
     ) -> StructType:
+        from pyspark.sql.types import ArrayType as T_ArrayType
         from pyspark.sql.types import StringType, StructField
 
         by_name = {f.name: f for f in table_schema.fields}
         return StructType(
             [by_name[k] for k in key_cols]
-            + [StructField(_TOMB_DIR_COL, StringType(), False)]
+            + [
+                StructField(
+                    _TOMB_DIR_COL, T_ArrayType(StringType(), False), False
+                )
+            ]
         )
 
     def _apply_tombstones(
@@ -687,7 +696,9 @@ class VersionedTable:
         ).parquet(*[os.path.join(self.root, d) for d in tomb_dirs])
         data = raw.withColumn("_vt_dir", self._rel_dir_col()).alias("d")
         t = tomb.alias("t")
-        cond = F.col("d._vt_dir") == F.col(f"t.{_TOMB_DIR_COL}")
+        cond = F.array_contains(
+            F.col(f"t.{_TOMB_DIR_COL}"), F.col("d._vt_dir")
+        )
         for k in key_cols:
             cond = cond & (F.col(f"d.{k}") == F.col(f"t.{k}"))
         return data.join(t, cond, "left_anti").select(
@@ -827,7 +838,9 @@ class VersionedTable:
             """Suppress rows a tombstone names (key AND source dir) —
             `data` must carry _vt_dir."""
             d, t = data.alias("d"), tomb.alias("t")
-            cond = F.col("d._vt_dir") == F.col(f"t.{_TOMB_DIR_COL}")
+            cond = F.array_contains(
+                F.col(f"t.{_TOMB_DIR_COL}"), F.col("d._vt_dir")
+            )
             for k in key_cols:
                 cond = cond & (F.col(f"d.{k}") == F.col(f"t.{k}"))
             return d.join(t, cond, "left_anti")
@@ -898,7 +911,9 @@ class VersionedTable:
                     kc,
                 ).alias("t")
                 d = covered.alias("d")
-                cond = F.col("d._vt_dir") == F.col(f"t.{_TOMB_DIR_COL}")
+                cond = F.array_contains(
+                    F.col(f"t.{_TOMB_DIR_COL}"), F.col("d._vt_dir")
+                )
                 for k in kc:
                     cond = cond & (F.col(f"d.{k}") == F.col(f"t.{k}"))
                 deleted = d.join(new_tomb, cond, "left_semi").select(*names)
@@ -1581,9 +1596,14 @@ class VersionedTable:
         if not touched_keys:
             return m["version"]
         applies = {k: list(m["partitions"][k]) for k in touched_keys}
+        # ONE tombstone row per key: the covered-dirs set rides as an
+        # array column keyed by partition (a tiny broadcast), never as a
+        # key x dirs row blowup — parquet RLE collapses the repeated
+        # arrays, so tombstone bytes stay O(keys) no matter how
+        # fragmented the partition's append history is
         dirs_df = spark.createDataFrame(
-            [(k, d) for k, ds in applies.items() for d in ds],
-            f"__vt_pk string, {_TOMB_DIR_COL} string",
+            [(k, ds) for k, ds in applies.items()],
+            f"__vt_pk string, {_TOMB_DIR_COL} array<string>",
         )
         tomb = key_batch.join(
             F.broadcast(dirs_df),

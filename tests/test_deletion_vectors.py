@@ -293,3 +293,29 @@ def test_compact_pops_partition_emptied_by_tombstones(spark, tmp_path):
     assert _snap(t.read(spark)) == want
     t.vacuum(keep_last=1)
     assert _snap(t.read(spark)) == want
+
+
+def test_tombstone_storage_is_o_keys_not_keys_times_dirs(spark, tmp_path):
+    """100 TB shape: a delete over a fragmented partition stores ONE
+    tombstone row per key (covered dirs ride as an RLE-compressed array
+    column), never a key x dirs row blowup."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, BASE), "b")
+    for i in range(5):  # fragment partition 1 with appends
+        t.append(_df(spark, [(100 + i, f"x{i}", 1)]))
+    m = t._read_manifest()
+    n_dirs_p1 = len(m["partitions"]["1"])
+    assert n_dirs_p1 >= 6  # genuinely fragmented
+    t.delete_keys(_keys(spark, [1, 3, 5]), key_cols=["k"])
+    m2 = t._read_manifest()
+    tomb_dirs = [d for ds in m2["tombstones"].values() for d in ds]
+    rows = spark.read.parquet(
+        *[f"{t.root}/{d}" for d in tomb_dirs]
+    ).collect()
+    assert len(rows) == 3  # one row per key — NOT 3 x n_dirs_p1
+    # and each row's applies array covers the partition's pre-delete dirs
+    assert all(len(r._applies) == n_dirs_p1 for r in rows)
+    assert _snap(t.read(spark)) == sorted(
+        [(2, "b", 0), (4, "d", 0)]
+        + [(100 + i, f"x{i}", 1) for i in range(5)]
+    )
