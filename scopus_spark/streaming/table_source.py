@@ -171,35 +171,55 @@ class ChangeFeedConsumer:
         return self._marker.read()
 
     def poll(
-        self, spark: SparkSession
+        self, spark: SparkSession, max_commits: int | None = None
     ) -> tuple[DataFrame, int, int] | None:
         """(delta DataFrame, from_version, to_version) for the
         unconsumed commit range, or None when caught up. The DataFrame
         is lazy — the sink decides the action; nothing is collected
-        here."""
+        here.
+
+        ``max_commits`` bounds one micro-batch's span: read_changes
+        unions one sub-plan per commit in range, so a consumer catching
+        up across thousands of commits would otherwise build one
+        enormous plan (and hold one enormous replay window). With a
+        bound, each trigger consumes at most that many commits and the
+        caller loops until caught up — the rate-limited backfill shape
+        (Delta's maxFilesPerTrigger analog, by commits)."""
         last = self.consumed_version()
         current = self.table.version()
         if current <= last:
             return None
+        if max_commits is not None:
+            current = min(current, last + max_commits)
         return self.table.read_changes(spark, last, current), last, current
 
     def commit(self, to_version: int) -> None:
         self._marker.write(to_version)
 
-    def run_available(self, spark: SparkSession, sink) -> int | None:
+    def run_available(
+        self,
+        spark: SparkSession,
+        sink,
+        max_commits: int | None = None,
+    ) -> int | None:
         """One availableNow trigger: poll, hand (df, from_v, to_v) to
-        ``sink``, then advance the marker. Returns the new consumed
-        version, or None if there was nothing to do. The marker only
-        advances after the sink returns, so a sink failure replays the
-        SAME range next trigger (at-least-once; token your sink for
-        exactly-once)."""
-        got = self.poll(spark)
-        if got is None:
-            return None
-        df, from_v, to_v = got
-        sink(df, from_v, to_v)
-        self.commit(to_v)
-        return to_v
+        ``sink``, then advance the marker — repeated until caught up
+        when ``max_commits`` chunks the backlog. Returns the new
+        consumed version, or None if there was nothing to do. The
+        marker only advances after the sink returns, so a sink failure
+        replays the SAME chunk next trigger (at-least-once; token your
+        sink for exactly-once)."""
+        newest: int | None = None
+        while True:
+            got = self.poll(spark, max_commits=max_commits)
+            if got is None:
+                return newest
+            df, from_v, to_v = got
+            sink(df, from_v, to_v)
+            self.commit(to_v)
+            newest = to_v
+            if max_commits is None:
+                return newest
 
 
 def apply_changes_to_table(

@@ -95,3 +95,23 @@ def test_failed_sink_replays_same_range(spark, tmp_path):
     assert seen["range"] == (0, 1)  # the SAME range, replayed
     assert seen["rows"] == 1
     assert c.run_available(spark, ok_sink) is None  # now caught up
+
+
+def test_max_commits_chunks_the_backlog(spark, tmp_path):
+    """A consumer far behind consumes in bounded chunks (one plan per at
+    most max_commits commits), each chunk checkpointed before the next —
+    the rate-limited backfill shape."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(0, "a", 0)]), "b")
+    for i in range(1, 6):
+        t.append(_df(spark, [(i, f"a{i}", i % 2)]))  # backlog: v2..v6
+    c = ChangeFeedConsumer(t, str(tmp_path / "ckpt"))
+    ranges = []
+
+    def sink(df, from_v, to_v):
+        ranges.append((from_v, to_v, df.count()))
+
+    assert c.run_available(spark, sink, max_commits=2) == 6
+    assert [(f, t_) for f, t_, _ in ranges] == [(0, 2), (2, 4), (4, 6)]
+    assert sum(n for _, _, n in ranges) == 6  # every insert exactly once
+    assert c.consumed_version() == 6
