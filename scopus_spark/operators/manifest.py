@@ -318,6 +318,12 @@ class VersionedTable:
             json.loads(self._read_manifest(at_version)["schema"])
         )
 
+    def partition_col(self) -> str:
+        """The table's partition column — a table-level property fixed
+        at write_initial (the public accessor the SQL DML front-end and
+        other planners use without reaching into manifest internals)."""
+        return self._read_manifest()["partition_col"]
+
     def commit_info(self, version: int) -> dict:
         """Public metadata of ONE commit: ``{version, parent, op,
         touched, added}`` where ``added`` maps partition value -> the
@@ -498,6 +504,29 @@ class VersionedTable:
         ``commit_token`` seeds the exactly-once token window so a
         replayed create-batch (streaming retry of batch 0) is
         recognized by the append/merge that follows."""
+        pt = {f.name: f.dataType for f in df.schema.fields}.get(
+            partition_col
+        )
+        if pt is not None and pt.typeName() in (
+            "float",
+            "double",
+            "decimal",
+            "timestamp",
+            "timestamp_ntz",
+        ):
+            # manifest partition keys come from Spark's partitionBy
+            # directory names, but every lookup (read partition_values,
+            # delete_keys touched-partitions) renders values with Python
+            # str() — these types' renderings diverge ('1.0E-7' vs
+            # '1e-07'), so lookups would silently miss. Refuse up front.
+            raise ValueError(
+                f"partition column {partition_col!r} has type "
+                f"{pt.simpleString()}: float/decimal/timestamp partition "
+                "values render differently in Spark directory names vs "
+                "Python str(), so manifest-key lookups would silently "
+                "miss — partition by an int/long/string/boolean "
+                "derivation instead (e.g. a bucket or formatted string)"
+            )
         parts, stats, blooms, commit_dir = self._write_commit_data(
             df, partition_col, stats_cols, bloom_cols
         )
@@ -694,10 +723,18 @@ class VersionedTable:
         tomb = spark.read.schema(
             self._tombstone_schema(schema, key_cols)
         ).parquet(*[os.path.join(self.root, d) for d in tomb_dirs])
-        data = raw.withColumn("_vt_dir", self._rel_dir_col()).alias("d")
+        # collision-proof internal column: a table legitimately named a
+        # column `_vt_dir` must not have it overwritten by the source-dir
+        # tag (read_changes raises on its reserved columns; here the tag
+        # is internal-only, so renaming is strictly less restrictive)
+        names = {f.name for f in schema.fields}
+        dcol = "_vt_dir"
+        while dcol in names:
+            dcol = "_" + dcol
+        data = raw.withColumn(dcol, self._rel_dir_col()).alias("d")
         t = tomb.alias("t")
         cond = F.array_contains(
-            F.col(f"t.{_TOMB_DIR_COL}"), F.col("d._vt_dir")
+            F.col(f"t.{_TOMB_DIR_COL}"), F.col(f"d.{dcol}")
         )
         for k in key_cols:
             cond = cond & (F.col(f"d.{k}") == F.col(f"t.{k}"))
@@ -1211,14 +1248,19 @@ class VersionedTable:
             if commit_token is not None and commit_token in latest.get(
                 "tokens", []
             ):
-                # replayed publish: the ORIGINAL stage's dirs are live in
-                # a committed manifest; this staged copy is redundant —
-                # reclaim its record AND its data dirs
-                for cid in {
+                # replayed publish: the token already committed. Two
+                # cases share this path — (a) a RE-staged redundant copy
+                # (fresh dirs, safe to reclaim) and (b) the ORIGINAL
+                # staged record orphaned by a crash between the pointer
+                # swap and the record removal, whose dirs ARE the live
+                # table data. Only reclaim dirs no retained committed
+                # manifest references.
+                staged_cids = {
                     d.split(os.sep)[1]
                     for ds in staged["partitions"].values()
                     for d in ds
-                }:
+                }
+                for cid in staged_cids - self._live_commit_ids():
                     shutil.rmtree(
                         os.path.join(self.root, "data", cid),
                         ignore_errors=True,
@@ -1265,23 +1307,51 @@ class VersionedTable:
             os.remove(self._staged_path(staged_id))
             return version
 
+    def _live_commit_ids(self) -> set[str]:
+        """data/<commit> ids referenced by ANY retained committed
+        manifest (data or tombstone dirs). Metadata-only scan — used to
+        refuse reclaiming dirs a crashed publish already made live."""
+        ids: set[str] = set()
+        for name in os.listdir(self._manifest_dir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            with open(os.path.join(self._manifest_dir, name)) as fh:
+                m = json.load(fh)
+            for ds in m.get("partitions", {}).values():
+                ids.update(d.split(os.sep)[1] for d in ds)
+            for ds in m.get("tombstones", {}).values():
+                ids.update(d.split(os.sep)[1] for d in ds)
+        return ids
+
     def discard_staged(self, staged_id: str) -> None:
         """Failed-audit exit: reclaim the staged batch's data dirs and
         staging record. The table is untouched — no reader ever saw the
-        batch, no manifest ever referenced it."""
-        staged = self._read_staged(staged_id)
-        commits = {
-            d.split(os.sep)[1]
-            for ds in staged["partitions"].values()
-            for d in ds
-        }
-        # remove the record FIRST so a concurrent vacuum cannot re-read
-        # it mid-delete and 'protect' half-deleted dirs
-        os.remove(self._staged_path(staged_id))
-        for cid in commits:
-            shutil.rmtree(
-                os.path.join(self.root, "data", cid), ignore_errors=True
-            )
+        batch, no manifest ever referenced it.
+
+        CRASH SAFETY: publish_staged swaps the pointer, THEN removes the
+        staging record; a crash between the two leaves a staged-*.json
+        whose dirs are live table data. Discarding such an orphan must
+        drop only the record — deleting the dirs would corrupt the
+        current snapshot — so any dir already referenced by a retained
+        committed manifest is left alone. Runs under the coordinator's
+        exclusive section so it cannot interleave with a concurrent
+        publish of the same staged id."""
+        with self.coordinator.exclusive(self):
+            staged = self._read_staged(staged_id)
+            commits = {
+                d.split(os.sep)[1]
+                for ds in staged["partitions"].values()
+                for d in ds
+            }
+            published = commits & self._live_commit_ids()
+            # remove the record FIRST so a concurrent vacuum cannot
+            # re-read it mid-delete and 'protect' half-deleted dirs
+            os.remove(self._staged_path(staged_id))
+            for cid in commits - published:
+                shutil.rmtree(
+                    os.path.join(self.root, "data", cid),
+                    ignore_errors=True,
+                )
 
     # -- MERGE ---------------------------------------------------------------
 
@@ -1600,14 +1670,37 @@ class VersionedTable:
         # array column keyed by partition (a tiny broadcast), never as a
         # key x dirs row blowup — parquet RLE collapses the repeated
         # arrays, so tombstone bytes stay O(keys) no matter how
-        # fragmented the partition's append history is
+        # fragmented the partition's append history is.
+        # The join key is the TYPED partition value (the collected
+        # native values), never a string rendering: Spark's
+        # cast-to-string and Python str() disagree on floats/decimals/
+        # timestamps ('1.0E-7' vs '1e-07'), so a string-keyed join
+        # would silently match nothing and make the delete a no-op.
+        from pyspark.sql.types import ArrayType as T_ArrayType
+        from pyspark.sql.types import StringType, StructField
+
+        pc_type = next(f.dataType for f in schema.fields if f.name == pc)
         dirs_df = spark.createDataFrame(
-            [(k, ds) for k, ds in applies.items()],
-            f"__vt_pk string, {_TOMB_DIR_COL} array<string>",
+            [
+                (v, applies[k])
+                for v in touched
+                for k in (_partition_dir(v),)
+                if k in applies
+            ],
+            StructType(
+                [
+                    StructField("__vt_pk", pc_type, True),
+                    StructField(
+                        _TOMB_DIR_COL,
+                        T_ArrayType(StringType(), False),
+                        False,
+                    ),
+                ]
+            ),
         )
         tomb = key_batch.join(
             F.broadcast(dirs_df),
-            F.col(pc).cast("string") == F.col("__vt_pk"),
+            F.col(pc).eqNullSafe(F.col("__vt_pk")),
         ).select(*dict.fromkeys([*key_cols, pc]), _TOMB_DIR_COL)
         new_tombs, _, _nb, commit_dir = self._write_commit_data(tomb, pc)
         with self.coordinator.exclusive(self):

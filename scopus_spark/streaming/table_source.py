@@ -137,7 +137,13 @@ class AppendStreamSource:
                         seen.add(cid)
                         commit_ids.append(cid)
         if not commit_ids:
-            # all-empty batches: nothing to list, but advance the marker
+            # all-empty batches: nothing to load, so callers (which only
+            # mark_consumed after a successful run over a non-None path)
+            # would never advance past these commits and every later
+            # trigger would re-read their manifests forever — persist
+            # the advancement here instead. Safe: the window provably
+            # added zero dirs, so skipping it loses no rows.
+            self._marker.write(current)
             return None, current
         if len(commit_ids) == 1:
             leaf = commit_ids[0]

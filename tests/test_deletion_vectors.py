@@ -319,3 +319,30 @@ def test_tombstone_storage_is_o_keys_not_keys_times_dirs(spark, tmp_path):
         [(2, "b", 0), (4, "d", 0)]
         + [(100 + i, f"x{i}", 1) for i in range(5)]
     )
+
+
+def test_write_initial_refuses_divergent_partition_types(spark, tmp_path):
+    """Manifest partition keys come from Spark's partitionBy dir names
+    but lookups render with Python str(); float/decimal/timestamp
+    renderings diverge ('1.0E-7' vs '1e-07'), so such partition columns
+    are refused up front rather than silently no-op'ing lookups."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 1e-07)], "k long, p double")
+    with pytest.raises(ValueError, match="partition column"):
+        t.write_initial(df, "p")
+
+
+def test_table_with_vt_dir_column_survives_tombstone_read(spark, tmp_path):
+    """A table legitimately named a column `_vt_dir`: merge-on-read
+    reconstruction must not overwrite it with the internal source-dir
+    tag (collision-proof generated column)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "keep-me", 0), (2, "also", 1)], "k long, _vt_dir string, b long"
+    )
+    t.write_initial(df, "b")
+    t.delete_keys(
+        spark.createDataFrame([(2, 1)], "k long, b long"), key_cols=["k"]
+    )
+    got = sorted((r.k, r._vt_dir, r.b) for r in t.read(spark).collect())
+    assert got == [(1, "keep-me", 0)]

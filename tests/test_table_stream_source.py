@@ -111,3 +111,36 @@ def test_append_source_refuses_rewrite_commits(spark, tmp_path):
     vt.merge(_df(spark, [(1, 11, 0)]), key_cols=["k"], partition_col="b")
     with pytest.raises(ValueError, match="ChangeFeedConsumer"):
         src.new_load_path()
+
+
+def test_all_empty_commit_window_advances_marker(spark, tmp_path):
+    """Commits that added zero dirs: new_load_path returns None AND
+    persists the marker past them itself — callers only mark_consumed
+    after running a non-None path, so without this every later trigger
+    would re-read those commits' manifests forever (r9 ADVICE)."""
+    root = str(tmp_path / "t")
+    vt = VersionedTable(root)
+    vt.write_initial(_df(spark, [(1, 10, 0)]), "b")
+    src = AppendStreamSource(vt, str(tmp_path / "ckpt"))
+    path, upto = src.new_load_path()
+    assert path is not None
+    src.mark_consumed(upto)
+
+    empty = spark.createDataFrame([], "k long, v long, b long")
+    vt.append(empty)  # a commit that added no dirs
+    path, upto = src.new_load_path()
+    assert path is None
+    # the source advanced the durable marker past the empty window
+    assert src.consumed_version() == vt.version()
+
+    # and a later real append is discovered from there, alone
+    vt.append(_df(spark, [(2, 20, 1)]))
+    path, upto = src.new_load_path()
+    assert path is not None
+    v3_ids = {
+        d.split(os.sep)[1]
+        for ds in vt.commit_info(vt.version())["added"].values()
+        for d in ds
+    }
+    (cid,) = v3_ids
+    assert path == os.path.join(root, "data", cid, "*")

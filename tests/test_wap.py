@@ -114,3 +114,38 @@ def test_replayed_publish_reclaims_redundant_staged_dirs(spark, tmp_path):
     sid2 = t.stage_append(_df(spark, [(2, "b", 1)]))  # the replay's copy
     t.publish_staged(sid2, commit_token="wap:1")  # no-op publish
     assert len(os.listdir(os.path.join(t.root, "data"))) == n_live
+
+
+def test_discard_after_crashed_publish_keeps_live_data(spark, tmp_path):
+    """publish_staged swaps the pointer, THEN removes the staging
+    record; a crash between the two orphans the record while its dirs
+    are live table data. A later discard_staged must drop only the
+    record — never the dirs (the r9 ADVICE data-loss window)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    sid = t.stage_append(_df(spark, [(2, "b", 1)]))
+    with open(t._staged_path(sid)) as fh:
+        rec = fh.read()
+    t.publish_staged(sid)
+    # simulate the crash window: the staging record survived the publish
+    with open(t._staged_path(sid), "w") as fh:
+        fh.write(rec)
+    t.discard_staged(sid)
+    assert not os.path.isfile(t._staged_path(sid))
+    assert _snap(t.read(spark)) == [(1, "a", 0), (2, "b", 1)]
+
+
+def test_replayed_publish_after_crash_keeps_live_data(spark, tmp_path):
+    """Same crash window, token-replay path: a retried publish of the
+    ORIGINAL staged id must not reclaim the now-live dirs."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.write_initial(_df(spark, [(1, "a", 0)]), "b")
+    sid = t.stage_append(_df(spark, [(2, "b", 1)]))
+    with open(t._staged_path(sid)) as fh:
+        rec = fh.read()
+    v = t.publish_staged(sid, commit_token="wap:crash")
+    with open(t._staged_path(sid), "w") as fh:
+        fh.write(rec)
+    assert t.publish_staged(sid, commit_token="wap:crash") == v
+    assert not os.path.isfile(t._staged_path(sid))
+    assert _snap(t.read(spark)) == [(1, "a", 0), (2, "b", 1)]
