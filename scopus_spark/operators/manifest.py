@@ -89,6 +89,10 @@ _PART_DIR = "__part"
 # contract: DVs attach to files) — rows appended AFTERWARDS are
 # untouched.
 _TOMB_DIR_COL = "_applies"
+# tombstone-map key for tombstones that suppress rows in LEGACY (retired
+# partition spec) data dirs — always loaded, never folded by merge/partial
+# compact (legacy dirs are only rewritten by a full compact's migration)
+_LEGACY_KEY = "__legacy__"
 # Replay-detection memory: how many recent commit tokens each manifest
 # carries. Streaming retries only ever replay the LAST batch, so a small
 # window is already generous; bounded so manifests never grow with history.
@@ -115,6 +119,31 @@ def _partition_dir(val) -> str:
     if isinstance(val, bool):
         return "true" if val else "false"
     return str(val)
+
+
+def _check_partition_type(schema: StructType, partition_col: str) -> None:
+    """Manifest partition keys come from Spark's partitionBy directory
+    names, but every lookup (read partition_values, delete_keys
+    touched-partitions) renders values with Python str() — float/
+    decimal/timestamp renderings diverge ('1.0E-7' vs '1e-07'), so
+    lookups would silently miss. Refuse such partition columns up
+    front."""
+    pt = {f.name: f.dataType for f in schema.fields}.get(partition_col)
+    if pt is not None and pt.typeName() in (
+        "float",
+        "double",
+        "decimal",
+        "timestamp",
+        "timestamp_ntz",
+    ):
+        raise ValueError(
+            f"partition column {partition_col!r} has type "
+            f"{pt.simpleString()}: float/decimal/timestamp partition "
+            "values render differently in Spark directory names vs "
+            "Python str(), so manifest-key lookups would silently "
+            "miss — partition by an int/long/string/boolean "
+            "derivation instead (e.g. a bucket or formatted string)"
+        )
 
 
 def _evolve_schema(old: StructType, new: StructType) -> StructType:
@@ -504,29 +533,7 @@ class VersionedTable:
         ``commit_token`` seeds the exactly-once token window so a
         replayed create-batch (streaming retry of batch 0) is
         recognized by the append/merge that follows."""
-        pt = {f.name: f.dataType for f in df.schema.fields}.get(
-            partition_col
-        )
-        if pt is not None and pt.typeName() in (
-            "float",
-            "double",
-            "decimal",
-            "timestamp",
-            "timestamp_ntz",
-        ):
-            # manifest partition keys come from Spark's partitionBy
-            # directory names, but every lookup (read partition_values,
-            # delete_keys touched-partitions) renders values with Python
-            # str() — these types' renderings diverge ('1.0E-7' vs
-            # '1e-07'), so lookups would silently miss. Refuse up front.
-            raise ValueError(
-                f"partition column {partition_col!r} has type "
-                f"{pt.simpleString()}: float/decimal/timestamp partition "
-                "values render differently in Spark directory names vs "
-                "Python str(), so manifest-key lookups would silently "
-                "miss — partition by an int/long/string/boolean "
-                "derivation instead (e.g. a bucket or formatted string)"
-            )
+        _check_partition_type(df.schema, partition_col)
         parts, stats, blooms, commit_dir = self._write_commit_data(
             df, partition_col, stats_cols, bloom_cols
         )
@@ -625,6 +632,7 @@ class VersionedTable:
         at_version: int | None = None,
         prune: tuple | None = None,
         point: tuple | None = None,
+        include_legacy: bool = True,
     ) -> DataFrame:
         """A DataFrame pinned to the CURRENT snapshot — or, with
         ``at_version``, TIME TRAVEL to any retained older snapshot
@@ -655,6 +663,25 @@ class VersionedTable:
         # same snapshot even if a commit lands between the two uses
         m = self._read_manifest(at_version)
         dirs = _filter_dirs(m, partition_values, prune)
+        # LEGACY dirs (written under a retired partition spec, Iceberg-
+        # style spec-per-manifest): unprunable by CURRENT-spec partition
+        # values (their layout doesn't encode them), so every read scans
+        # them and applies a row-level partition filter instead; per-dir
+        # stats/bloom skipping still applies (those are spec-independent).
+        # include_legacy=False is the internal merge/partial-compact
+        # path: legacy rows stay in place, suppressed by tombstones.
+        legacy = list(m.get("legacy_dirs", [])) if include_legacy else []
+        if legacy and prune is not None:
+            col, lo, hi = prune
+            stats = m.get("stats", {})
+            legacy = [
+                d
+                for d in legacy
+                if (rng := stats.get(d, {}).get(col)) is None
+                or rng[0] is None
+                or rng[1] is None
+                or not (rng[1] < lo or rng[0] > hi)
+            ]
         if point is not None:
             # Bloom membership skipping: directories whose filter proves
             # the value absent never reach the scan. Same superset
@@ -662,12 +689,20 @@ class VersionedTable:
             # (a bloom admit can be a false positive, never a false
             # negative).
             dirs = self._bloom_filter_dirs(spark, m, dirs, point)
+            if legacy:
+                legacy = self._bloom_filter_dirs(spark, m, legacy, point)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        if not dirs:
+        if not dirs and not legacy:
             return spark.createDataFrame([], schema)
         raw = spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, d) for d in dirs]
+            *[os.path.join(self.root, d) for d in dirs + legacy]
         )
+        if legacy and partition_values is not None:
+            # the current-spec dirs are exact; legacy rows need the
+            # row-level filter (pushed to the parquet scan)
+            raw = raw.filter(
+                F.col(m["partition_col"]).isin(list(partition_values))
+            )
         tomb_dirs = self._tombstone_dirs(m, partition_values)
         if not tomb_dirs:
             return raw.select(*[f.name for f in schema.fields])
@@ -693,8 +728,19 @@ class VersionedTable:
             keys = list(
                 dict.fromkeys(_partition_dir(v) for v in partition_values)
             )
-            return [d for k in keys for d in tombs.get(k, [])]
-        return [d for ds in tombs.values() for d in ds]
+            # "__legacy__" tombstones suppress rows in retired-spec dirs,
+            # which every read scans regardless of pruning — always load
+            # them (dedup: a dir can be listed under a partition key AND
+            # __legacy__ when it covers both current and legacy dirs)
+            return list(
+                dict.fromkeys(
+                    [d for k in keys for d in tombs.get(k, [])]
+                    + list(tombs.get(_LEGACY_KEY, []))
+                )
+            )
+        return list(
+            dict.fromkeys(d for ds in tombs.values() for d in ds)
+        )
 
     def _tombstone_schema(
         self, table_schema: StructType, key_cols: list[str]

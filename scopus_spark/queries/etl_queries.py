@@ -1298,3 +1298,75 @@ def a35_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited_ingest(good)  # passes -> published
     audited_ingest(bad)  # fails -> discarded without trace
     return vt.read(spark).select("doc_id", "source", "n_chars")
+
+
+# --- a36: CDC apply issued as SQL MERGE INTO (the warehouse DML surface) ------------
+@register(
+    "a36",
+    oracle="""
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END)
+             AS content_hash
+    FROM documents WHERE doc_id % 17 != 2
+    """,
+)
+def a36_sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The a19 CDC cycle issued the way a warehouse user writes it —
+    ONE SQL statement — through the sql_dml front-end (the r9 verdict's
+    missing №1): ``MERGE INTO corpus USING snapshot_b ON keys WHEN
+    MATCHED AND changed THEN UPDATE / WHEN NOT MATCHED THEN INSERT /
+    WHEN NOT MATCHED BY SOURCE THEN DELETE``. The statement is
+    parse-and-dispatch (sql_dml.py): structure is parsed, every
+    expression runs VERBATIM in Spark SQL over temp views, and the
+    whole statement commits as ONE snapshot-isolated
+    VersionedTable.merge (OCC-rebased, O(touched partitions)). The
+    oracle is snapshot B recomputed directly, so a green hash proves
+    SQL-MERGE(A, B) == B exactly — the same gate a19 passes through
+    the Python API, now through the SQL text path. ANSI clause
+    semantics (first-match-wins, cardinality violation, NULL-as-false
+    conditions, NOT MATCHED BY SOURCE) are pinned in
+    tests/test_sql_dml.py.
+
+    At 100 TB the statement's cost model is the merge's: updates +
+    inserts + deletes are computed as three joins against the delta
+    (broadcast or shuffle by AQE's choice), and only touched buckets
+    rewrite."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+    from scopus_spark.sql_dml import SqlDml
+
+    docs = table(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 97 != 3).select(
+        "doc_id", "text", (F.col("doc_id") % 16).alias("bucket")
+    )
+    snap_b = docs.filter(F.col("doc_id") % 17 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 1, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    root = _stage(sf_dir, "a36_sql_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(snap_a, "bucket")
+
+    dml = SqlDml(spark)
+    dml.register("corpus", vt, key_cols=["doc_id"])
+    snap_b.createOrReplaceTempView("_a36_snapshot_b")
+    dml.sql(
+        """
+        MERGE INTO corpus AS t USING _a36_snapshot_b AS s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED AND t.text <> s.text THEN UPDATE SET text = s.text
+        WHEN NOT MATCHED THEN INSERT (doc_id, text, bucket)
+             VALUES (s.doc_id, s.text, s.doc_id % 16)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    return vt.read(spark).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )

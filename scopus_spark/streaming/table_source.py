@@ -240,23 +240,34 @@ def apply_changes_to_table(
     CDC replication terminal that makes source -> replica a pure
     function of the feed:
 
-    - commits apply IN SOURCE ORDER (_commit_version ascending; a batch
-      may interleave merges and deletes, and order is what makes
-      replay-merge-over-delete impossible);
-    - insert / update_postimage rows MERGE (keyed upsert; the replica's
-      copy-on-write path, same cost shape as the source merge that
-      produced them); update_preimage rows are audit-only;
-    - a pure-delete commit (a source deletion-vector commit) applies as
-      ``delete_keys`` — merge-on-read tombstones, so the replica pays
-      O(churn) exactly like the source did, not a partition rewrite;
-    - every applied commit carries token ``'<stream>:<source version>'``,
-      so a replayed batch (the consumer's at-least-once window) is a
-      manifest-level no-op per commit — exactly-once replication without
-      content idempotence assumptions.
+    - commits apply IN SOURCE ORDER, but CONSECUTIVE SAME-SHAPE RUNS
+      COALESCE into one replica commit each (the r9 verdict's apply-loop
+      fix): only delete/merge boundaries constrain order, and within a
+      run of keyed commits sequential application equals
+      LAST-ACTION-PER-KEY, so a run applies as ONE Spark job. A
+      far-behind replica backfilling thousands of commits pays
+      O(op-boundary runs) driver round-trips, never O(commits);
+    - a merge-shaped run (any insert / update_postimage): the last
+      action per key across the run MERGEs — post-images upsert,
+      run-final deletes ride the merge's delete arm (copy-on-write,
+      same cost shape as the source merges that produced them);
+      update_preimage rows are audit-only;
+    - a delete-only run (source deletion-vector commits) applies as
+      ONE ``delete_keys`` — merge-on-read tombstones, so the replica
+      pays O(churn) exactly like the source did, not a partition
+      rewrite;
+    - each run carries token ``'<stream>:<last source version in the
+      run>'``; runs are a deterministic function of the feed, so a
+      replayed batch (the consumer's at-least-once window) re-derives
+      the same runs and every already-applied one is a manifest-level
+      no-op — exactly-once replication without content idempotence
+      assumptions.
 
     At 100 TB this is cross-region / dev-fork table replication over
     the manifest layer: per trigger the wire carries O(churn) rows and
-    the replica's commit history mirrors the source's op mix."""
+    the replica's commit history mirrors the source's op-run structure."""
+    from pyspark.sql import Window
+
     kinds: dict[int, set[str]] = {}
     for r in (
         df.groupBy("_commit_version", "_change_type").count().collect()
@@ -265,30 +276,22 @@ def apply_changes_to_table(
             r["_change_type"]
         )
     payload = [c for c in df.columns if c not in ("_change_type", "_commit_version")]
+    runs: list[tuple[str, list[int]]] = []
     for v in sorted(kinds):
-        batch = df.filter(F.col("_commit_version") == v)
-        token = f"{stream_name}:{v}"
-        has_upserts = kinds[v] & {"insert", "update_postimage"}
-        has_deletes = "delete" in kinds[v]
-        if has_upserts:
-            upserts = batch.filter(
-                F.col("_change_type").isin("insert", "update_postimage")
-            ).select(*payload)
-            deletes = (
-                batch.filter(F.col("_change_type") == "delete").select(
-                    *payload
-                )
-                if has_deletes
-                else None
-            )
-            replica.merge(
-                upserts,
-                key_cols=key_cols,
-                partition_col=partition_col,
-                deletes=deletes,
-                commit_token=token,
-            )
-        elif has_deletes:
+        if kinds[v] & {"insert", "update_postimage"}:
+            shape = "merge"
+        elif "delete" in kinds[v]:
+            shape = "delete"
+        else:
+            continue  # update_preimage-only: audit rows, nothing to apply
+        if runs and runs[-1][0] == shape:
+            runs[-1][1].append(v)
+        else:
+            runs.append((shape, [v]))
+    for shape, vs in runs:
+        token = f"{stream_name}:{vs[-1]}"
+        batch = df.filter(F.col("_commit_version").isin(vs))
+        if shape == "delete":
             replica.delete_keys(
                 batch.filter(F.col("_change_type") == "delete").select(
                     *dict.fromkeys([*key_cols, partition_col])
@@ -296,6 +299,39 @@ def apply_changes_to_table(
                 key_cols=key_cols,
                 commit_token=token,
             )
+            continue
+        acts = batch.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        if len(vs) > 1:
+            # last action per key across the run; within one source
+            # commit a delete outranks a same-key post-image (the
+            # source merge's delete-wins contract)
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col("_commit_version").desc(),
+                (F.col("_change_type") == "delete").cast("int").desc(),
+            )
+            acts = (
+                acts.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        has_deletes = any("delete" in kinds[v] for v in vs)
+        replica.merge(
+            acts.filter(F.col("_change_type") != "delete").select(*payload),
+            key_cols=key_cols,
+            partition_col=partition_col,
+            deletes=(
+                acts.filter(F.col("_change_type") == "delete").select(
+                    *payload
+                )
+                if has_deletes
+                else None
+            ),
+            commit_token=token,
+        )
 
 
 def replication_sink(
