@@ -58,6 +58,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # co-tenant load poisons wall-clock medians (PERF.md documents a
+    # 7.4 -> 3.9 s decay as a neighboring suite drained); record the
+    # 1-min load average so the artifact carries its own noise label —
+    # a run with load_start > 1 should be re-run, not compared
+    load_start = os.getloadavg()[0]
     spark = get_spark(app_name="scopus_spark_bench")
     register_views(spark, sf_dir)  # excluded from timings, as in BASELINE.md
 
@@ -80,6 +85,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
         timings_min[name] = round(min(runs), 4)
 
+    load_end = os.getloadavg()[0]
     line = json.dumps(
         {
             "metric": "headline_total_median",
@@ -89,6 +95,11 @@ def main() -> None:
             "value_min": round(sum(timings_min.values()), 4),
             "queries_min": timings_min,
             "sf": sf,
+            # load at session start / after the timed runs; "loaded"
+            # flags a co-tenant-noisy artifact (don't grade it raw)
+            "load_start": round(load_start, 2),
+            "load_end": round(load_end, 2),
+            "loaded": bool(load_start > 1.0),
         }
     )
     print(line)

@@ -1370,3 +1370,71 @@ def a36_sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(spark).select(
         "doc_id", F.md5("text").alias("content_hash")
     )
+
+
+# --- a37: partition-spec evolution (evolve -> merge -> append, zero rewrite) --------
+@register(
+    "a37",
+    oracle="""
+    SELECT doc_id, lang,
+           md5(CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END)
+             AS content_hash
+    FROM documents WHERE doc_id % 17 != 2
+    """,
+)
+def a37_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style PARTITION-SPEC EVOLUTION through the hash gate
+    (the r9 verdict's missing №3): a corpus table partitioned by
+    doc_id-bucket evolves to language partitioning with a METADATA-ONLY
+    commit (operators/manifest.evolve_partitioning — not a byte moves),
+    then a CDC merge (updates whose old copies live in RETIRED-spec
+    dirs + inserts + deletes) and an append both land under the NEW
+    spec. Mixed-spec reads reconstruct exactly: current-spec dirs prune
+    by partition value, legacy dirs scan with a row-level filter, and
+    replaced/deleted keys' legacy copies are suppressed by O(churn)
+    merge-on-read tombstones — the merge never scans or rewrites the
+    legacy set. The oracle recomputes the final state directly, so a
+    green hash proves evolve -> merge -> append ≡ the same operations
+    on a single-spec table. Fold-safety, OCC (appends/merges racing an
+    evolution conflict), migration-by-compaction and feed exactness are
+    pinned in tests/test_partition_evolution.py.
+
+    At 100 TB this turns "repartition the table" from a full rewrite
+    into: new data lands under the new spec NOW; old data migrates at
+    the next scheduled compaction."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", (F.col("doc_id") % 16).alias("bucket")
+    )
+    root = _stage(sf_dir, "a37_evolution")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(docs.filter(F.col("doc_id") % 97 != 3), "bucket")
+
+    vt.evolve_partitioning("lang")  # metadata-only; bucket dirs -> legacy
+
+    revised = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" rev2"))
+    ).filter(F.col("doc_id") % 13 == 1)
+    vt.merge(  # updates hit legacy copies; delete-wins on overlap
+        revised,
+        key_cols=["doc_id"],
+        partition_col="lang",
+        deletes=docs.filter(F.col("doc_id") % 17 == 2).select(
+            "doc_id", "lang"
+        ),
+    )
+    vt.append(  # the rest of the missing docs, laid out under lang
+        docs.filter(
+            (F.col("doc_id") % 97 == 3)
+            & (F.col("doc_id") % 13 != 1)
+            & (F.col("doc_id") % 17 != 2)
+        )
+    )
+    return vt.read(spark).select(
+        "doc_id", "lang", F.md5("text").alias("content_hash")
+    )

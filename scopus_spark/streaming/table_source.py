@@ -122,6 +122,10 @@ class AppendStreamSource:
         seen: set[str] = set()
         for v in range(last + 1, current + 1):
             c = self.table.commit_info(v)
+            if c["op"] == "evolve_partition":
+                # metadata-only (adds no dirs, rewrites none): future
+                # appends still stream normally
+                continue
             if c["op"] not in ("create", "append"):
                 raise ValueError(
                     f"commit v{v} is op={c['op']!r}: the file-stream "
