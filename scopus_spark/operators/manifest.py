@@ -72,6 +72,7 @@ from __future__ import annotations
 import fcntl
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -298,14 +299,37 @@ class LocalFlockCoordinator(CommitCoordinator):
 
 
 class VersionedTable:
-    """Handle to one snapshot-isolated table rooted at ``root``."""
+    """Handle to one snapshot-isolated table rooted at ``root``.
+
+    ``ref`` selects a NAMED REF (default ``"main"``): a branch handle
+    has its own manifest chain + pointer under
+    ``_manifests/branches/<name>/`` but shares the table's immutable
+    data directory, so EVERY operation (read/append/merge/delete_keys/
+    compact/WAP/time travel) works on a branch unchanged — commits on a
+    branch are invisible to main until ``merge_branch`` publishes them.
+    Branch handles come from ``create_branch``/``branch``; retention
+    (vacuum) and ref management live on main."""
 
     def __init__(
-        self, root: str, coordinator: CommitCoordinator | None = None
+        self,
+        root: str,
+        coordinator: CommitCoordinator | None = None,
+        ref: str = "main",
     ):
         self.root = root
-        self._manifest_dir = os.path.join(root, "_manifests")
-        self._pointer = os.path.join(root, "_current")
+        self.ref = ref
+        if ref == "main":
+            self._manifest_dir = os.path.join(root, "_manifests")
+        else:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9.-]*", ref):
+                raise ValueError(f"bad branch name {ref!r}")
+            self._manifest_dir = os.path.join(
+                root, "_manifests", "branches", ref
+            )
+        self._pointer = os.path.join(self._manifest_dir, "_current")
+        if ref == "main":
+            # main's pointer predates refs: keep its historical location
+            self._pointer = os.path.join(root, "_current")
         self.coordinator = coordinator or LocalFlockCoordinator()
 
     def _commits_between(self, base: int, latest: int) -> list[dict]:
@@ -969,6 +993,19 @@ class VersionedTable:
                 # content, only the layout contract for FUTURE commits
                 # changes — zero logical delta
                 continue
+            if op == "branch_merge":
+                # a ref merge lands N branch commits' worth of state in
+                # one metadata swap; reconstructing its row-level delta
+                # would need the branch's own commit records, which
+                # drop_branch may have reclaimed. Fail loudly: consumers
+                # either drain the feed before the merge or re-baseline
+                # at it (the Delta-CDF re-baseline contract).
+                raise ValueError(
+                    f"change feed cannot span branch_merge commit v{v} "
+                    f"(branch {c.get('branch')!r}); re-baseline the "
+                    "consumer at that version or consume the branch's "
+                    "feed before merging"
+                )
             cschema = StructType.fromJson(json.loads(c["schema"]))
             names = [f.name for f in cschema.fields]
             added = [d for ds in c.get("added", {}).values() for d in ds]
@@ -1418,20 +1455,36 @@ class VersionedTable:
             os.remove(self._staged_path(staged_id))
             return version
 
-    def _live_commit_ids(self) -> set[str]:
+    def _live_commit_ids(self, exclude_branch: str | None = None) -> set[str]:
         """data/<commit> ids referenced by ANY retained committed
-        manifest (data or tombstone dirs). Metadata-only scan — used to
-        refuse reclaiming dirs a crashed publish already made live."""
+        manifest — main's chain AND every branch's (minus
+        ``exclude_branch``) — data, tombstone, or legacy dirs.
+        Metadata-only scan; used to refuse reclaiming dirs a crashed
+        publish made live and to scope drop_branch reclamation."""
         ids: set[str] = set()
-        for name in os.listdir(self._manifest_dir):
-            if not (name.startswith("v") and name.endswith(".json")):
-                continue
-            with open(os.path.join(self._manifest_dir, name)) as fh:
-                m = json.load(fh)
-            for ds in m.get("partitions", {}).values():
-                ids.update(d.split(os.sep)[1] for d in ds)
-            for ds in m.get("tombstones", {}).values():
-                ids.update(d.split(os.sep)[1] for d in ds)
+        main_dir = os.path.join(self.root, "_manifests")
+        scan_dirs = [main_dir]
+        broot = os.path.join(main_dir, "branches")
+        if os.path.isdir(broot):
+            scan_dirs.extend(
+                os.path.join(broot, b)
+                for b in os.listdir(broot)
+                if b != exclude_branch
+                and os.path.isdir(os.path.join(broot, b))
+            )
+        for mdir in scan_dirs:
+            for name in os.listdir(mdir):
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                with open(os.path.join(mdir, name)) as fh:
+                    m = json.load(fh)
+                for ds in m.get("partitions", {}).values():
+                    ids.update(d.split(os.sep)[1] for d in ds)
+                for ds in m.get("tombstones", {}).values():
+                    ids.update(d.split(os.sep)[1] for d in ds)
+                ids.update(
+                    d.split(os.sep)[1] for d in m.get("legacy_dirs", [])
+                )
         return ids
 
     def discard_staged(self, staged_id: str) -> None:
@@ -1463,6 +1516,256 @@ class VersionedTable:
                     os.path.join(self.root, "data", cid),
                     ignore_errors=True,
                 )
+
+    # -- NAMED BRANCHES (refs over the WAP machinery) --------------------------
+
+    def _branches_root(self) -> str:
+        return os.path.join(self.root, "_manifests", "branches")
+
+    def _require_main(self, what: str) -> None:
+        if self.ref != "main":
+            raise ValueError(
+                f"{what} runs on the main ref, not branch {self.ref!r} "
+                "(branch-of-branch and branch-side retention are "
+                "unsupported)"
+            )
+
+    def list_branches(self) -> list[str]:
+        broot = self._branches_root()
+        if not os.path.isdir(broot):
+            return []
+        return sorted(
+            b
+            for b in os.listdir(broot)
+            if os.path.isdir(os.path.join(broot, b))
+        )
+
+    def branch(self, name: str) -> "VersionedTable":
+        """Handle to an EXISTING branch — a full VersionedTable: every
+        operation works, commits are invisible to main until merged."""
+        bt = VersionedTable(self.root, self.coordinator, ref=name)
+        if not bt.exists():
+            raise ValueError(
+                f"no branch {name!r} under {self.root} "
+                f"(have {self.list_branches()})"
+            )
+        return bt
+
+    def create_branch(self, name: str) -> "VersionedTable":
+        """Fork a NAMED BRANCH at the current snapshot (the multi-commit
+        write-audit-publish generalization of stage_append, Iceberg/
+        Nessie-style): a metadata-only ref copy — zero data moves — on
+        which arbitrary commits (append/merge/delete/compact) accumulate
+        invisibly to main readers. An audit queries the branch like any
+        table; ``merge_branch`` publishes the branch's partition state
+        onto main with OCC conflict detection; ``drop_branch`` discards
+        it and reclaims branch-only data. vacuum treats branch-referenced
+        dirs as live, so a long-lived branch never races retention.
+
+        At 100 TB this is the staging-environment contract: a whole
+        pipeline (N commits) lands on a branch, validation reads the
+        branch, and main advances by ONE atomic ref merge or not at
+        all."""
+        self._require_main("create_branch()")
+        if not self.exists():
+            raise ValueError("create_branch() needs an existing table")
+        bt = VersionedTable(self.root, self.coordinator, ref=name)
+        with self.coordinator.exclusive(self):
+            if bt.exists():
+                raise ValueError(f"branch {name!r} already exists")
+            m = self._read_manifest()
+            if m.get("legacy_dirs"):
+                raise ValueError(
+                    "create_branch() on a mixed-spec table is "
+                    "unsupported — run a full compact() (spec "
+                    "migration) first"
+                )
+            os.makedirs(bt._manifest_dir, exist_ok=True)
+            with open(os.path.join(bt._manifest_dir, "_base"), "w") as fh:
+                fh.write(str(m["version"]))
+            bt._commit(dict(m))  # branch head starts as a copy of main's
+        return bt
+
+    def _branch_base(self, bt: "VersionedTable") -> int:
+        with open(os.path.join(bt._manifest_dir, "_base")) as fh:
+            return int(fh.read().strip())
+
+    def merge_branch(self, name: str, drop: bool = False) -> int:
+        """Publish a branch's accumulated state onto main as ONE commit
+        (op ``branch_merge``) — the partition-level fast-forward:
+        every partition the branch touched since its base takes the
+        branch head's dirs + tombstones; untouched partitions keep
+        main's. OCC conflict detection: a main commit since the base
+        touching any branch-touched partition conflicts (rebase by
+        re-branching); schema evolution composes additively from both
+        sides. ``drop=True`` drops the branch after a successful merge.
+
+        Cost: pure metadata — the branch's data files are already in
+        place; main's pointer swap makes them visible atomically."""
+        self._require_main("merge_branch()")
+        bt = self.branch(name)
+        with self.coordinator.exclusive(self):
+            latest = self._read_manifest()
+            bh = bt._read_manifest()
+            base = self._branch_base(bt)
+            if bh["version"] == base and latest["version"] == base:
+                return latest["version"]  # nothing to merge
+            if latest.get("legacy_dirs") or bh.get("legacy_dirs"):
+                raise CommitConflict(
+                    "merge_branch() does not compose with partition-"
+                    "spec evolution — migrate (full compact) first"
+                )
+            if latest["partition_col"] != bh["partition_col"]:
+                raise CommitConflict(
+                    "partition column diverged between main and branch "
+                    f"{name!r}; re-branch and re-apply"
+                )
+            branch_commits = bt._commits_between(base, bh["version"])
+            touched: set[str] = set()
+            for c in branch_commits:
+                touched.update(c.get("touched", []))
+            if not touched and bh["schema"] == latest["schema"]:
+                return latest["version"]  # branch changed nothing
+            if latest["version"] != base:
+                base_schema = self._read_manifest(base)["schema"]
+                for c in self._commits_between(base, latest["version"]):
+                    inter = touched & set(
+                        c.get("touched", list(latest["partitions"]))
+                    )
+                    if inter:
+                        raise CommitConflict(
+                            f"main commit v{c['version']} touched "
+                            f"partitions {sorted(inter)} branch "
+                            f"{name!r} also changed; re-branch from the "
+                            "current snapshot and re-apply"
+                        )
+                schema_json = latest["schema"]
+                if bh["schema"] != base_schema:
+                    # both sides may have evolved additively; union or
+                    # conflict (type changes raise inside _evolve_schema)
+                    schema_json = _evolve_schema(
+                        StructType.fromJson(json.loads(latest["schema"])),
+                        StructType.fromJson(json.loads(bh["schema"])),
+                    ).json()
+            else:
+                schema_json = bh["schema"]
+            lkc = latest.get("tombstone_key_cols")
+            bkc = bh.get("tombstone_key_cols")
+            if lkc is not None and bkc is not None and list(lkc) != list(
+                bkc
+            ):
+                raise CommitConflict(
+                    f"tombstone key columns diverged (main {lkc}, "
+                    f"branch {bkc}); compact one side first"
+                )
+            parts = dict(latest["partitions"])
+            tombs = {
+                k: list(v)
+                for k, v in latest.get("tombstones", {}).items()
+            }
+            added: dict[str, list[str]] = {}
+            for k in touched:
+                bds = bh["partitions"].get(k)
+                old = set(parts.get(k, []))
+                if bds is None:
+                    parts.pop(k, None)
+                else:
+                    parts[k] = list(bds)
+                    added[k] = [d for d in bds if d not in old]
+                btk = bh.get("tombstones", {}).get(k)
+                if btk:
+                    tombs[k] = list(btk)
+                else:
+                    tombs.pop(k, None)
+            live = {d for ds in parts.values() for d in ds}
+            stats = {
+                d: s
+                for d, s in {
+                    **latest.get("stats", {}),
+                    **bh.get("stats", {}),
+                }.items()
+                if d in live
+            }
+            blooms = {
+                d: b
+                for d, b in {
+                    **latest.get("blooms", {}),
+                    **bh.get("blooms", {}),
+                }.items()
+                if d in live
+            }
+            version = self.coordinator.swap_or_conflict(
+                self,
+                {
+                    "version": latest["version"] + 1,
+                    "parent": latest["version"],
+                    "op": "branch_merge",
+                    "branch": name,
+                    "branch_base": base,
+                    "branch_head": bh["version"],
+                    "partition_col": latest["partition_col"],
+                    "schema": schema_json,
+                    "partitions": parts,
+                    "touched": sorted(touched),
+                    "added": added,
+                    "legacy_dirs": [],
+                    "legacy_specs": list(latest.get("legacy_specs", [])),
+                    "tombstones": tombs,
+                    "tombstone_key_cols": (
+                        bkc if bkc is not None else lkc
+                    )
+                    if tombs
+                    else None,
+                    "stats_cols": list(latest.get("stats_cols", [])),
+                    "stats": stats,
+                    "bloom_cols": list(latest.get("bloom_cols", [])),
+                    "blooms": blooms,
+                    "tokens": list(latest.get("tokens", [])),
+                },
+                latest["version"],
+            )
+        if drop:
+            self.drop_branch(name)
+        return version
+
+    def drop_branch(self, name: str) -> list[str]:
+        """Delete a branch ref and reclaim data commit dirs ONLY it
+        references (main's chain, staged batches and other branches
+        keep theirs — the discard_staged safety rule, ref-wide).
+        Returns the reclaimed commit ids."""
+        self._require_main("drop_branch()")
+        bt = self.branch(name)
+        with self.coordinator.exclusive(self):
+            branch_ids: set[str] = set()
+            for n in os.listdir(bt._manifest_dir):
+                if not (n.startswith("v") and n.endswith(".json")):
+                    continue
+                with open(os.path.join(bt._manifest_dir, n)) as fh:
+                    m = json.load(fh)
+                for ds in m.get("partitions", {}).values():
+                    branch_ids.update(d.split(os.sep)[1] for d in ds)
+                for ds in m.get("tombstones", {}).values():
+                    branch_ids.update(d.split(os.sep)[1] for d in ds)
+            live = self._live_commit_ids(exclude_branch=name)
+            # also protect pending staged batches' dirs
+            for n in os.listdir(os.path.join(self.root, "_manifests")):
+                if n.startswith("staged-") and n.endswith(".json"):
+                    with open(
+                        os.path.join(self.root, "_manifests", n)
+                    ) as fh:
+                        st = json.load(fh)
+                    for ds in st.get("partitions", {}).values():
+                        live.update(d.split(os.sep)[1] for d in ds)
+            # remove the ref FIRST (crash between rmtrees leaves only
+            # orphaned-but-unreferenced dirs, never a dangling ref)
+            shutil.rmtree(bt._manifest_dir, ignore_errors=True)
+            reclaimed = sorted(branch_ids - live)
+            for cid in reclaimed:
+                shutil.rmtree(
+                    os.path.join(self.root, "data", cid),
+                    ignore_errors=True,
+                )
+            return reclaimed
 
     # -- PARTITION EVOLUTION ---------------------------------------------------
 
@@ -1496,6 +1799,7 @@ class VersionedTable:
         At 100 TB this is the operation that turns "repartitioning a
         table means a full rewrite" into "new data lands under the new
         spec now; migration happens at the next scheduled compaction"."""
+        self._require_main("evolve_partitioning()")
         if not self.exists():
             raise ValueError("evolve_partitioning() needs an existing table")
         with self.coordinator.exclusive(self):
@@ -2310,6 +2614,7 @@ class VersionedTable:
         time (see _commits_between) and re-runs; a lazy read() pinned to
         a vacuumed snapshot fails at scan time. Both are recoverable,
         but sizing keep_last to the longest job avoids the retry."""
+        self._require_main("vacuum()")
         if not self.exists():
             return []
         # vacuum needs REAL exclusion (it mutates shared retention state),
@@ -2352,6 +2657,18 @@ class VersionedTable:
             for n in keep + staged:
                 with open(os.path.join(self._manifest_dir, n)) as fh:
                     referenced.update(_dirs_of(json.load(fh)))
+            # every branch's every manifest is live: a long-lived branch
+            # must never race main's retention (drop_branch reclaims)
+            broot = self._branches_root()
+            if os.path.isdir(broot):
+                for b in os.listdir(broot):
+                    bdir = os.path.join(broot, b)
+                    if not os.path.isdir(bdir):
+                        continue
+                    for n in os.listdir(bdir):
+                        if n.startswith("v") and n.endswith(".json"):
+                            with open(os.path.join(bdir, n)) as fh:
+                                referenced.update(_dirs_of(json.load(fh)))
             removed: list[str] = []
             for n in drop:
                 path = os.path.join(self._manifest_dir, n)

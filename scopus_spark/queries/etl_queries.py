@@ -1438,3 +1438,69 @@ def a37_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(spark).select(
         "doc_id", "lang", F.md5("text").alias("content_hash")
     )
+
+
+# --- a38: named-branch write-audit-publish (N commits, one atomic ref merge) --------
+@register(
+    "a38",
+    oracle="""
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END)
+             AS content_hash
+    FROM documents
+    WHERE (doc_id % 3 IN (0, 1) OR doc_id % 13 = 1) AND doc_id % 17 != 2
+    """,
+)
+def a38_named_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED BRANCHES over the manifest layer (the r9 verdict's missing
+    №4 — the multi-commit generalization of a35's single staged
+    commit): a whole ingest pipeline lands as THREE commits on branch
+    'ingest' (an append wave, a keyed revision MERGE, a deletion-vector
+    delete), all invisible to main readers, and main advances by ONE
+    atomic ref merge (operators/manifest.create_branch /
+    merge_branch(drop=True)). A branch is a full VersionedTable — its
+    own manifest chain + pointer sharing the immutable data dir — so
+    every operator works on it unchanged and the audit queries the
+    branch like any table. The oracle recomputes the final state
+    directly, so a green hash proves branch-merged state ≡ the same
+    commits applied to main directly (the a38 contract). OCC between
+    branch and main writers, tombstone carry-over, drop-branch
+    reclamation scoping and vacuum protection are pinned in
+    tests/test_branches.py.
+
+    At 100 TB the branch is the staging-environment contract: stage
+    cost = the pipeline's bytes (lock-free, off main), audit cost = the
+    validation queries, publish cost = one metadata CAS on main's
+    pointer — bad pipelines are dropped without main ever seeing a
+    row."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 8).alias("bucket")
+    )
+    root = _stage(sf_dir, "a38_branch")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(docs.filter(F.col("doc_id") % 3 == 0), "bucket")
+
+    br = vt.create_branch("ingest")
+    br.append(docs.filter(F.col("doc_id") % 3 == 1))  # wave 1
+    br.merge(  # wave 2: revisions (updates + brand-new revised docs)
+        docs.filter(F.col("doc_id") % 13 == 1).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" rev2"))
+        ),
+        key_cols=["doc_id"],
+        partition_col="bucket",
+    )
+    br.delete_keys(  # wave 3: retractions as deletion vectors
+        docs.filter(F.col("doc_id") % 17 == 2).select("doc_id", "bucket"),
+        key_cols=["doc_id"],
+    )
+    assert vt.version() == 1  # main never saw a row
+    vt.merge_branch("ingest", drop=True)  # ONE atomic publish
+    return vt.read(spark).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
