@@ -465,6 +465,7 @@ class VersionedTable:
         dict[str, list[str]],
         dict[str, dict[str, list]],
         dict[str, dict[str, list[int]]],
+        dict[str, dict[str, list[list]]],
         str,
     ]:
         """Write df as immutable files under data/<commit>/ and return
@@ -545,7 +546,89 @@ class VersionedTable:
                             ]
                             for ci, c in enumerate(bloom_cols)
                         }
-        return out, stats, blooms, commit_dir
+        fstats: dict[str, dict[str, list[list]]] = {}
+        if stats_cols and out:
+            # ROW-GROUP-GRAIN skipping metadata (the Iceberg file-stats
+            # idea one level below directories): per written FILE, every
+            # row group's [min, max] for each stats column, read from
+            # the parquet FOOTERS executor-side (pyarrow; a metadata-
+            # only pass over the commit's own files — never a data
+            # scan). read(prune=...) uses it to skip individual files a
+            # directory-grain range cannot disprove; Spark's native
+            # parquet pushdown then skips row groups INSIDE kept files
+            # from the same footer stats.
+            rel_files = [
+                os.path.join(d, f)
+                for ds in out.values()
+                for d in ds
+                for f in os.listdir(os.path.join(self.root, d))
+                if f.endswith(".parquet")
+            ]
+            fstats = self._footer_rowgroup_stats(
+                df.sparkSession, rel_files, list(stats_cols)
+            )
+        return out, stats, blooms, fstats, commit_dir
+
+    @staticmethod
+    def _carry_file_stats(
+        old: dict, live_dirs: set[str], new: dict
+    ) -> dict:
+        """Carry per-file row-group stats for files whose directory is
+        still live, plus the commit's own new entries."""
+        out = {
+            rel: st
+            for rel, st in old.items()
+            if os.path.dirname(rel) in live_dirs
+        }
+        out.update(new)
+        return out
+
+    def _footer_rowgroup_stats(
+        self, spark: SparkSession, rel_files: list[str], cols: list[str]
+    ) -> dict[str, dict[str, list[list]]]:
+        """{rel_file: {col: [[lo, hi] per row group]}} from parquet
+        footers, read in parallel on executors. A column is recorded
+        only when EVERY row group has usable min/max of a JSON-safe type
+        (int/float/str) — missing entries mean "cannot skip", the
+        superset rule."""
+        if not rel_files:
+            return {}
+        root = self.root
+
+        def _footers(it):
+            import pyarrow.parquet as pq
+
+            for rel in it:
+                md = pq.ParquetFile(os.path.join(root, rel)).metadata
+                idx = {
+                    md.schema.column(i).path: i
+                    for i in range(md.num_columns)
+                }
+                rec: dict[str, list[list]] = {}
+                for c in cols:
+                    i = idx.get(c)
+                    if i is None:
+                        continue
+                    rgs = []
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(i).statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or not isinstance(st.min, (int, float, str))
+                            or not isinstance(st.max, (int, float, str))
+                        ):
+                            rgs = None
+                            break
+                        rgs.append([st.min, st.max])
+                    if rgs:
+                        rec[c] = rgs
+                yield rel, rec
+
+        rdd = spark.sparkContext.parallelize(
+            rel_files, max(1, min(len(rel_files), 32))
+        )
+        return dict(rdd.mapPartitions(_footers).collect())
 
     def write_initial(
         self,
@@ -564,7 +647,7 @@ class VersionedTable:
         replayed create-batch (streaming retry of batch 0) is
         recognized by the append/merge that follows."""
         _check_partition_type(df.schema, partition_col)
-        parts, stats, blooms, commit_dir = self._write_commit_data(
+        parts, stats, blooms, fstats, commit_dir = self._write_commit_data(
             df, partition_col, stats_cols, bloom_cols
         )
         with self.coordinator.exclusive(self):
@@ -588,6 +671,7 @@ class VersionedTable:
                         "added": parts,
                         "stats_cols": list(stats_cols or []),
                         "stats": stats,
+                        "file_stats": fstats,
                         "bloom_cols": list(bloom_cols or []),
                         "blooms": blooms,
                         "tokens": [commit_token] if commit_token else [],
@@ -622,6 +706,66 @@ class VersionedTable:
                 raise ValueError("data_dirs(point=...) needs spark")
             dirs = self._bloom_filter_dirs(spark, m, dirs, point)
         return dirs
+
+    @staticmethod
+    def _file_prune(
+        m: dict, dirs: list[str], prune: tuple | None
+    ) -> tuple[list[str], list[str], list[str]]:
+        """(dirs scanned whole, file paths kept, file paths skipped):
+        row-group-grain skipping from manifest footer stats. A dir with
+        no recorded files scans whole; a file without stats for the
+        prune column is kept (the superset rule)."""
+        fstats = m.get("file_stats", {})
+        if prune is None or not fstats:
+            return dirs, [], []
+        col, lo, hi = prune
+        by_dir: dict[str, list[str]] = {}
+        for rel in fstats:
+            by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+        whole: list[str] = []
+        kept: list[str] = []
+        skipped: list[str] = []
+        for d in dirs:
+            files = by_dir.get(d)
+            if not files:
+                whole.append(d)
+                continue
+            for rel in sorted(files):
+                rgs = fstats[rel].get(col)
+                if rgs is None or any(
+                    not (r[1] < lo or r[0] > hi) for r in rgs
+                ):
+                    kept.append(rel)
+                else:
+                    skipped.append(rel)
+        return whole, kept, skipped
+
+    def scan_paths(
+        self,
+        partition_values: list | None = None,
+        prune: tuple | None = None,
+        at_version: int | None = None,
+    ) -> dict:
+        """Observability for ROW-GROUP-GRAIN skipping (metadata-only):
+        ``{"dirs": [dirs scanned whole], "files": [kept file paths],
+        "skipped_files": [...]}`` for a read with these filters — what
+        tests assert skipping on without reading data."""
+        m = self._read_manifest(at_version)
+        dirs = _filter_dirs(m, partition_values, prune)
+        legacy = list(m.get("legacy_dirs", []))
+        if legacy and prune is not None:
+            col, lo, hi = prune
+            stats = m.get("stats", {})
+            legacy = [
+                d
+                for d in legacy
+                if (rng := stats.get(d, {}).get(col)) is None
+                or rng[0] is None
+                or rng[1] is None
+                or not (rng[1] < lo or rng[0] > hi)
+            ]
+        whole, kept, skipped = self._file_prune(m, dirs + legacy, prune)
+        return {"dirs": whole, "files": kept, "skipped_files": skipped}
 
     def _bloom_positions(self, spark: SparkSession, value, dtype) -> list[int]:
         """The k bit positions a value probes — ONE 1-row JVM job using
@@ -724,9 +868,20 @@ class VersionedTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if not dirs and not legacy:
             return spark.createDataFrame([], schema)
-        raw = spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, d) for d in dirs + legacy]
+        # ROW-GROUP-GRAIN file skipping: directories that survived the
+        # dir-grain prune may still contain individual files whose every
+        # row group's [min, max] misses the range — drop them from the
+        # scan via manifest footer stats (no storage IO at plan time);
+        # Spark's parquet pushdown prunes row groups inside kept files.
+        whole, kept_files, _skipped = self._file_prune(
+            m, dirs + legacy, prune
         )
+        paths = [os.path.join(self.root, d) for d in whole] + [
+            os.path.join(self.root, p) for p in kept_files
+        ]
+        if not paths:
+            return spark.createDataFrame([], schema)
+        raw = spark.read.schema(schema).parquet(*paths)
         if legacy and partition_values is not None:
             # the current-spec dirs are exact; legacy rows need the
             # row-level filter (pushed to the parquet scan)
@@ -1203,11 +1358,13 @@ class VersionedTable:
                 "schema-strict — evolve via merge(allow_schema_evolution"
                 "=True) first"
             )
-        new_parts, new_stats, new_blooms, commit_dir = self._write_commit_data(
-            df,
-            m["partition_col"],
-            m.get("stats_cols") or None,
-            m.get("bloom_cols") or None,
+        new_parts, new_stats, new_blooms, new_fstats, commit_dir = (
+            self._write_commit_data(
+                df,
+                m["partition_col"],
+                m.get("stats_cols") or None,
+                m.get("bloom_cols") or None,
+            )
         )
         with self.coordinator.exclusive(self):
             latest = self._read_manifest()
@@ -1264,6 +1421,10 @@ class VersionedTable:
                     "tombstone_key_cols": latest.get("tombstone_key_cols"),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
+                    "file_stats": {
+                        **latest.get("file_stats", {}),
+                        **new_fstats,
+                    },
                     "bloom_cols": list(latest.get("bloom_cols", [])),
                     "blooms": blooms,
                     "tokens": tokens,
@@ -1323,7 +1484,7 @@ class VersionedTable:
                 "stage_append() batch schema does not match the table "
                 f"schema (want {sorted(want)}, got {sorted(got)})"
             )
-        new_parts, new_stats, new_blooms, _commit_dir = (
+        new_parts, new_stats, new_blooms, new_fstats, _commit_dir = (
             self._write_commit_data(
                 df,
                 m["partition_col"],
@@ -1345,6 +1506,7 @@ class VersionedTable:
             "touched": sorted(new_parts),
             "added": new_parts,
             "stats": new_stats,
+            "file_stats": new_fstats,
             "blooms": new_blooms,
         }
         path = self._staged_path(staged_id)
@@ -1446,6 +1608,10 @@ class VersionedTable:
                     "tombstone_key_cols": latest.get("tombstone_key_cols"),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
+                    "file_stats": {
+                        **latest.get("file_stats", {}),
+                        **staged.get("file_stats", {}),
+                    },
                     "bloom_cols": list(latest.get("bloom_cols", [])),
                     "blooms": blooms,
                     "tokens": tokens,
@@ -1718,6 +1884,14 @@ class VersionedTable:
                     else None,
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
+                    "file_stats": self._carry_file_stats(
+                        {
+                            **latest.get("file_stats", {}),
+                            **bh.get("file_stats", {}),
+                        },
+                        live,
+                        {},
+                    ),
                     "bloom_cols": list(latest.get("bloom_cols", [])),
                     "blooms": blooms,
                     "tokens": list(latest.get("tokens", [])),
@@ -1844,6 +2018,7 @@ class VersionedTable:
                     "tombstone_key_cols": m.get("tombstone_key_cols"),
                     "stats_cols": list(m.get("stats_cols", [])),
                     "stats": m.get("stats", {}),
+                    "file_stats": m.get("file_stats", {}),
                     "bloom_cols": list(m.get("bloom_cols", [])),
                     "blooms": m.get("blooms", {}),
                     "tokens": list(m.get("tokens", [])),
@@ -1885,8 +2060,8 @@ class VersionedTable:
                 delta = delta.join(
                     deletes.select(*key_cols), key_cols, "left_anti"
                 )
-            parts0, stats0, _blooms0, commit_dir0 = self._write_commit_data(
-                delta, partition_col
+            parts0, stats0, _blooms0, _fstats0, commit_dir0 = (
+                self._write_commit_data(delta, partition_col)
             )
             with self.coordinator.exclusive(self):
                 if self.exists():
@@ -1987,11 +2162,13 @@ class VersionedTable:
             merged = survivors.unionByName(delta, allowMissingColumns=True)
         else:
             merged = survivors.unionByName(delta)
-        new_parts, new_stats, new_blooms, commit_dir = self._write_commit_data(
-            merged,
-            partition_col,
-            m.get("stats_cols") or None,
-            m.get("bloom_cols") or None,
+        new_parts, new_stats, new_blooms, new_fstats, commit_dir = (
+            self._write_commit_data(
+                merged,
+                partition_col,
+                m.get("stats_cols") or None,
+                m.get("bloom_cols") or None,
+            )
         )
         ltomb_dirs: list[str] = []
         ltomb_commit_dir: str | None = None
@@ -2004,8 +2181,8 @@ class VersionedTable:
                 _TOMB_DIR_COL,
                 F.array(*[F.lit(d) for d in legacy_dirs]),
             )
-            lparts, _ls, _lb, ltomb_commit_dir = self._write_commit_data(
-                ltomb, partition_col
+            lparts, _ls, _lb, _lf, ltomb_commit_dir = (
+                self._write_commit_data(ltomb, partition_col)
             )
             ltomb_dirs = [d for ds in lparts.values() for d in ds]
 
@@ -2162,6 +2339,9 @@ class VersionedTable:
                         "parent_schema": m["schema"],
                         "stats_cols": list(latest.get("stats_cols", [])),
                         "stats": stats,
+                        "file_stats": self._carry_file_stats(
+                            latest.get("file_stats", {}), live, new_fstats
+                        ),
                         "bloom_cols": list(latest.get("bloom_cols", [])),
                         "blooms": blooms,
                         "tokens": tokens,
@@ -2300,7 +2480,9 @@ class VersionedTable:
             F.broadcast(dirs_df),
             F.col(pc).eqNullSafe(F.col("__vt_pk")),
         ).select(*dict.fromkeys([*key_cols, pc]), _TOMB_DIR_COL)
-        new_tombs, _, _nb, commit_dir = self._write_commit_data(tomb, pc)
+        new_tombs, _, _nb, _nf, commit_dir = self._write_commit_data(
+            tomb, pc
+        )
         with self.coordinator.exclusive(self):
             latest = self._read_manifest()
             if commit_token is not None and commit_token in latest.get(
@@ -2395,6 +2577,7 @@ class VersionedTable:
                     "key_cols": list(key_cols),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": latest.get("stats", {}),
+                    "file_stats": latest.get("file_stats", {}),
                     "bloom_cols": list(latest.get("bloom_cols", [])),
                     "blooms": latest.get("blooms", {}),
                     "tokens": tokens,
@@ -2465,8 +2648,13 @@ class VersionedTable:
                 at_version=m["version"],
                 include_legacy=False,
             ).repartition(F.col(pc))
-        new_parts, new_stats, new_blooms, commit_dir = self._write_commit_data(
-            df, pc, m.get("stats_cols") or None, m.get("bloom_cols") or None
+        new_parts, new_stats, new_blooms, new_fstats, commit_dir = (
+            self._write_commit_data(
+                df,
+                pc,
+                m.get("stats_cols") or None,
+                m.get("bloom_cols") or None,
+            )
         )
         target_keys = set(targets)
         # snapshot the dirs THIS commit introduced before any rebase
@@ -2593,6 +2781,9 @@ class VersionedTable:
                     ),
                     "stats_cols": list(latest.get("stats_cols", [])),
                     "stats": stats,
+                    "file_stats": self._carry_file_stats(
+                        latest.get("file_stats", {}), live, new_fstats
+                    ),
                     "bloom_cols": list(latest.get("bloom_cols", [])),
                     "blooms": blooms,
                     "tokens": list(latest.get("tokens", [])),

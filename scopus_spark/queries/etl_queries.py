@@ -1504,3 +1504,68 @@ def a38_named_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read(spark).select(
         "doc_id", F.md5("text").alias("content_hash")
     )
+
+
+# --- a39: row-group-grain data skipping (manifest footer stats prune FILES) ---------
+@register(
+    "a39",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+    """,
+)
+def a39_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-GROUP-GRAIN data skipping through the hash gate (the r9
+    verdict's missing №5, the next 10x of scan pruning below a29's
+    directory grain): at write time the manifest records every file's
+    per-ROW-GROUP [min, max] for the stats columns, read from the
+    parquet FOOTERS executor-side (operators/manifest.
+    _footer_rowgroup_stats — a metadata-only pyarrow pass over the
+    commit's own files, never a data scan). The orders corpus is staged
+    range-clustered (repartitionByRange on o_orderkey) into bucket
+    partitions, so every bucket directory spans the WHOLE key range —
+    directory-grain stats cannot skip anything — while each FILE covers
+    a narrow slice. read(prune=(o_orderkey, lo, hi)) then drops every
+    file whose row groups all miss the range at PLAN time (zero storage
+    IO), and Spark's native parquet pushdown prunes row groups inside
+    the kept files from the same footer stats. The in-query assert pins
+    that files were actually skipped; the oracle recomputes the range
+    scan directly, so a green hash proves pruning is a pure superset
+    optimization. Metrics-level assertions (kept/skipped file sets,
+    carry across append/merge/compact, merge-on-read exactness) live in
+    tests/test_rowgroup_skipping.py.
+
+    At 100 TB: a needle-range query on a range-clustered fact table
+    reads O(matching files), not O(partition), and the planner decides
+    from manifest metadata alone — no footer IO on the scan path."""
+    import shutil
+
+    from scopus_spark.operators.manifest import VersionedTable
+    from scopus_spark.queries.scans import _stage
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("total_cents"),
+        (F.col("o_orderkey") % 4).alias("bucket"),
+    )
+    root = _stage(sf_dir, "a39_rowgroup")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    vt.write_initial(
+        o.repartitionByRange(8, "o_orderkey"),
+        "bucket",
+        stats_cols=["o_orderkey"],
+    )
+    rep = vt.scan_paths(prune=("o_orderkey", 1000, 3000))
+    assert rep["skipped_files"], (
+        "row-group file skipping pruned nothing — footer stats missing?"
+    )
+    return (
+        vt.read(spark, prune=("o_orderkey", 1000, 3000))
+        .filter(F.col("o_orderkey").between(1000, 3000))
+        .select("o_orderkey", "o_custkey", "total_cents")
+    )
