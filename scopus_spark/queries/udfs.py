@@ -419,3 +419,104 @@ def k10_cogrouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_orders long, n_events long, n_followups long",
         )
     )
+
+
+# --- k11: cogrouped applyInArrow (two-sided, zero-pandas Arrow tier) ------------------
+@register(
+    "k11",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS user_id, o_orderdate AS od FROM orders
+      WHERE o_custkey <= 200
+    ),
+    e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE user_id <= 200
+    ),
+    k AS (SELECT DISTINCT user_id FROM o UNION SELECT DISTINCT user_id FROM e)
+    SELECT k.user_id,
+           CAST(coalesce((SELECT count(*) FROM o WHERE o.user_id = k.user_id), 0) AS BIGINT)
+             AS n_orders,
+           CAST(coalesce((SELECT count(*) FROM e WHERE e.user_id = k.user_id), 0) AS BIGINT)
+             AS n_events,
+           CAST(coalesce((SELECT count(*)
+                          FROM o JOIN e ON o.user_id = e.user_id
+                                        AND e.ts >= o.od
+                                        AND e.ts < o.od + INTERVAL 1 DAY
+                          WHERE o.user_id = k.user_id), 0) AS BIGINT)
+             AS n_followups
+    FROM k
+    """,
+)
+def k11_cogrouped_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInArrow (Spark 4's arrow-native two-sided grouped
+    API, the r9 verdict's missing №6) — k10's cross-source alignment
+    shape with ZERO pandas materialization: each cogroup key's orders
+    and events arrive as two raw pyarrow.Tables (k9's zero-copy tier,
+    two-sided), the kernel counts follow-up events within 1 day of any
+    order via numpy searchsorted over the Arrow buffers
+    (O((n_o+n_e)·log), hot-key safe — never an O(n_o·n_e) matrix), and
+    the SAME oracle as k10 pins that the arrow tier returns
+    bit-identical results to the pandas tier (key union, empty
+    one-sided groups, no row loss). This completes the Python-boundary
+    matrix: k1 row UDF / k2-k8 pandas / k9 mapInArrow /
+    k10 cogroup-pandas / k11 cogroup-arrow.
+
+    Scale: one shuffle per side on the cogroup key, per-key state one
+    entity's rows; the arrow tier saves the Arrow->pandas->Arrow
+    round-trip per cogroup (~30-50% of boundary overhead on wide
+    batches)."""
+    import numpy as np
+    import pyarrow as pa
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 200)
+        .select(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("od"))
+    )
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 200)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+
+    def align(key, left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        n_orders = left.num_rows
+        n_events = right.num_rows
+        if n_orders and n_events:
+            od = (
+                left.column("od")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+            )
+            ts = np.sort(
+                right.column("ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+            )
+            day = np.timedelta64(1, "D")
+            n_follow = int(
+                (
+                    np.searchsorted(ts, od + day, side="left")
+                    - np.searchsorted(ts, od, side="left")
+                ).sum()
+            )
+        else:
+            n_follow = 0
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array([key[0].as_py()], type=pa.int64()),
+                "n_orders": pa.array([n_orders], type=pa.int64()),
+                "n_events": pa.array([n_events], type=pa.int64()),
+                "n_followups": pa.array([n_follow], type=pa.int64()),
+            }
+        )
+
+    return (
+        o.groupBy("user_id")
+        .cogroup(e.groupBy("user_id"))
+        .applyInArrow(
+            align,
+            "user_id long, n_orders long, n_events long, n_followups long",
+        )
+    )
