@@ -91,12 +91,14 @@ def exact_heavy_hitters(
     n_words = int(
         merged.filter(F.col("w").isNull())
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)))
+        # bounded: 1-row global aggregate
         .collect()[0][0]
     )
     top = (
         merged.filter(F.col("w").isNotNull())
         .orderBy(F.desc("cnt"), F.asc("w"))
         .limit(k + 1)
+        # bounded: limit(k+1) heavy-hitter candidates
         .collect()
     )
     m_final = int(top[k].cnt) if len(top) == k + 1 else 0
@@ -157,6 +159,7 @@ def exact_median(
         F.percentile_approx(
             "v", F.array(F.lit(0.5 - margin), F.lit(0.5 + margin)), accuracy
         ).alias("b"),
+        # bounded: 1-row aggregate (count + two approx quantiles)
     ).collect()[0]
     n = int(st.n)
     if n == 0:
@@ -170,6 +173,7 @@ def exact_median(
         F.sum(
             F.when((F.col("v") >= lo) & (F.col("v") <= hi), 1).otherwise(0)
         ).alias("n_br"),
+        # bounded: 1-row aggregate (two boundary counts)
     ).collect()[0]
     c_lo, n_br = int(cc.c_lo or 0), int(cc.n_br or 0)
     if not (c_lo < k1 and c_lo + n_br >= k2):

@@ -520,6 +520,7 @@ def coreness(
             ecomp.groupBy("comp_id")
             .agg(F.count(F.lit(1)).alias("n_edges"))
             .agg(F.coalesce(F.max("n_edges"), F.lit(0)))
+            # bounded: 1-row aggregate (max component size)
             .collect()[0][0]
         )
         if biggest > max_component_edges:

@@ -530,6 +530,7 @@ class VersionedTable:
             written = df.sparkSession.read.parquet(
                 *[os.path.join(commit_dir, f"{prefix}{k}") for k in out]
             )
+            # bounded: one row per partition value of THIS commit's batch
             for r in written.groupBy(partition_col).agg(*aggs).collect():
                 key = _partition_dir(r[partition_col])
                 for d in out.get(key, []):
@@ -628,6 +629,7 @@ class VersionedTable:
         rdd = spark.sparkContext.parallelize(
             rel_files, max(1, min(len(rel_files), 32))
         )
+        # bounded: O(files in this commit) small stat records
         return dict(rdd.mapPartitions(_footers).collect())
 
     def write_initial(
@@ -778,6 +780,7 @@ class VersionedTable:
             ).alias(f"h{seed}")
             for seed in range(_BLOOM_K)
         ]
+        # bounded: 1-row probe-hash job
         r = spark.range(1).select(*cols).collect()[0]
         return [int(r[f"h{seed}"]) for seed in range(_BLOOM_K)]
 
@@ -2140,6 +2143,7 @@ class VersionedTable:
             delta = delta.join(
                 deletes.select(*key_cols), key_cols, "left_anti"
             )
+        # bounded: distinct touched partition values of the delta batch
         touched = [r[0] for r in touched_src.distinct().collect()]
         if not touched:
             return m["version"]
@@ -2428,6 +2432,7 @@ class VersionedTable:
             *dict.fromkeys([*key_cols, pc])
         ).distinct()
         touched = [
+            # bounded: distinct partition values of the delete batch
             r[0] for r in key_batch.select(pc).distinct().collect()
         ]
         legacy_dirs = list(m.get("legacy_dirs", []))

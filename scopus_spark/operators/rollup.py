@@ -110,6 +110,7 @@ def incremental_ohlc(target_path: str, new_events: DataFrame) -> None:
         vt.write_initial(delta, "bucket_date")
         return
     spark = new_events.sparkSession
+    # bounded: distinct touched bucket-dates of ONE batch, never the table
     touched = [r[0] for r in delta.select("bucket_date").distinct().collect()]
     if not touched:
         return

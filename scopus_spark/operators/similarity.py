@@ -596,6 +596,7 @@ def pca_whiten_params(embeddings: DataFrame, q: int = 4):
         base.mapInPandas(gram_partial, "idx long, val double")
         .groupBy("idx")
         .agg(F.sum("val").alias("val"))
+        # bounded: O(dim^2/2) Gram entries (embedding dim is small)
         .collect()
     )
     vals = {r.idx: r.val for r in sums}
@@ -686,6 +687,7 @@ def pq_fit(
     d_sub = dim // m
     spark = base.sparkSession
     seed_rows = (
+        # bounded: limit(kc) codebook seeds
         base.orderBy("vec_id").limit(kc).select("emb", "nrm").collect()
     )
     if not seed_rows:
@@ -802,6 +804,7 @@ def pq_topk(
     base = prepare_vectors(embeddings)
     qrow = base.filter(F.col("vec_id") == query_vec_id).select(
         "emb", "nrm"
+        # bounded: 1-row query-vector lookup
     ).collect()[0]
     dim = len(qrow.emb)
     codebooks = pq_fit(base, dim, m=m, kc=kc, iters=iters)
@@ -812,6 +815,7 @@ def pq_topk(
     qu = [x / qrow.nrm for x in qrow.emb]
     # ADC lookup table: exact subspace dot products of the query against
     # every codeword — m x kc python floats, inlined as a literal.
+    # bounded: m x kc codewords (driver-sized PQ codebook)
     cb = {(r.sub_id, r.code): r.centroid for r in codebooks.collect()}
     lut = [
         [
@@ -1098,6 +1102,7 @@ def graph_beam_search(
     base = prepare_vectors(embeddings)
     qrow = base.filter(F.col("vec_id") == query_vec_id).select(
         "emb", "nrm"
+        # bounded: 1-row query-vector lookup
     ).collect()[0]
     qe = F.array(*[F.lit(float(x)) for x in qrow.emb])
     cos = (
@@ -1229,6 +1234,7 @@ def graph_beam_search_stored(
     base = prepare_vectors(embeddings)
     qrow = base.filter(F.col("vec_id") == query_vec_id).select(
         "emb", "nrm"
+        # bounded: 1-row query-vector lookup
     ).collect()[0]
     qe = F.array(*[F.lit(float(x)) for x in qrow.emb])
     cos = (
@@ -1255,6 +1261,7 @@ def graph_beam_search_stored(
             )
             .limit(beam)
             .select("vec_id")
+            # bounded: limit(beam) frontier ids per hop
             .collect()
         ]
         new_ids = (

@@ -238,6 +238,7 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 12) -> Da
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
             .limit(1)
+            # bounded: limit(1) — the single best merge pair per round
             .collect()
         )
         if not pairs:

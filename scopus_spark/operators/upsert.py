@@ -96,6 +96,7 @@ def upsert_partitioned(
         # delete-wins: strip deleted keys out of the delta so the union
         # below cannot re-insert them (see docstring).
         delta = delta.join(deletes.select(*key_cols), key_cols, "left_anti")
+    # bounded: distinct touched partition values of the delta, not rows
     touched = [r[0] for r in touched_src.distinct().collect()]
     if not touched:
         return

@@ -75,7 +75,8 @@ class StreamRig:
         collected: list = []
 
         def collect_sink(batch_df: DataFrame, _batch_id: int) -> None:
-            # TEST-TIER ONLY: pulls every micro-batch to the driver so
+            # TEST-TIER ONLY (bounded: the test's tiny stream): pulls
+            # every micro-batch to the driver so
             # the UNIT tier can assert on rows. A declared key must
             # never route through this — production sinks are the
             # distributed writers in streaming/sinks.py (i14/i15 commit

@@ -100,8 +100,45 @@ INFO = (
 )
 
 
+def collect_discipline() -> list[str]:
+    """Grep-enforced collect() contract (VERDICT r9 item 10): every
+    driver-side .collect() in ENGINE source (operators/, streaming/,
+    sql_dml, etl — not the test-scale query bodies) must state its
+    bound in a comment within the 6 preceding lines (tokens: 'bounded',
+    '1-row', 'one row', or an 'O(...)' cost). An unannotated collect is
+    how corpus-scale driver pulls sneak in."""
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    token = re.compile(r"bounded|1-row|one row|O\(", re.I)
+    files = [
+        f
+        for r in ("scopus_spark/operators", "scopus_spark/streaming")
+        for f in glob.glob(os.path.join(repo, r, "*.py"))
+    ] + [
+        os.path.join(repo, "scopus_spark", "sql_dml.py"),
+        os.path.join(repo, "scopus_spark", "etl.py"),
+    ]
+    bad = []
+    for path in files:
+        if not os.path.isfile(path):
+            continue
+        with open(path) as fh:
+            lines = fh.readlines()
+        for i, ln in enumerate(lines):
+            if ".collect()" in ln and not token.search(
+                "".join(lines[max(0, i - 6) : i + 1])
+            ):
+                bad.append(f"{os.path.relpath(path, repo)}:{i + 1}")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    unbounded = collect_discipline()
+    for site in unbounded:
+        print(f"VIOLATION collect-without-bound-comment: {site}")
 
     from scopus_spark._vendor import ensure_protobuf
 
@@ -155,6 +192,16 @@ def main() -> int:
     for key, nex, flags in rows:
         out.append(f"| {key} | {nex} | {flags} |")
     out.append("")
+    if unbounded:
+        out.append("## COLLECT-DISCIPLINE VIOLATIONS")
+        out.append("Driver-side .collect() without a stated bound comment:")
+        for site in unbounded:
+            out.append(f"- `{site}`")
+        out.append("")
+    else:
+        out.append("Collect discipline: every engine-source .collect() "
+                   "states its bound in a nearby comment.")
+        out.append("")
     if violations:
         out.append("## VIOLATIONS")
         for key, pat in violations:
@@ -171,7 +218,7 @@ def main() -> int:
     print(f"wrote {dest}: {len(rows)} keys, {len(violations)} violations")
     for key, pat in violations:
         print(f"VIOLATION {key}: {pat}")
-    return 1 if violations else 0
+    return 1 if (violations or unbounded) else 0
 
 
 if __name__ == "__main__":
