@@ -464,6 +464,30 @@ def ann_topk(
     )
 
 
+def fit_centroids(
+    base: DataFrame,
+    n_cells: int,
+    n_rows_est: int,
+    sample_per_cell: int = 64,
+    iters: int = 2,
+) -> DataFrame:
+    """Centroid fit on a DETERMINISTIC hash-sample of ~sample_per_cell
+    rows per cell: Lloyd cost drops from O(n·c·iters) to
+    O(c·sample·iters) — constant per cell, LINEAR overall when
+    c ~ sqrt(n) — and callers' exactness never depends on centroid
+    quality (assignment and the pair/probe bounds are exact for ANY
+    centroids), so sampling is purely a fit-cost cap. The r10 scale
+    audit caught full-corpus Lloyd at 126 s of j43's sf1 runtime."""
+    target = max(n_cells * sample_per_cell, n_cells + 1)
+    k = max(1, n_rows_est // target)
+    sample = (
+        base.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(k)) == 0)
+        if k > 1
+        else base
+    )
+    return _refine_centroids(sample, n_cells, iters)
+
+
 def threshold_pair_join(
     assigned: DataFrame,
     cents: DataFrame,
@@ -487,11 +511,27 @@ def threshold_pair_join(
 
     100 TB shape: the cell-pair bound is evaluated on the n_cells^2
     centroid table (tiny, broadcast nested-loop by design); corpus-scale
-    movement is ONE equi-join keyed on cell_id per side (bounded key
-    space, AQE skew-split). With clustered data — the only regime where
-    near-dups exist — delta is small and the surviving pair list
-    collapses toward the diagonal, so candidate volume ~ sum of
-    same-neighborhood cell sizes, never all-pairs.
+    movement is ONE equi-join keyed on (cell_id, band) per side (bounded
+    key space, AQE skew-split). With clustered data delta is small and
+    the surviving cell-pair list collapses toward the diagonal; on
+    ISOTROPIC high-dim corpora — where cell geometry is blind (every
+    member sits ~90° from its centroid, slack ~ sqrt(2), every cell
+    pair admitted; the r10 scale audit measured 804M candidate cosines
+    at 40k vectors) — two further EXACT per-pair tiers prune:
+
+    - RANDOM-PROJECTION GRID KEY: for any direction p,
+      |p·(x̂ - ŷ)| <= ||p||·chord(x̂, ŷ) <= ||p||·delta for a
+      qualifying pair, so the band index floor((p·x̂)/(||p||·delta))
+      of the two members differs by AT MOST 1 per projection. Five
+      projections form a grid key; the join is an EQUI join on it with
+      a constant 3^5-combo probe on one (slim) side, so candidate
+      volume divides by the number of occupied grid cells with zero
+      false negatives. (A dense near-dup cluster lands in one grid
+      cell, so the grid subsumes the IVF-cell equi key for
+      enumeration.)
+    - GUARD PROJECTIONS: four further |Δ(p·x̂)| <= ||p||·delta scalar
+      checks kill most surviving non-pairs before the full d-dim
+      cosine.
 
     ``assigned`` / ``cents`` are assign_cells/_refine_centroids output.
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
@@ -511,37 +551,123 @@ def threshold_pair_join(
         F.col("ca.cnrm") * F.col("cb.cnrm")
     )
     cent_chord = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * cent_cos))
-    cell_pairs = (
-        ca.join(
-            F.broadcast(cb),
-            (F.col("ca.cell_id") <= F.col("cb.cell_id"))
-            & (cent_chord <= F.col("ca.slack") + F.col("cb.slack") + F.lit(delta)),
+    # the centroid-pair bound remains the scale ARGUMENT for clustered
+    # data (pinned by test_cell_pair_pruning_bites_on_clustered_data);
+    # pair ENUMERATION below is keyed on the projection grid, which
+    # subsumes it: a dense cluster lands in one grid cell either way,
+    # and the grid keeps pruning where cells are geometrically blind.
+    _ = (ca, cb, cent_chord)  # documented-only: see docstring
+
+    from functools import reduce as _reduce
+    from itertools import product as _product
+
+    n_key, n_guard = 5, 4
+
+    # deterministic pseudo-random projection directions (GLSL-hash
+    # coefficients — engine-side only; exactness never depends on them)
+    def _pco(i, seed):
+        return (
+            F.sin(
+                (i + F.lit(1)).cast("double") * F.lit(12.9898)
+                + F.lit(float(seed) * 78.233)
+            )
+            * F.lit(43758.5453)
+        ) % F.lit(1.0) - F.lit(0.5)
+
+    def _tproj(seed):
+        pr = F.aggregate(
+            F.transform(F.col("emb"), lambda x, i: x * _pco(i, seed)),
+            F.lit(0.0),
+            lambda s, x: s + x,
         )
-        .select(
-            F.col("ca.cell_id").alias("cell_a"),
-            F.col("cb.cell_id").alias("cell_b"),
+        pn = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col("emb"), lambda x, i: _pco(i, seed) * _pco(i, seed)
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
         )
+        return pr / (F.col("nrm") * pn)
+
+    # SLIM-PROBE / FAT-VERIFY split: candidate enumeration runs on slim
+    # rows (vec_id + band indices + guard scalars — no embedding), so
+    # the constant 3^n_key probe fanout and the grid-key shuffle move
+    # ~100-byte rows; only guard SURVIVORS re-join the embedding table
+    # for the exact d-dim cosine. n_key=5 spreads the key space ~8^5
+    # ways, so the Gaussian pile-up of projections near 0 cannot
+    # concentrate enumeration on a few straggler tasks.
+    slim = assigned.select(
+        "vec_id",
+        *[
+            F.floor(_tproj(j) / F.lit(delta)).cast("long").alias(f"_gb{j}")
+            for j in range(n_key)
+        ],
+        *[_tproj(n_key + j).alias(f"_gt{j}") for j in range(n_guard)],
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    # cell_a == cell_b would otherwise emit both (x,y) and (y,x): the id
-    # order constraint keeps exactly one; across distinct cells the pair
-    # appears once by construction and least/greatest orders the output.
-    same_cell_once = F.when(
-        F.col("cell_a") == F.col("cell_b"),
-        F.col("a.vec_id") < F.col("b.vec_id"),
-    ).otherwise(F.lit(True))
+    b = slim.alias("b")
+    # per qualifying pair the band indices differ by at most 1 PER
+    # PROJECTION, so probing all 3^n_key adjacent grid cells on one
+    # side makes the enumeration an EQUI join with zero false negatives
+    probes = F.array(
+        *[
+            F.struct(
+                *[
+                    (F.col(f"_gb{j}") + F.lit(d[j])).alias(f"b{j}")
+                    for j in range(n_key)
+                ]
+            )
+            for d in _product((-1, 0, 1), repeat=n_key)
+        ]
+    )
+    a_exp = (
+        slim.withColumn("_pb", F.explode(probes))
+        .select(
+            "vec_id",
+            *[F.col(f"_gt{j}") for j in range(n_guard)],
+            *[
+                F.col("_pb")[f"b{j}"].alias(f"_pb{j}")
+                for j in range(n_key)
+            ],
+        )
+        .alias("a")
+    )
+    key_cond = _reduce(
+        lambda x, y: x & y,
+        [F.col(f"b._gb{j}") == F.col(f"_pb{j}") for j in range(n_key)],
+    )
+    # guard projections: scalar |Δt| <= delta checks that kill most
+    # surviving non-pairs BEFORE any embedding is touched
+    guard_cond = _reduce(
+        lambda x, y: x & y,
+        [
+            F.abs(F.col(f"a._gt{j}") - F.col(f"b._gt{j}")) <= F.lit(delta)
+            for j in range(n_guard)
+        ],
+    )
+    cand = a_exp.join(
+        b,
+        key_cond
+        # each unordered pair appears once: both orders satisfy the
+        # grid adjacency, the id constraint keeps (min, max)
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & guard_cond,
+    ).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+    )
+    fat = assigned.select("vec_id", "emb", "nrm")
+    va, vb = fat.alias("va"), fat.alias("vb")
     pair_cos = F.round(
-        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        _dot(F.col("va.emb"), F.col("vb.emb"))
+        / (F.col("va.nrm") * F.col("vb.nrm")),
+        6,
     )
     return (
-        a.join(F.broadcast(cell_pairs), F.col("a.cell_id") == F.col("cell_a"))
-        .join(b, (F.col("b.cell_id") == F.col("cell_b")) & same_cell_once)
+        cand.join(va, F.col("vec_a") == F.col("va.vec_id"))
+        .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
         .filter(pair_cos >= F.lit(tau))
-        .select(
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
-            pair_cos.alias("cos_sim"),
-        )
+        .select("vec_a", "vec_b", pair_cos.alias("cos_sim"))
     )
 
 

@@ -1657,8 +1657,12 @@ def j37_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     base = similarity.prepare_vectors(orig.unionByName(pert))
-    n_cells = similarity.auto_n_cells(2 * row_count_estimate(sf_dir, "embeddings"))
-    cents = similarity._refine_centroids(base, n_cells).persist()
+    n_est = 2 * row_count_estimate(sf_dir, "embeddings")
+    n_cells = similarity.auto_n_cells(n_est)
+    # sampled Lloyd fit: centroid quality only tunes pruning, exactness
+    # never depends on it — full-corpus k-means was 13% of j43's sf1
+    # runtime in the r10 scale audit
+    cents = similarity.fit_centroids(base, n_cells, n_est).persist()
     assigned = similarity.assign_cells(base, cents)
     return similarity.threshold_pair_join(assigned, cents, tau=0.99)
 
@@ -2127,8 +2131,12 @@ def j43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = orig.unionByName(pert)
     base = similarity.prepare_vectors(corpus)
-    n_cells = similarity.auto_n_cells(2 * row_count_estimate(sf_dir, "embeddings"))
-    cents = similarity._refine_centroids(base, n_cells).persist()
+    n_est = 2 * row_count_estimate(sf_dir, "embeddings")
+    n_cells = similarity.auto_n_cells(n_est)
+    # sampled Lloyd fit: centroid quality only tunes pruning, exactness
+    # never depends on it — full-corpus k-means was 13% of j43's sf1
+    # runtime in the r10 scale audit
+    cents = similarity.fit_centroids(base, n_cells, n_est).persist()
     assigned = similarity.assign_cells(base, cents)
     pairs = similarity.threshold_pair_join(assigned, cents, tau=0.99)
 
