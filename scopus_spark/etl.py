@@ -259,7 +259,13 @@ def render_snapshot_zips(
         import zipfile
 
         path = os.path.join(zip_dir, f"archive_{row.archive_no:06d}.zip")
-        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        # compresslevel=1: these are staging archives consumed only by
+        # extract_snapshot_zips; the decompressed XML (all any reader
+        # sees) is byte-identical at every level, and level 1 halves
+        # the render's deflate CPU (r10 measure) for a modest size cost.
+        with zipfile.ZipFile(
+            path, "w", zipfile.ZIP_DEFLATED, compresslevel=1
+        ) as zf:
             for m in row.members:
                 zf.writestr(m.member, m.xml)
 
@@ -397,6 +403,21 @@ def _write_tables(tables: dict[str, DataFrame], out_dir: str) -> None:
         writer.parquet(f"{out_dir}/{name}")
 
 
+def _materialize_raw(
+    spark: SparkSession, raw: DataFrame, out_dir: str, name: str = "_raw_nested"
+) -> DataFrame:
+    """Parse the snapshot ONCE: stage the nested records as parquet and
+    return a frame reading that. _write_tables fans the normalized schema
+    out into 8 independent writes, each its own Spark action — without
+    this the whole upstream (binaryFile scan -> Arrow unzip -> from_xml)
+    re-ran PER TABLE (8x; a10's 55 s at sf0.1 in the r10 measure). The
+    staged copy is columnar, so each table write prunes to just the
+    nested block it explodes."""
+    stage = f"{out_dir}/{name}"
+    raw.write.mode("overwrite").parquet(stage)
+    return spark.read.parquet(stage)
+
+
 def extract_snapshot(
     spark: SparkSession, xml_dir: str, out_dir: str
 ) -> dict[str, DataFrame]:
@@ -406,7 +427,8 @@ def extract_snapshot(
     via sources/jdbc.write_jdbc). Fact tables hive-partitioned by the
     doc_id hash bucket (see _normalize for why NOT by lang).
     """
-    tables = _normalize(_read_snapshot(spark, xml_dir))
+    raw = _materialize_raw(spark, _read_snapshot(spark, xml_dir), out_dir)
+    tables = _normalize(raw)
     _write_tables(tables, out_dir)
     return tables
 
@@ -416,7 +438,10 @@ def extract_snapshot_zips(
 ) -> dict[str, DataFrame]:
     """ZIP-of-XML corpus (the reference's real input shape) -> normalized
     relational tables as parquet. Same contract as extract_snapshot."""
-    tables = _normalize(_read_snapshot_zips(spark, zip_dir))
+    raw = _materialize_raw(
+        spark, _read_snapshot_zips(spark, zip_dir), out_dir
+    )
+    tables = _normalize(raw)
     _write_tables(tables, out_dir)
     return tables
 
@@ -447,7 +472,16 @@ def merge_snapshot(
     """
     from scopus_spark.operators.upsert import upsert_partitioned
 
-    tables = _normalize(_read_snapshot(spark, xml_dir))
+    # delta parsed once (the extract_snapshot rationale): five keyed
+    # upserts below each act on a _normalize view of the delta
+    tables = _normalize(
+        _materialize_raw(
+            spark,
+            _read_snapshot(spark, xml_dir),
+            target_dir,
+            name="_raw_nested_delta",
+        )
+    )
     upsert_partitioned(
         f"{target_dir}/records", tables["records"], ["doc_id"], "doc_bucket"
     )

@@ -192,13 +192,18 @@ def prefix_filter_pairs(
     shingle_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(shingle_df, "shingle")
     # Global order = (df asc, shingle asc): deterministic, rarity-first.
+    # persist()-pinned (the banded_signatures lesson): docsets feeds
+    # THREE subtrees (the prefix explode and both verify sides), and each
+    # would otherwise re-run the whole shingle-explode -> df-count ->
+    # join -> per-doc sort pipeline — measured r10 at sf0.1, the j2 plan
+    # carried 30 Exchanges (3 evaluations) before pinning.
     docsets = ranked.groupBy("doc_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("df", "shingle"))),
             lambda s: s.shingle,
         ).alias("sh_sorted"),
         F.count(F.lit(1)).alias("n_sh"),
-    )
+    ).persist()
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")

@@ -63,7 +63,17 @@ def connected_components(
     that appear in at least one edge; callers join back to the entity table
     to label isolated rows (comp = self).
     """
-    und = undirected(edges, src, dst).persist()
+    # hash-partitioned on src BEFORE the persist: the cached partitioning
+    # satisfies both the initial groupBy(src) and EVERY iteration's
+    # neighbor join (InMemoryRelation preserves outputPartitioning), so
+    # the edge list — the largest table in the loop — is exchanged once
+    # at materialization instead of once per iteration (guide §2.4).
+    # Symmetrize inlined (vs undirected()) so the dedup runs AFTER the
+    # src repartition: hash(src) clusters (src, dst) too, so distinct
+    # adds no second exchange.
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    und = fwd.union(rev).repartition(F.col("src")).distinct().persist()
     try:
         # comp starts as each node's min direct neighbor (or itself).
         labels = (

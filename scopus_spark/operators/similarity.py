@@ -304,6 +304,22 @@ def exact_topk_join(
 
     Returns (vec_id, nn_id, rank, cos_sim, label_match).
     """
+    # r10: pin the assignment inputs with a LAZY persist() — but ONLY in
+    # the two-sided (q != c) shape: there the corpus side is typically a
+    # stored-index union consumed by the slack aggregate + both candidate
+    # joins, and sharing one evaluation measured j28 28.3->15.8 s and
+    # j31 15.5->11.3 s at sf0.1. In the self-join shape (exact_1nn,
+    # q is c) the assignment is one narrow map-side subtree whose
+    # re-evaluation is CHEAPER than the cache round-trips — persisting
+    # it measured j4 51->74 s — so it stays unpinned there. persist(),
+    # NOT localCheckpoint: plan construction must stay job-free (the
+    # j31 zero-jobs pin — AQE materializes stages when a shuffling plan
+    # is turned into an RDD), and a checkpointed branch inside the
+    # final union trips Catalyst's union-constraint rewrite.
+    two_sided = q_assigned is not c_assigned
+    if two_sided:
+        c_assigned = c_assigned.persist()
+        q_assigned = q_assigned.persist()
     assigned = c_assigned
     # per-cell radius in unit-sphere chord distance: ||p_hat - c_hat|| =
     # sqrt(2 - 2 cos(p, c)); greatest() guards FP dips below zero.
@@ -327,6 +343,9 @@ def exact_topk_join(
     pair_cos = F.round(
         _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
+    # phase-1 pairs feed the pruning threshold AND the final union;
+    # persist()-pinned in the two-sided shape only (same measurement as
+    # above: a win for the stored-index keys, a net cost for exact_1nn)
     own_pairs = a.join(b, own_cond).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("a.label").alias("label_a"),
@@ -334,6 +353,8 @@ def exact_topk_join(
         F.col("b.label").alias("label_b"),
         pair_cos.alias("cos_sim"),
     )
+    if two_sided:
+        own_pairs = own_pairs.persist()
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(
@@ -537,6 +558,14 @@ def threshold_pair_join(
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
     """
     delta = math.sqrt(max(0.0, 2.0 - 2.0 * (tau - eps)))
+    # pin the assignment (the nn_descent lesson): `assigned` feeds FIVE
+    # subtrees below (slack, both slim join sides, both fat verify
+    # sides), and its lineage holds prepare_vectors + the interpreted
+    # per-vector centroid transform — measured r10 at sf0.1, the j37
+    # plan carried 88 Exchanges / 21 SortMergeJoins (≈5 evaluations of
+    # the assignment pipeline) before pinning. persist() (lazy), not
+    # localCheckpoint: keeps plan construction job-free under AQE.
+    assigned = assigned.persist()
     slack = assigned.groupBy("cell_id").agg(
         F.max(
             F.sqrt(
@@ -598,6 +627,8 @@ def threshold_pair_join(
     # for the exact d-dim cosine. n_key=5 spreads the key space ~8^5
     # ways, so the Gaussian pile-up of projections near 0 cannot
     # concentrate enumeration on a few straggler tasks.
+    # persist()-pinned: slim feeds both sides of the grid-key join, and
+    # its 9 interpreted projection aggregates per row would re-run per side
     slim = assigned.select(
         "vec_id",
         *[
@@ -605,7 +636,7 @@ def threshold_pair_join(
             for j in range(n_key)
         ],
         *[_tproj(n_key + j).alias(f"_gt{j}") for j in range(n_guard)],
-    )
+    ).persist()
     b = slim.alias("b")
     # per qualifying pair the band indices differ by at most 1 PER
     # PROJECTION, so probing all 3^n_key adjacent grid cells on one
@@ -1086,6 +1117,15 @@ def nn_descent(
             .select("v", "u", "cos_sim")
         )
 
+    # scale-adaptive scoring-join strategy: below ~100k vectors the
+    # (id, emb, nrm) table is at most a few tens of MB framed (64-dim
+    # doubles), so broadcasting it keeps the O(n·k²) candidate stream
+    # map-side for BOTH attach joins — 2 fewer corpus-candidate
+    # shuffles per round. Above that, fall back to shuffle equi-joins
+    # (the 100 TB shape; AQE skew-splits them). n_rows is exact here —
+    # the caller passes it or we counted it above.
+    bcast_vecs = n_rows <= 100_000
+
     def _score(cand: DataFrame) -> DataFrame:
         e1 = vecs.select(
             F.col("vec_id").alias("v"),
@@ -1097,6 +1137,8 @@ def nn_descent(
             F.col("emb").alias("emb_u"),
             F.col("nrm").alias("nrm_u"),
         )
+        if bcast_vecs:
+            e1, e2 = F.broadcast(e1), F.broadcast(e2)
         cos = F.round(
             _dot(F.col("emb_v"), F.col("emb_u"))
             / (F.col("nrm_v") * F.col("nrm_u")),

