@@ -415,13 +415,15 @@ def containment_pairs(
     )
     shingle_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(shingle_df, "shingle")
+    # persist()-pinned (the prefix_filter_pairs rationale): docsets feeds
+    # FOUR subtrees here (prefix, postings, both verify sides)
     docsets = ranked.groupBy("doc_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("df", "shingle"))),
             lambda s: s.shingle,
         ).alias("sh_sorted"),
         F.count(F.lit(1)).alias("n_sh"),
-    )
+    ).persist()
     # src prefix: the first |A| - ceil(t*|A|) + 1 rarity-sorted shingles.
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1

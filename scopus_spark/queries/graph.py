@@ -583,6 +583,10 @@ def j29_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each cnt() is a 1-row aggregate — broadcast makes the plan shape
     # explicit (BroadcastNestedLoopJoin, assertable) instead of leaving
     # Spark to infer it.
+    # NOTE r10: measured both a persist() of this 1-row frame and slim
+    # persists of the s1/s3 chain — neither beat the original shape
+    # (the broadcast count branches are already deduped by
+    # ReuseExchange across the union branches), so it stays unpinned.
     n = (
         cnt(d, "n0")
         .crossJoin(F.broadcast(cnt(s1, "n1")))
