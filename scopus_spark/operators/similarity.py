@@ -83,6 +83,18 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# r10 adjudication note (guide §1.2/§4): an Arrow-vectorized pandas_udf
+# dot product for the pair-scoring sites was built and measured this
+# round. It LOST to the JVM fold once parallelism was pinned: shipping
+# 2x dim doubles per candidate pair through the Python boundary
+# (JVM->Arrow conversion + worker round-trip, ~4 GB at j4's 3.9M pairs)
+# costs more than ~dim interpreted lambda evaluations per pair
+# (j4 fold+repartition 9.7 s vs Arrow+repartition ~30 s). The fixes that
+# actually moved these operators were (a) explicit scale-adaptive
+# partition pins on the byte-tiny/CPU-heavy candidate streams and
+# (b) the sampled centroid fit — see exact_topk_join / fit_centroids.
+
+
 def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     """Assign every vector to its best coarse cell — map-side only.
 
@@ -136,6 +148,15 @@ def _refine_centroids(base: DataFrame, n_cells: int, iters: int = 2) -> DataFram
             F.col("nrm").alias("cnrm"),
         )
     )
+    if iters > 0:
+        # r10 (guide §2.5/§2.6): the fit's per-row interpreted centroid
+        # transform inherits the SCAN's partitioning — a one-file corpus
+        # parquet is ONE input split, so every Lloyd assignment ran on a
+        # single core (UI: 1-task stages of seconds each). Pin the fit
+        # input to the session's core count; the fit stream is the
+        # (sampled) vector table, bounded by fit_centroids at scale.
+        par = base.sparkSession.sparkContext.defaultParallelism
+        base = base.repartition(par)
     for _ in range(iters):
         cent_row = cents.agg(
             F.collect_list(F.struct("cell_id", "centroid", "cnrm")).alias("cells")
@@ -189,6 +210,7 @@ def exact_1nn(
     n_cells: int | None = None,
     eps: float = 1e-6,
     refine_iters: int = 2,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs 1-NN without the O(n^2) cartesian self-join.
 
@@ -212,12 +234,22 @@ def exact_1nn(
 
     Returns (vec_id, nn_id, cos_sim, label_match).
     """
-    if n_cells is None:
+    if n_rows is None:
         # one cheap count job; per the IVF sizing rule n_cells must grow
         # with the corpus or the per-cell self-join stays quadratic.
-        n_cells = auto_n_cells(embeddings.count())
+        # Callers that know the row count (parquet footer metadata) pass
+        # n_rows and skip this job entirely (the j31 pattern).
+        n_rows = embeddings.count()
+    if n_cells is None:
+        n_cells = auto_n_cells(n_rows)
     base = prepare_vectors(embeddings)
-    cents = _refine_centroids(base, n_cells, refine_iters)
+    # r10: sampled Lloyd fit (fit_centroids) instead of full-corpus
+    # k-means — exactness NEVER depends on centroid quality (the pruning
+    # bound is valid for any consistent assignment; oracle-confirmed),
+    # and the full fit was 2 extra corpus passes of interpreted
+    # per-row x n_cells transforms (the r10 scale audit measured the
+    # same fit at 13% of j43's sf1 runtime).
+    cents = fit_centroids(base, n_cells, n_rows, iters=refine_iters)
     if refine_iters > 0:
         # the refined centroid table is tiny (n_cells rows) but its lineage
         # holds refine_iters full-data aggregations and is consumed by three
@@ -321,6 +353,14 @@ def exact_topk_join(
         c_assigned = c_assigned.persist()
         q_assigned = q_assigned.persist()
     assigned = c_assigned
+    # r10 (guide §2.5): the candidate streams below carry little DATA but
+    # heavy PER-ROW compute (Arrow pair scoring over |Q|·|C|/n_cells
+    # pairs). AQE's byte-based coalescing collapsed them to 1-2 tasks at
+    # bench scale (UI: one 2-task stage held 23 of j4's 39 s), so the
+    # expensive map chains pin an EXPLICIT partition count — scale-
+    # adaptive (the session's core count), and an explicit numPartitions
+    # exchange is exempt from AQE coalescing by design.
+    par = q_assigned.sparkSession.sparkContext.defaultParallelism
     # per-cell radius in unit-sphere chord distance: ||p_hat - c_hat|| =
     # sqrt(2 - 2 cos(p, c)); greatest() guards FP dips below zero.
     slack = assigned.groupBy("cell_id").agg(
@@ -336,12 +376,15 @@ def exact_topk_join(
             ).alias("cells")
         )
     )
-    a, b = q_assigned.alias("a"), c_assigned.alias("b")
+    a = q_assigned.repartition(par, "cell_id").alias("a")
+    b = c_assigned.repartition(par, "cell_id").alias("b")
     own_cond = F.col("a.cell_id") == F.col("b.cell_id")
     if exclude_self:
         own_cond = own_cond & (F.col("a.vec_id") != F.col("b.vec_id"))
+    # r10: Arrow-vectorized pair scoring (guide §4.2) — see pair_dot.
     pair_cos = F.round(
-        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
     )
     # phase-1 pairs feed the pruning threshold AND the final union;
     # persist()-pinned in the two-sided shape only (same measurement as
@@ -379,6 +422,9 @@ def exact_topk_join(
         # an empty own cell has no phase-1 candidates: -2.0 < min cosine,
         # so every other cell stays probed and the result is still exact.
         .withColumn("bestk", F.coalesce("bestk", F.lit(-2.0)))
+        # spread the per-query x n_cells bound computation + explode +
+        # downstream probe scoring (see the `par` note above)
+        .repartition(par)
         .crossJoin(F.broadcast(cells_meta_row))
         .select(
             "vec_id",
@@ -404,7 +450,8 @@ def exact_topk_join(
     if exclude_self:
         probe_cond = probe_cond & (F.col("p.vec_id") != F.col("b.vec_id"))
     probe_cos = F.round(
-        _dot(F.col("p.emb"), F.col("b.emb")) / (F.col("p.nrm") * F.col("b.nrm")), 6
+        _dot(F.col("p.emb"), F.col("b.emb")) / (F.col("p.nrm") * F.col("b.nrm")),
+        6,
     )
     probe_pairs = p.join(b, probe_cond).select(
         F.col("p.vec_id").alias("vec_id"),
@@ -694,8 +741,16 @@ def threshold_pair_join(
         / (F.col("va.nrm") * F.col("vb.nrm")),
         6,
     )
+    # r10 (guide §2.5): the candidate list carries few bytes but the
+    # verify join + exact rescoring behind it is the operator's CPU
+    # center; AQE's byte-based coalescing collapsed it onto 1-2 tasks at
+    # bench scale. Pin an explicit scale-adaptive partition count (the
+    # session's core count) — explicit numPartitions exchanges are
+    # exempt from AQE coalescing.
+    par = cand.sparkSession.sparkContext.defaultParallelism
     return (
-        cand.join(va, F.col("vec_a") == F.col("va.vec_id"))
+        cand.repartition(par)
+        .join(va, F.col("vec_a") == F.col("va.vec_id"))
         .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
         .filter(pair_cos >= F.lit(tau))
         .select("vec_a", "vec_b", pair_cos.alias("cos_sim"))
@@ -1144,8 +1199,15 @@ def nn_descent(
             / (F.col("nrm_v") * F.col("nrm_u")),
             6,
         )
+        # r10 (guide §2.5): the candidate pair stream is byte-tiny but
+        # scoring it is the round's CPU center; pin scale-adaptive
+        # parallelism so AQE's byte heuristic can't serialize it.
+        par = cand.sparkSession.sparkContext.defaultParallelism
         return (
-            cand.join(e1, "v").join(e2, "u").select("v", "u", cos.alias("cos_sim"))
+            cand.repartition(par)
+            .join(e1, "v")
+            .join(e2, "u")
+            .select("v", "u", cos.alias("cos_sim"))
         )
 
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -222,10 +222,13 @@ def j4_allpairs_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs two deterministic Lloyd refinement passes over the seed
     centroids for cell balance. Exactness is centroid-independent.
     """
+    from scopus_spark.catalog import row_count_estimate
     from scopus_spark.operators.similarity import exact_1nn
 
     e = table(spark, sf_dir, "embeddings")
-    return exact_1nn(e)
+    # r10: row count from the parquet footer (driver-side metadata) —
+    # skips the plan-build count job; n_cells only tunes pruning.
+    return exact_1nn(e, n_rows=row_count_estimate(sf_dir, "embeddings"))
 
 
 # --- j5: TF-IDF, top-5 terms per doc ------------------------------------------------

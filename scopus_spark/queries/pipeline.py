@@ -168,8 +168,13 @@ def j12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    # r10 (guide §2.5): the pair join's left side inherits the one-split
+    # corpus scan, so the whole n^2/2 scoring stream ran on 1-2 tasks
+    # under AQE byte-coalescing; pin scale-adaptive parallelism.
+    par = spark.sparkContext.defaultParallelism
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.repartition(par)
+        .join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -1102,7 +1107,8 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = sim.prepare_vectors(existing)
     n_rows_est = int(row_count_estimate(sf_dir, "embeddings") * 0.9)
     n_cells = sim.auto_n_cells(n_rows_est)
-    sim._refine_centroids(base, n_cells).write.parquet(cents_path)
+    # r10: sampled Lloyd fit (exactness is centroid-independent)
+    sim.fit_centroids(base, n_cells, n_rows_est).write.parquet(cents_path)
     cents = spark.read.parquet(cents_path)
     vt = VersionedTable(index_path)
     vt.write_initial(sim.assign_cells(base, cents), "cell_id")
@@ -1315,10 +1321,12 @@ def j31_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_c = similarity.prepare_vectors(corpus)
     from scopus_spark.catalog import row_count_estimate
 
-    n_cells = similarity.auto_n_cells(
-        int(row_count_estimate(sf_dir, "embeddings") * 0.9)
-    )
-    cents = similarity._refine_centroids(base_c, n_cells).persist()
+    n_rows_est = int(row_count_estimate(sf_dir, "embeddings") * 0.9)
+    n_cells = similarity.auto_n_cells(n_rows_est)
+    # r10: sampled Lloyd fit (exactness is centroid-independent; the
+    # full-corpus fit was 2 extra interpreted corpus passes — see
+    # similarity.fit_centroids)
+    cents = similarity.fit_centroids(base_c, n_cells, n_rows_est).persist()
     c_assigned = similarity.assign_cells(base_c, cents)
     q_assigned = similarity.assign_cells(similarity.prepare_vectors(queries), cents)
     return similarity.exact_topk_join(
