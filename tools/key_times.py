@@ -45,14 +45,25 @@ def main() -> None:
     if missing:
         raise SystemExit(f"unknown keys {missing}")
 
+    def _cpu_snap() -> list[int]:
+        with open("/proc/stat") as fh:
+            return [int(x) for x in fh.readline().split()[1:]]
+
+    def _steal_pct(before: list[int], after: list[int]) -> float:
+        d = [y - x for x, y in zip(before, after)]
+        tot = sum(d) or 1
+        return round(100.0 * d[7] / tot, 1)
+
     load_start = os.getloadavg()[0]
     # shared warm-up so the first timed key is not charged for JIT
     q["d1"](spark, a.sf_dir).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
+    steal: dict[str, float] = {}
     for k in keys:
         spark.sparkContext.setJobDescription(f"key_times:{k}")
         best = None
+        cpu0 = _cpu_snap()
         for _ in range(a.repeat):
             t0 = time.perf_counter()
             try:
@@ -67,12 +78,16 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         else:
             times[k] = round(best, 3)
-            print(f"{k}: {times[k]}s", flush=True)
+            # hypervisor CPU steal over the key's window: a nonzero value
+            # marks a co-tenant-contended (untrustworthy) measurement
+            steal[k] = _steal_pct(cpu0, _cpu_snap())
+            print(f"{k}: {times[k]}s steal={steal[k]}%", flush=True)
         spark.sparkContext.setJobDescription(None)
 
     payload = {
         "sf_dir": a.sf_dir,
         "times": times,
+        "steal_pct": steal,
         "total": round(sum(v for v in times.values() if v > 0), 2),
         "load_start": round(load_start, 2),
         "load_end": round(os.getloadavg()[0], 2),
