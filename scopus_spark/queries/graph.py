@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from scopus_spark.catalog import table
+from scopus_spark.catalog import spread_scan, table
 from scopus_spark.operators import dedup, graph
 from scopus_spark.queries.pipeline import J9_PAIRS_SQL, J11_PAIRS_SQL, J14_QUALITY_SQL
 from scopus_spark.registry import register
@@ -59,7 +59,8 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of j9 + j11 pair signals as an (doc_a, doc_b) edge list."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _EDGE_CACHE:
-        d = table(spark, sf_dir, "documents")
+        # r10: spread_scan — both pair signals run heavy per-doc map work
+        d = spread_scan(spark, sf_dir, "documents")
         lsh = dedup.lsh_candidate_pairs(d).select("doc_a", "doc_b")
         sim = dedup.simhash_near_pairs(d).select("doc_a", "doc_b")
         _EDGE_CACHE[key] = lsh.union(sim).distinct().persist()

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from scopus_spark.catalog import table
+from scopus_spark.catalog import spread_scan, table
 from scopus_spark.queries import _fp
 from scopus_spark.registry import register
 
@@ -102,7 +102,8 @@ def j2_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from scopus_spark.operators.dedup import prefix_filter_pairs
 
-    d = table(spark, sf_dir, "documents")
+    # r10: spread_scan — shingle sort/prefix map work per doc (guide §2.5)
+    d = spread_scan(spark, sf_dir, "documents")
     return prefix_filter_pairs(d, threshold=_J2_SPARK_THRESHOLD)
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from scopus_spark.catalog import table
+from scopus_spark.catalog import spread_scan, table
 from scopus_spark.operators import dedup, multimodal, similarity
 from scopus_spark.operators.text import LANG_MARKERS, char_shingles, lang_score, tokens
 from scopus_spark.registry import register
@@ -65,7 +65,9 @@ def j9_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the band join — operators/dedup.py). Candidates feed the exact
     Jaccard verifier (j2) in the production dedup pipeline.
     """
-    return dedup.lsh_candidate_pairs(table(spark, sf_dir, "documents"))
+    # r10: spread_scan — the 12-md5-per-shingle signature map work
+    # otherwise serializes onto the one-split bench scan (guide §2.5)
+    return dedup.lsh_candidate_pairs(spread_scan(spark, sf_dir, "documents"))
 
 
 # --- j10: SimHash fingerprints ---------------------------------------------------
@@ -132,7 +134,8 @@ J11_PAIRS_SQL = _SIMHASH_ORACLE_CORE + """,
 def j11_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming<=8 SimHash pairs via 15-bit band LSH + exact bit_count
     verification (operators/dedup.py)."""
-    return dedup.simhash_near_pairs(table(spark, sf_dir, "documents"))
+    # r10: spread_scan — 60 bit-balance sums per token row (guide §2.5)
+    return dedup.simhash_near_pairs(spread_scan(spark, sf_dir, "documents"))
 
 
 # --- j12: embedding-cosine near-duplicate pairs ----------------------------------------
@@ -537,7 +540,9 @@ def j21_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle: trigram list, distinct count, and fraction are all
     array expressions on the scan (whole-stage codegen). Guarded for
     docs shorter than one trigram (empty list, fraction 0)."""
-    d = table(spark, sf_dir, "documents")
+    # r10: spread_scan — the trigram transform/distinct is an interpreted
+    # per-doc HOF chain; one-split scan would run it on a single core
+    d = spread_scan(spark, sf_dir, "documents")
     w = tokens("text")
     n = F.size(w)
     tri = F.when(
@@ -608,7 +613,8 @@ def j22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus. Gram build is guarded for short docs."""
     from scopus_spark.queries.sampling import _bucket
 
-    d = table(spark, sf_dir, "documents")
+    # r10: spread_scan — per-doc gram build + md5 chain (guide §2.5)
+    d = spread_scan(spark, sf_dir, "documents")
     w = tokens("text")
     n = F.size(w)
     k = _J22_NGRAM
@@ -846,7 +852,8 @@ def j25_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scopus_spark.operators.manifest import VersionedTable
     from scopus_spark.queries.sampling import _bucket
 
-    d = table(spark, sf_dir, "documents")
+    # r10: spread_scan — both splits run the full MinHash signature map
+    d = spread_scan(spark, sf_dir, "documents")
     bucket = _bucket(F.col("doc_id"))
     existing = d.filter(bucket < 90)
     batch = d.filter(bucket >= 90)
@@ -1205,7 +1212,8 @@ def j30_ngram_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the 5-langs-per-doc argmax frame is a per-doc window over
     a bounded fan-out. No corpus-scale shuffle besides the doc aggregate.
     """
-    d = table(spark, sf_dir, "documents")
+    # r10: spread_scan — per-doc char-trigram explode + profile scoring
+    d = spread_scan(spark, sf_dir, "documents")
     from scopus_spark.queries.sampling import _bucket
 
     # sequence(1, 0) steps DOWNWARD ([1, 0]) when text is shorter than 3
@@ -2370,7 +2378,9 @@ def j48_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds folded JVM-side from a broadcast-literal m x kc ADC table, and
     only the 64 re-rank candidates ever touch raw vectors. At 100 TB the
     codes table is what stays hot; codebooks broadcast (m*kc rows)."""
-    e = table(spark, sf_dir, "embeddings")
+    # r10: spread_scan — every Lloyd round runs an interpreted per-
+    # subvector argmin over the broadcast codebook (guide §2.5)
+    e = spread_scan(spark, sf_dir, "embeddings")
     return similarity.pq_topk(
         e, query_vec_id=0, k=10, m=8, kc=16, iters=4, rerank=64
     )
@@ -2391,7 +2401,8 @@ def _nn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NN_GRAPH_CACHE:
-        e = table(spark, sf_dir, "embeddings")
+        # r10: spread_scan — descent scoring/init fan out from this scan
+        e = spread_scan(spark, sf_dir, "embeddings")
         n = row_count_estimate(sf_dir, "embeddings")
         _NN_GRAPH_CACHE[key] = similarity.nn_descent(
             e, k=10, rounds=3, n_cells=similarity.auto_n_cells(n), n_rows=n
