@@ -226,9 +226,9 @@ def j4_allpairs_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scopus_spark.catalog import row_count_estimate
     from scopus_spark.operators.similarity import exact_1nn
 
-    e = table(spark, sf_dir, "embeddings")
-    # r10: row count from the parquet footer (driver-side metadata) —
-    # skips the plan-build count job; n_cells only tunes pruning.
+    # r10: spread_scan + footer row count — spreads the per-row
+    # assignment HOFs and skips the plan-build count job.
+    e = spread_scan(spark, sf_dir, "embeddings")
     return exact_1nn(e, n_rows=row_count_estimate(sf_dir, "embeddings"))
 
 

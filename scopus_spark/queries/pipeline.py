@@ -1087,6 +1087,10 @@ def j28_incremental_1nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scopus_spark.operators.manifest import VersionedTable
     from scopus_spark.queries.sampling import _bucket
 
+    # r10 note: spread_scan measured SLOWER here (9.0 vs 6.2 s) — the
+    # construction writes the cell-partitioned index, and a 32-way
+    # pre-spread multiplies its output files; the write shuffle already
+    # spreads the work. Left on the plain scan deliberately.
     e = table(spark, sf_dir, "embeddings")
     bucket = _bucket(F.col("vec_id"))
     existing = e.filter(bucket < 90)
@@ -1311,7 +1315,8 @@ def j31_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from scopus_spark.queries.sampling import _bucket
 
-    e = table(spark, sf_dir, "embeddings")
+    # r10: spread_scan — assignment/scoring map work off the 1-split scan
+    e = spread_scan(spark, sf_dir, "embeddings")
     b = _bucket(F.col("vec_id"))
     corpus = e.filter(b < 90)
     queries = e.filter(b >= 90)
@@ -1669,7 +1674,8 @@ def j37_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from scopus_spark.catalog import row_count_estimate
 
-    e = table(spark, sf_dir, "embeddings")
+    # r10: spread_scan — assignment + grid projections are per-row HOFs
+    e = spread_scan(spark, sf_dir, "embeddings")
     emb_d = similarity.as_double("embedding")
     orig = e.select("vec_id", "label", emb_d.alias("embedding"))
     pert = e.select(
@@ -2142,7 +2148,8 @@ def j43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scopus_spark.catalog import row_count_estimate
     from scopus_spark.operators.graph import connected_components
 
-    e = table(spark, sf_dir, "embeddings")
+    # r10: spread_scan — assignment + grid projections are per-row HOFs
+    e = spread_scan(spark, sf_dir, "embeddings")
     emb_d = similarity.as_double("embedding")
     orig = e.select("vec_id", "label", emb_d.alias("embedding"))
     pert = e.select(
