@@ -558,7 +558,7 @@ def fit_centroids(
 
 def threshold_pair_join(
     assigned: DataFrame,
-    cents: DataFrame,
+    cents: DataFrame | None,
     tau: float,
     eps: float = 1e-6,
 ) -> DataFrame:
@@ -601,38 +601,28 @@ def threshold_pair_join(
       checks kill most surviving non-pairs before the full d-dim
       cosine.
 
-    ``assigned`` / ``cents`` are assign_cells/_refine_centroids output.
+    ``assigned`` needs only (vec_id, emb, nrm) — prepare_vectors output
+    is enough; ``cents`` is accepted (and ignored) for API stability.
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
     """
     delta = math.sqrt(max(0.0, 2.0 - 2.0 * (tau - eps)))
-    # pin the assignment (the nn_descent lesson): `assigned` feeds FIVE
-    # subtrees below (slack, both slim join sides, both fat verify
-    # sides), and its lineage holds prepare_vectors + the interpreted
-    # per-vector centroid transform — measured r10 at sf0.1, the j37
-    # plan carried 88 Exchanges / 21 SortMergeJoins (≈5 evaluations of
-    # the assignment pipeline) before pinning. persist() (lazy), not
-    # localCheckpoint: keeps plan construction job-free under AQE.
-    assigned = assigned.persist()
-    slack = assigned.groupBy("cell_id").agg(
-        F.max(
-            F.sqrt(
-                F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * F.col("cos_centroid"))
-            )
-        ).alias("slack")
-    )
-    # empty cells drop out of the inner join — they can't host a pair.
-    meta = cents.join(slack, "cell_id").select("cell_id", "centroid", "cnrm", "slack")
-    ca, cb = meta.alias("ca"), meta.alias("cb")
-    cent_cos = _dot(F.col("ca.centroid"), F.col("cb.centroid")) / (
-        F.col("ca.cnrm") * F.col("cb.cnrm")
-    )
-    cent_chord = F.sqrt(F.greatest(F.lit(0.0), F.lit(2.0) - F.lit(2.0) * cent_cos))
-    # the centroid-pair bound remains the scale ARGUMENT for clustered
-    # data (pinned by test_cell_pair_pruning_bites_on_clustered_data);
-    # pair ENUMERATION below is keyed on the projection grid, which
-    # subsumes it: a dense cluster lands in one grid cell either way,
-    # and the grid keeps pruning where cells are geometrically blind.
-    _ = (ca, cb, cent_chord)  # documented-only: see docstring
+    # pin the assignment (the nn_descent lesson): `assigned` feeds FOUR
+    # subtrees below (both slim join sides, both fat verify sides) —
+    # measured r10 at sf0.1, the j37 plan carried 88 Exchanges /
+    # 21 SortMergeJoins (≈5 evaluations of the pipeline) before pinning.
+    # persist() (lazy), not localCheckpoint: keeps plan construction
+    # job-free under AQE. r10: persist ONLY (vec_id, emb, nrm) — pair
+    # enumeration is keyed on the projection grid and verify needs just
+    # the vectors, so materializing the cell_id/cos_centroid columns
+    # (the interpreted per-row x n_cells centroid transform) was pure
+    # waste here. The centroid-pair bound remains the scale ARGUMENT
+    # for clustered data (built and pinned independently by
+    # test_cell_pair_pruning_bites_on_clustered_data); the grid subsumes
+    # it for enumeration: a dense cluster lands in one grid cell either
+    # way, and the grid keeps pruning where cells are geometrically
+    # blind. ``cents`` stays in the signature for API stability.
+    _ = cents
+    assigned = assigned.select("vec_id", "emb", "nrm").persist()
 
     from functools import reduce as _reduce
     from itertools import product as _product

@@ -543,7 +543,13 @@ def j21_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r10: spread_scan — the trigram transform/distinct is an interpreted
     # per-doc HOF chain; one-split scan would run it on a single core
     d = spread_scan(spark, sf_dir, "documents")
-    w = tokens("text")
+    # r10: materialize the token array as a COLUMN first. Referencing the
+    # raw split() expression via element_at inside the transform lambda
+    # re-evaluated the full tokenization per (position, offset) — O(n^2)
+    # work per document. A non-cheap alias is not re-inlined by
+    # CollapseProject, so each row tokenizes exactly once.
+    toks = d.select("doc_id", tokens("text").alias("w"))
+    w = F.col("w")
     n = F.size(w)
     tri = F.when(
         n >= 3,
@@ -554,10 +560,11 @@ def j21_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = d.select(
+    # same rule for the trigram list: alias it, THEN take the two sizes
+    base = toks.select("doc_id", tri.alias("tri")).select(
         "doc_id",
-        F.size(tri).alias("n_trigrams"),
-        F.size(F.array_distinct(tri)).alias("n_distinct"),
+        F.size(F.col("tri")).alias("n_trigrams"),
+        F.size(F.array_distinct(F.col("tri"))).alias("n_distinct"),
     )
     frac = F.when(
         F.col("n_trigrams") == 0, F.lit(0.0)
@@ -615,7 +622,11 @@ def j22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r10: spread_scan — per-doc gram build + md5 chain (guide §2.5)
     d = spread_scan(spark, sf_dir, "documents")
-    w = tokens("text")
+    # r10: token array materialized as a column first (the j21 fix) —
+    # element_at on the raw split() expression inside the lambda
+    # re-tokenized the document per (position, offset): O(n^2) per doc.
+    toks = d.select("doc_id", tokens("text").alias("w"))
+    w = F.col("w")
     n = F.size(w)
     k = _J22_NGRAM
     grams = F.when(
@@ -632,7 +643,7 @@ def j22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.md5(s),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    with_bucket = d.select(
+    with_bucket = toks.select(
         "doc_id", _bucket(F.col("doc_id")).alias("bucket"), grams.alias("gh")
     )
     eval_grams = (
@@ -1687,14 +1698,13 @@ def j37_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     base = similarity.prepare_vectors(orig.unionByName(pert))
-    n_est = 2 * row_count_estimate(sf_dir, "embeddings")
-    n_cells = similarity.auto_n_cells(n_est)
-    # sampled Lloyd fit: centroid quality only tunes pruning, exactness
-    # never depends on it — full-corpus k-means was 13% of j43's sf1
-    # runtime in the r10 scale audit
-    cents = similarity.fit_centroids(base, n_cells, n_est).persist()
-    assigned = similarity.assign_cells(base, cents)
-    return similarity.threshold_pair_join(assigned, cents, tau=0.99)
+    # r10: no IVF fit / cell assignment at all — threshold_pair_join's
+    # enumeration is keyed on the projection grid (which subsumes the
+    # cell pairing; see the operator docstring) and its verify is the
+    # exact cosine, so the Lloyd fit + interpreted per-row assignment
+    # were computed-then-pruned work. Output is oracle-identical.
+    _ = row_count_estimate
+    return similarity.threshold_pair_join(base, None, tau=0.99)
 
 
 # --- j38: bigram language-model perplexity scoring (statistical quality filter) ------
@@ -2162,14 +2172,10 @@ def j43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = orig.unionByName(pert)
     base = similarity.prepare_vectors(corpus)
-    n_est = 2 * row_count_estimate(sf_dir, "embeddings")
-    n_cells = similarity.auto_n_cells(n_est)
-    # sampled Lloyd fit: centroid quality only tunes pruning, exactness
-    # never depends on it — full-corpus k-means was 13% of j43's sf1
-    # runtime in the r10 scale audit
-    cents = similarity.fit_centroids(base, n_cells, n_est).persist()
-    assigned = similarity.assign_cells(base, cents)
-    pairs = similarity.threshold_pair_join(assigned, cents, tau=0.99)
+    # r10: no IVF fit / cell assignment — the j37 rationale (grid-keyed
+    # enumeration + exact verify make the fit computed-then-pruned work)
+    _ = row_count_estimate
+    pairs = similarity.threshold_pair_join(base, None, tau=0.99)
 
     comp = connected_components(
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))

@@ -32,6 +32,18 @@ SQL_CONFS: dict[str, str] = {
     ),
     # AQE on: runtime coalescing + skew-join splitting (100 TB safety valve).
     "spark.sql.adaptive.enabled": "true",
+    # r10 (guide §1/§7.2): InferFiltersFromGenerate turns every
+    # explode(expr) into an inferred `size(expr)>0 AND isnotnull(expr)`
+    # filter, and predicate pushdown re-substitutes the FULL expression
+    # below the parallelizing exchange — so explode over an expensive
+    # per-row HOF chain (shingles, n-grams, trigram profiles) computed
+    # the whole chain TWICE, once serialized onto the one-split scan
+    # side (j22 plan: an 8 s single-task Filter carrying the inlined
+    # 4-gram+md5 build). The inferred filter only prunes rows explode
+    # would drop anyway; excluding the rule never changes results.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 
