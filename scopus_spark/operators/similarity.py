@@ -83,6 +83,28 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# Fixed support width for the threshold-join grid projections. 64 matches
+# the corpus contract (FIXTURES.md: embeddings are 64-dim, all rows), but
+# the math is width-agnostic — see the note inside threshold_pair_join.
+_PROJ_WIDTH = 64
+
+
+def _proj_coeffs(seed: int, width: int = _PROJ_WIDTH) -> tuple[list[float], float]:
+    """Deterministic pseudo-random projection direction (the GLSL-hash
+    recipe) computed ONCE driver-side: returns (coefficients, norm).
+    Engine-internal only — exactness of threshold_pair_join never depends
+    on the direction values (any fixed p gives a valid grid bound)."""
+    cs = [
+        math.fmod(
+            math.sin((i + 1) * 12.9898 + float(seed) * 78.233) * 43758.5453,
+            1.0,
+        )
+        - 0.5
+        for i in range(width)
+    ]
+    return cs, math.sqrt(sum(c * c for c in cs))
+
+
 # r10 adjudication note (guide §1.2/§4): an Arrow-vectorized pandas_udf
 # dot product for the pair-scoring sites was built and measured this
 # round. It LOST to the JVM fold once parallelism was pinned: shipping
@@ -627,35 +649,42 @@ def threshold_pair_join(
     from functools import reduce as _reduce
     from itertools import product as _product
 
+    # n_guard=8 was measured r10 (warm j43 24 s -> 37 s): the extra guard
+    # columns widen every probe row 243x and the join-condition work over
+    # the pre-guard pair stream outweighs the verify savings. 4 stands.
     n_key, n_guard = 5, 4
 
-    # deterministic pseudo-random projection directions (GLSL-hash
-    # coefficients — engine-side only; exactness never depends on them)
-    def _pco(i, seed):
-        return (
-            F.sin(
-                (i + F.lit(1)).cast("double") * F.lit(12.9898)
-                + F.lit(float(seed) * 78.233)
-            )
-            * F.lit(43758.5453)
-        ) % F.lit(1.0) - F.lit(0.5)
-
+    # r10 (guide §1.2 step 2, per-task work): the projections were
+    # higher-order `aggregate(transform(emb, ...sin...))` expressions —
+    # HOFs are CodegenFallback (interpreted), and the coefficient AND its
+    # norm were recomputed per ROW (64 sin() calls per projection per row,
+    # 9 projections). The directions are fixed per seed, so compute the
+    # coefficients and their norm ONCE in Python and emit a flat
+    # whole-stage-codegen'd multiply-add chain over element gets.
+    # Correctness is unaffected by the change of evaluation (and would be
+    # unaffected even by different directions): the verify tier rescored
+    # with the exact cosine is what produces output values, and the
+    # band/guard bound |p·(x̂-ŷ)| <= ||p||*delta holds for ANY fixed p.
+    # Width note: the direction has support on the first _PROJ_WIDTH
+    # components (F.get returns NULL past the end -> coalesce 0). For
+    # inputs of dim < width this zero-pads p (exact); for dim > width the
+    # bound still holds (|p·v| <= ||p||*||v|| needs no support condition)
+    # — only pruning power degrades, never correctness. Pinned by
+    # test_threshold_pairs.py brute-force equality at dim 16 and 64.
+    # Built as ONE SQL string per projection (F.expr): composing the
+    # 64-term chain Column-by-Column cost ~5000 py4j round-trips — 60+ s
+    # of pure DRIVER plan-construction latency (measured r10); the JVM
+    # parses the same tree from one string in milliseconds. CAST(repr AS
+    # DOUBLE) round-trips every coefficient bit-exactly (repr is the
+    # shortest round-tripping decimal; parse-to-decimal then cast is
+    # correctly rounded).
     def _tproj(seed):
-        pr = F.aggregate(
-            F.transform(F.col("emb"), lambda x, i: x * _pco(i, seed)),
-            F.lit(0.0),
-            lambda s, x: s + x,
+        cs, pn = _proj_coeffs(seed)
+        terms = " + ".join(
+            f"(coalesce(get(emb, {i}), 0.0D) * CAST({c!r} AS DOUBLE))"
+            for i, c in enumerate(cs)
         )
-        pn = F.sqrt(
-            F.aggregate(
-                F.transform(
-                    F.col("emb"), lambda x, i: _pco(i, seed) * _pco(i, seed)
-                ),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-        )
-        return pr / (F.col("nrm") * pn)
+        return F.expr(f"({terms})") / (F.col("nrm") * F.lit(pn))
 
     # SLIM-PROBE / FAT-VERIFY split: candidate enumeration runs on slim
     # rows (vec_id + band indices + guard scalars — no embedding), so
@@ -678,24 +707,30 @@ def threshold_pair_join(
     # per qualifying pair the band indices differ by at most 1 PER
     # PROJECTION, so probing all 3^n_key adjacent grid cells on one
     # side makes the enumeration an EQUI join with zero false negatives
-    probes = F.array(
-        *[
-            F.struct(
-                *[
-                    (F.col(f"_gb{j}") + F.lit(d[j])).alias(f"b{j}")
-                    for j in range(n_key)
-                ]
-            )
+    # The probe side explodes a row-INDEPENDENT array of 3^n_key offset
+    # structs (one F.expr — plan-construction py4j latency; built per-row
+    # as band+offset structs it was ~1500 driver round-trips AND a
+    # generated explode method too large for Janino, so the whole stage
+    # fell back to interpreted eval). Constant-folding turns this array
+    # into a single Literal; the band+offset adds run as a normal
+    # codegen'd projection after the explode.
+    offsets = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct("
+            + ", ".join(f"'d{j}', {d[j]}L" for j in range(n_key))
+            + ")"
             for d in _product((-1, 0, 1), repeat=n_key)
-        ]
+        )
+        + ")"
     )
     a_exp = (
-        slim.withColumn("_pb", F.explode(probes))
+        slim.withColumn("_pb", F.explode(offsets))
         .select(
             "vec_id",
             *[F.col(f"_gt{j}") for j in range(n_guard)],
             *[
-                F.col("_pb")[f"b{j}"].alias(f"_pb{j}")
+                (F.col(f"_gb{j}") + F.col("_pb")[f"d{j}"]).alias(f"_pb{j}")
                 for j in range(n_key)
             ],
         )
