@@ -83,6 +83,29 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str, width: int = 64) -> Column:
+    """The _dot fold with a WHOLE-STAGE-CODEGEN fast path for the
+    corpus's fixed vector width (FIXTURES.md: 64-dim, all rows).
+
+    r10 (guide §1.2 step 2): higher-order functions are CodegenFallback —
+    every pair score in the O(n·k²)/O(candidates) similarity streams ran
+    through the interpreted evaluator. The fast path is the SAME left
+    fold spelled out (0.0 + p0 + p1 + ...), so IEEE addition order and
+    NULL semantics are bit-identical to the HOF branch; rows whose arrays
+    are not exactly `width` wide take the original HOF expression via the
+    size guard (dim-generic operators stay dim-generic — pinned by the
+    operator test suites at dims 4..64). Takes column NAMES (one F.expr:
+    composing 64 terms Column-by-Column costs ~12 ms of py4j latency per
+    call — the _tproj lesson)."""
+    terms = " + ".join(f"(get({a}, {i}) * get({b}, {i}))" for i in range(width))
+    return F.expr(
+        f"CASE WHEN size({a}) = {width} AND size({b}) = {width} "
+        f"THEN 0.0D + {terms} "
+        f"ELSE aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        f"(s, x) -> s + x) END"
+    )
+
+
 # Fixed support width for the threshold-join grid projections. 64 matches
 # the corpus contract (FIXTURES.md: embeddings are 64-dim, all rows), but
 # the math is width-agnostic — see the note inside threshold_pair_join.
@@ -405,7 +428,7 @@ def exact_topk_join(
         own_cond = own_cond & (F.col("a.vec_id") != F.col("b.vec_id"))
     # r10: Arrow-vectorized pair scoring (guide §4.2) — see pair_dot.
     pair_cos = F.round(
-        _dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm")),
+        _dot_sql("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     # phase-1 pairs feed the pruning threshold AND the final union;
@@ -472,7 +495,7 @@ def exact_topk_join(
     if exclude_self:
         probe_cond = probe_cond & (F.col("p.vec_id") != F.col("b.vec_id"))
     probe_cos = F.round(
-        _dot(F.col("p.emb"), F.col("b.emb")) / (F.col("p.nrm") * F.col("b.nrm")),
+        _dot_sql("p.emb", "b.emb") / (F.col("p.nrm") * F.col("b.nrm")),
         6,
     )
     probe_pairs = p.join(b, probe_cond).select(
@@ -762,7 +785,7 @@ def threshold_pair_join(
     fat = assigned.select("vec_id", "emb", "nrm")
     va, vb = fat.alias("va"), fat.alias("vb")
     pair_cos = F.round(
-        _dot(F.col("va.emb"), F.col("vb.emb"))
+        _dot_sql("va.emb", "vb.emb")
         / (F.col("va.nrm") * F.col("vb.nrm")),
         6,
     )
@@ -1220,7 +1243,7 @@ def nn_descent(
         if bcast_vecs:
             e1, e2 = F.broadcast(e1), F.broadcast(e2)
         cos = F.round(
-            _dot(F.col("emb_v"), F.col("emb_u"))
+            _dot_sql("emb_v", "emb_u")
             / (F.col("nrm_v") * F.col("nrm_u")),
             6,
         )
