@@ -482,22 +482,27 @@ def coreness(
         deg = live.groupBy(F.col("src").alias("node_d")).agg(
             F.count(F.lit(1)).alias("deg")
         )
-        low = (
-            nodes.join(deg, nodes.node == deg.node_d, "left")
-            .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
-            .filter(F.col("deg") < k)
-            .select("node")
-        )
-        if low.limit(1).count() == 0:
-            k += 1
-            continue
         # Pin THIS round's wave once (it feeds three consumers below);
         # accumulate the per-round label frames in a Python list and
         # union them once after the loop — re-checkpointing the growing
         # union every round would re-materialize all previously assigned
         # labels each wave, O(rounds * labels) writes for no benefit
         # (each round's labels already derive from a pinned `low`).
-        low = low.localCheckpoint()
+        # r10 (guide §1.2): checkpoint BEFORE the emptiness probe — a
+        # limit(1).count() on the un-pinned frame evaluated the whole
+        # degree-aggregate + anti-join pipeline, and the checkpoint then
+        # evaluated it AGAIN; pinned first, the probe reads cached
+        # partitions for free.
+        low = (
+            nodes.join(deg, nodes.node == deg.node_d, "left")
+            .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+            .filter(F.col("deg") < k)
+            .select("node")
+            .localCheckpoint()
+        )
+        if low.limit(1).count() == 0:
+            k += 1
+            continue
         wave_labels.append(
             low.select("node", F.lit(k - 1).cast("long").alias("coreness"))
         )

@@ -104,23 +104,34 @@ def incremental_ohlc(target_path: str, new_events: DataFrame) -> None:
     """MERGE a batch of events into the materialized OHLC rollup at
     target_path, rewriting only the bucket_date partitions the batch
     touches."""
-    delta = ohlc_state(new_events)
-    vt = VersionedTable(target_path)
-    if not vt.exists():
-        vt.write_initial(delta, "bucket_date")
-        return
-    spark = new_events.sparkSession
-    # bounded: distinct touched bucket-dates of ONE batch, never the table
-    touched = [r[0] for r in delta.select("bucket_date").distinct().collect()]
-    if not touched:
-        return
-    existing = vt.read(spark, partition_values=touched)
-    merged = merge_states(existing.select(*STATE_COLS), delta)
-    vt.merge(
-        merged,
-        key_cols=["user_id", "bucket_ts"],
-        partition_col="bucket_date",
-    )
+    # r10 (guide §1.2 step 1): pin the delta state — one merge otherwise
+    # re-ran the whole upstream (events window-dedup + OHLC aggregate)
+    # once for the touched-partition collect, again inside merge()'s own
+    # touched collect, and a third time for the commit write. The state
+    # is one row per (user, bucket) of ONE batch — bounded; unpersisted
+    # before returning, so nothing outlives the merge.
+    delta = ohlc_state(new_events).persist()
+    try:
+        vt = VersionedTable(target_path)
+        if not vt.exists():
+            vt.write_initial(delta, "bucket_date")
+            return
+        spark = new_events.sparkSession
+        # bounded: distinct touched bucket-dates of ONE batch, never the table
+        touched = [
+            r[0] for r in delta.select("bucket_date").distinct().collect()
+        ]
+        if not touched:
+            return
+        existing = vt.read(spark, partition_values=touched)
+        merged = merge_states(existing.select(*STATE_COLS), delta)
+        vt.merge(
+            merged,
+            key_cols=["user_id", "bucket_ts"],
+            partition_col="bucket_date",
+        )
+    finally:
+        delta.unpersist()
 
 
 def read_rollup(spark, target_path: str) -> DataFrame:
