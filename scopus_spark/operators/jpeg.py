@@ -121,38 +121,6 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s to the byte edge
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self._acc = 0
-        self._n = 0
-
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("corrupt JPEG: entropy stream exhausted")
-            self._acc = self.data[self.pos]
-            self.pos += 1
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _receive_extend(reader: _BitReader, t: int) -> int:
-    """DC/AC magnitude decoding (T.81 RECEIVE + EXTEND)."""
-    if t == 0:
-        return 0
-    v = reader.read_bits(t)
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, appended-bits value) for DC diffs and AC coefficients."""
     t = int(abs(v)).bit_length()
@@ -162,52 +130,25 @@ def _magnitude(v: int) -> tuple[int, int]:
 # --- encoder -----------------------------------------------------------------------
 
 
-def _encode_blocks(
-    plane: np.ndarray, qtable: np.ndarray, writer: "_CompWriter"
-) -> None:
-    h, w = plane.shape
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            writer.block(plane[by : by + 8, bx : bx + 8], qtable)
-
-
-class _CompWriter:
-    """Per-component entropy writer (holds the DC predictor)."""
-
-    def __init__(self, bw: _BitWriter, dc_codes, ac_codes) -> None:
-        self.bw, self.dc, self.ac = bw, dc_codes, ac_codes
-        self.pred = 0
-
-    def block(self, block: np.ndarray, qtable: np.ndarray) -> None:
-        coeffs = _M @ (block.astype(np.float64) - 128.0) @ _M.T
-        q = np.rint(coeffs / qtable).astype(np.int64)
-        zz = q[_ZZ_ROWS, _ZZ_COLS]
-        # DC
-        t, bits = _magnitude(int(zz[0]) - self.pred)
-        self.pred = int(zz[0])
-        code, length = self.dc[t]
-        self.bw.write(code, length)
-        if t:
-            self.bw.write(bits, t)
-        # AC
-        nz = np.nonzero(zz[1:])[0]
-        prev = 0
-        for idx in nz:
-            run = int(idx) - prev
-            prev = int(idx) + 1
-            while run > 15:
-                code, length = self.ac[0xF0]  # ZRL
-                self.bw.write(code, length)
-                run -= 16
-            t, bits = _magnitude(int(zz[1 + idx]))
-            if t > 10:
-                raise ValueError("coefficient magnitude exceeds baseline range")
-            code, length = self.ac[(run << 4) | t]
-            self.bw.write(code, length)
-            self.bw.write(bits, t)
-        if prev != 63:
-            code, length = self.ac[0x00]  # EOB
-            self.bw.write(code, length)
+def _gather_blocks(
+    plane: np.ndarray, mcus_y: int, mcus_x: int, hi: int, vi: int
+) -> np.ndarray:
+    """(N, 8, 8) blocks of a padded plane in the MCU interleave order the
+    scan walks them: (my, mx, by, bx). One gather instead of N slice
+    copies — the front half of the r10 per-task vectorization (guide
+    §1.2 step 2): FDCT/quantize/zigzag then run as THREE whole-plane
+    numpy ops over the stacked blocks instead of per-block matmuls
+    (measured 5x on the j33 staging shape, byte-identical output on
+    staged AND random content)."""
+    R, C = plane.shape[0] // 8, plane.shape[1] // 8
+    b4 = plane.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)  # (R, C, 8, 8)
+    my, mx, by, bx = np.meshgrid(
+        np.arange(mcus_y), np.arange(mcus_x), np.arange(vi), np.arange(hi),
+        indexing="ij",
+    )
+    rows = (my * vi + by).ravel()
+    cols = (mx * hi + bx).ravel()
+    return b4[rows, cols]
 
 
 def _marker(tag: int, payload: bytes) -> bytes:
@@ -294,19 +235,77 @@ def encode_jpeg(
     bw = _BitWriter()
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALUES)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALUES)
-    writers = [_CompWriter(bw, dc_codes, ac_codes) for _ in planes]
-    padded = [
-        _pad_to(p, mcus_y * vi * 8, mcus_x * hi * 8)
-        for p, (hi, vi) in zip(planes, factors)
-    ]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for wtr, plane, (hi, vi) in zip(writers, padded, factors):
-                for by in range(vi):
-                    for bx in range(hi):
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        wtr.block(plane[y0 : y0 + 8, x0 : x0 + 8], qz)
+    eob_code, eob_len = ac_codes[0x00]
+    zrl_code, zrl_len = ac_codes[0xF0]
+
+    # Vectorized FDCT + quantize + zigzag per component, blocks stacked in
+    # scan interleave order; DC diffs/categories precomputed whole-plane.
+    # The entropy pass below then only walks precomputed rows — and for the
+    # staged block-constant corpus (no AC coefficients) emits DC + EOB with
+    # ~6 Python ops per block instead of two 8x8 matmuls + nonzero + slices.
+    comp_zz: list[np.ndarray] = []
+    comp_dc_t: list[np.ndarray] = []
+    comp_dc_bits: list[np.ndarray] = []
+    comp_has_ac: list[np.ndarray] = []
+    for p, (hi, vi) in zip(planes, factors):
+        padded = _pad_to(p, mcus_y * vi * 8, mcus_x * hi * 8)
+        blocks = _gather_blocks(padded, mcus_y, mcus_x, hi, vi)
+        coeffs = np.matmul(np.matmul(_M, blocks - 128.0), _M.T)
+        q = np.rint(coeffs / qz).astype(np.int64)
+        zz = q[:, _ZZ_ROWS, _ZZ_COLS]
+        dc = zz[:, 0]
+        diffs = dc - np.concatenate(([0], dc[:-1]))
+        a = np.abs(diffs)
+        # vectorized int bit_length — exact: np.log2 of an int <= 2^12 is
+        # correctly rounded, so floor(log2(2^k)) == k precisely
+        t = np.zeros(len(diffs), dtype=np.int64)
+        nz_mask = a > 0
+        t[nz_mask] = np.floor(np.log2(a[nz_mask])).astype(np.int64) + 1
+        comp_zz.append(zz)
+        comp_dc_t.append(t)
+        comp_dc_bits.append(np.where(diffs >= 0, diffs, diffs + (1 << t) - 1))
+        comp_has_ac.append((zz[:, 1:] != 0).any(axis=1))
+
+    counters = [0] * ncomp
+    write = bw.write
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(factors):
+                zz = comp_zz[ci]
+                dct = comp_dc_t[ci]
+                dcb = comp_dc_bits[ci]
+                hac = comp_has_ac[ci]
+                k = counters[ci]
+                for _ in range(hi * vi):
+                    t = int(dct[k])
+                    code, length = dc_codes[t]
+                    write(code, length)
+                    if t:
+                        write(int(dcb[k]), t)
+                    if hac[k]:
+                        row = zz[k]
+                        prev = 0
+                        for idx in np.nonzero(row[1:])[0]:
+                            run = int(idx) - prev
+                            prev = int(idx) + 1
+                            while run > 15:
+                                write(zrl_code, zrl_len)  # ZRL
+                                run -= 16
+                            tt, bits = _magnitude(int(row[1 + idx]))
+                            if tt > 10:
+                                raise ValueError(
+                                    "coefficient magnitude exceeds baseline "
+                                    "range"
+                                )
+                            code, length = ac_codes[(run << 4) | tt]
+                            write(code, length)
+                            write(bits, tt)
+                        if prev != 63:
+                            write(eob_code, eob_len)  # EOB
+                    else:
+                        write(eob_code, eob_len)  # EOB
+                    k += 1
+                counters[ci] = k
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -322,26 +321,36 @@ def _read_u16(data: bytes, pos: int) -> int:
     return (data[pos] << 8) | data[pos + 1]
 
 
-class _HuffTable:
-    def __init__(self, bits: bytes, values: bytes) -> None:
-        self.lut: dict[tuple[int, int], int] = {}
-        code, k = 0, 0
-        for length in range(1, 17):
-            for _ in range(bits[length - 1]):
-                self.lut[(length, code)] = values[k]
-                code += 1
-                k += 1
-            code <<= 1
+# Packed Huffman decode LUTs keyed on the table's (bits, values) bytes —
+# the staged corpus shares one table pair, so each Python worker builds
+# them once (r10 guide §4.5: heavyweight init once, amortized per task).
+_LUT_CACHE: dict[bytes, list[int]] = {}
 
-    def decode(self, reader: _BitReader) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | reader.read_bit()
-            length += 1
-            sym = self.lut.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+def _huff_lut(bits: bytes, values: bytes) -> list[int]:
+    """Decode LUT over a 16-bit peek: entry = (code length << 8) | symbol,
+    0 where no code of any length prefixes the pattern. Because canonical
+    codes are prefix-free, the first ``length`` bits alone determine the
+    entry — one list index replaces the bit-by-bit canonical walk with
+    identical symbol semantics. A Python list: C-array indexing beats
+    numpy scalar access ~4x in the per-symbol loop."""
+    key = bytes(bits) + b"\x00" + bytes(values)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym[lo:hi] = (length << 8) | values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    packed = sym.tolist()
+    _LUT_CACHE[key] = packed
+    return packed
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -354,7 +363,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], _HuffTable] = {}
+    htables: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     frame = None  # (h, w, [(cid, qid)])
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -394,7 +403,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = body[p + 17 : p + 17 + nvals]
                 if len(values) != nvals:
                     raise ValueError("corrupt JPEG: truncated DHT")
-                htables[(tc, th)] = _HuffTable(bits, values)
+                htables[(tc, th)] = (bits, values)
                 p += 17 + nvals
         elif tag == SOF0:
             precision, h, w, nf = body[0], _read_u16(body, 1), _read_u16(body, 3), body[5]
@@ -440,35 +449,44 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
-def _decode_scan(data, pos, frame, qtables, htables, scan_tables) -> np.ndarray:
-    h, w, comps = frame
-    # un-stuff the entropy segment (FF00 -> FF; any other marker ends it)
-    clean = bytearray()
+def _destuff(data: bytes, pos: int) -> bytes:
+    """Entropy segment from ``pos``: FF00 -> FF; any other marker ends it.
+    Walks FF positions with bytes.find instead of per-byte Python."""
+    out = bytearray()
     i = pos
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF:
-            if i + 1 >= len(data):
-                raise ValueError("corrupt JPEG: dangling FF")
-            nxt = data[i + 1]
-            if nxt == 0x00:
-                clean.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                raise ValueError("restart markers outside scope")
-            break  # next real marker (EOI) ends the scan
-        clean.append(b)
-        i += 1
-    reader = _BitReader(bytes(clean))
+    n = len(data)
+    while i < n:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            out += data[i:]
+            break
+        out += data[i:j]
+        if j + 1 >= n:
+            raise ValueError("corrupt JPEG: dangling FF")
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            out.append(0xFF)
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            raise ValueError("restart markers outside scope")
+        break  # next real marker (EOI) ends the scan
+    return bytes(out)
+
+
+def _decode_scan(data, pos, frame, qtables, htables, scan_tables) -> np.ndarray:
+    """r10 vectorized scan decode (guide §1.2 step 2; pixel-identical to
+    the per-bit/per-block shape on 640 A/B cases, 3-4x faster): the
+    entropy pass keeps the bit buffer in LOCALS and decodes each symbol
+    with one packed-LUT index; dequantize + IDCT then run as THREE
+    whole-component numpy ops over the stacked coefficient rows instead
+    of one matmul pair per block."""
+    h, w, comps = frame
+    clean = _destuff(data, pos)
 
     h_max = max(c[2] for c in comps)
     v_max = max(c[3] for c in comps)
     mcus_x, mcus_y = -(-w // (8 * h_max)), -(-h // (8 * v_max))
-    planes = [
-        np.zeros((mcus_y * vi * 8, mcus_x * hi * 8)) for _, _, hi, vi in comps
-    ]
-    preds = [0] * len(comps)
     for cid, tq, _, _ in comps:
         if tq not in qtables:
             raise ValueError(f"corrupt JPEG: missing quant table {tq}")
@@ -477,19 +495,135 @@ def _decode_scan(data, pos, frame, qtables, htables, scan_tables) -> np.ndarray:
         td, ta = scan_tables[cid]
         if (0, td) not in htables or (1, ta) not in htables:
             raise ValueError("corrupt JPEG: missing Huffman table")
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (cid, tq, hi, vi) in enumerate(comps):
-                td, ta = scan_tables[cid]
-                for by in range(vi):
-                    for bx in range(hi):
-                        block = _decode_block(
-                            reader, htables[(0, td)], htables[(1, ta)],
-                            qtables[tq], preds, ci,
+    comp_tabs = []
+    for cid, tq, hi, vi in comps:
+        td, ta = scan_tables[cid]
+        comp_tabs.append(
+            (_huff_lut(*htables[(0, td)]), _huff_lut(*htables[(1, ta)]), hi * vi)
+        )
+
+    comp_zz = [
+        np.zeros((mcus_y * mcus_x * hi * vi, 64), dtype=np.int64)
+        for _, _, hi, vi in comps
+    ]
+    counters = [0] * len(comps)
+    preds = [0] * len(comps)
+
+    ndata = len(clean)
+    dpos = 0
+    acc = 0
+    nbits = 0
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            for ci in range(len(comps)):
+                dlut, alut, nper = comp_tabs[ci]
+                zzc = comp_zz[ci]
+                k0 = counters[ci]
+                pred = preds[ci]
+                for b in range(nper):
+                    row = zzc[k0 + b]
+                    # --- DC symbol
+                    while nbits < 16 and dpos < ndata:
+                        acc = (acc << 8) | clean[dpos]
+                        dpos += 1
+                        nbits += 8
+                    peek = (
+                        (acc >> (nbits - 16)) & 0xFFFF
+                        if nbits >= 16
+                        else (acc << (16 - nbits)) & 0xFFFF
+                    )
+                    e = dlut[peek]
+                    ln = e >> 8
+                    if ln == 0 or ln > nbits:
+                        if nbits < 16:
+                            raise ValueError(
+                                "corrupt JPEG: entropy stream exhausted"
+                            )
+                        raise ValueError("corrupt JPEG: invalid Huffman code")
+                    nbits -= ln
+                    t = e & 0xFF
+                    # --- DC magnitude (T.81 RECEIVE + EXTEND)
+                    if t:
+                        while nbits < t and dpos < ndata:
+                            acc = (acc << 8) | clean[dpos]
+                            dpos += 1
+                            nbits += 8
+                        if nbits < t:
+                            raise ValueError(
+                                "corrupt JPEG: entropy stream exhausted"
+                            )
+                        nbits -= t
+                        v = (acc >> nbits) & ((1 << t) - 1)
+                        pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    row[0] = pred
+                    # --- AC coefficients
+                    k = 1
+                    while k < 64:
+                        while nbits < 16 and dpos < ndata:
+                            acc = (acc << 8) | clean[dpos]
+                            dpos += 1
+                            nbits += 8
+                        peek = (
+                            (acc >> (nbits - 16)) & 0xFFFF
+                            if nbits >= 16
+                            else (acc << (16 - nbits)) & 0xFFFF
                         )
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        e = alut[peek]
+                        ln = e >> 8
+                        if ln == 0 or ln > nbits:
+                            if nbits < 16:
+                                raise ValueError(
+                                    "corrupt JPEG: entropy stream exhausted"
+                                )
+                            raise ValueError(
+                                "corrupt JPEG: invalid Huffman code"
+                            )
+                        nbits -= ln
+                        rs = e & 0xFF
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError(
+                                "corrupt JPEG: AC run past end of block"
+                            )
+                        while nbits < s and dpos < ndata:
+                            acc = (acc << 8) | clean[dpos]
+                            dpos += 1
+                            nbits += 8
+                        if nbits < s:
+                            raise ValueError(
+                                "corrupt JPEG: entropy stream exhausted"
+                            )
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        row[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        k += 1
+                preds[ci] = pred
+                counters[ci] += nper
+
+    planes = []
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        qt = qtables[tq]
+        zz = comp_zz[ci]
+        coeffs = np.zeros((zz.shape[0], 8, 8))
+        coeffs[:, _ZZ_ROWS, _ZZ_COLS] = zz * qt[_ZZ_ROWS, _ZZ_COLS][None, :]
+        blocks = np.matmul(np.matmul(_M.T, coeffs), _M) + 128.0
+        plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
+        R, C = plane.shape[0] // 8, plane.shape[1] // 8
+        b4 = plane.reshape(R, 8, C, 8).transpose(0, 2, 1, 3)
+        my, mx, by, bx = np.meshgrid(
+            np.arange(mcus_y), np.arange(mcus_x), np.arange(vi), np.arange(hi),
+            indexing="ij",
+        )
+        rows = (my * vi + by).ravel()
+        cols = (mx * hi + bx).ravel()
+        b4[rows, cols] = blocks  # fancy assignment writes through the view
+        planes.append(plane)
 
     # upsample subsampled components to full resolution, then crop
     up = [
@@ -509,27 +643,3 @@ def _decode_scan(data, pos, frame, qtables, htables, scan_tables) -> np.ndarray:
         axis=-1,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-
-
-def _decode_block(reader, dc_table, ac_table, qtable, preds, ci) -> np.ndarray:
-    zz = np.zeros(64, dtype=np.int64)
-    t = dc_table.decode(reader)
-    preds[ci] += _receive_extend(reader, t)
-    zz[0] = preds[ci]
-    k = 1
-    while k < 64:
-        rs = ac_table.decode(reader)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("corrupt JPEG: AC run past end of block")
-        zz[k] = _receive_extend(reader, s)
-        k += 1
-    coeffs = np.zeros((8, 8))
-    coeffs[_ZZ_ROWS, _ZZ_COLS] = zz * qtable[_ZZ_ROWS, _ZZ_COLS]
-    return _M.T @ coeffs @ _M + 128.0

@@ -474,19 +474,28 @@ class VersionedTable:
         {relative data dir: {bloom col: [16 int64 filter words]}},
         the absolute commit directory — so conflict paths can reclaim it).
 
-        With ``stats_cols``, one bounded aggregate (one row per touched
-        partition value) records per-directory min/max for those columns
-        in the manifest — the Iceberg file-stats idea at directory
-        granularity, feeding read(prune=...) data skipping. The
-        aggregate runs over the FILES JUST WRITTEN, never by
-        re-evaluating the input plan: a non-re-execution-stable df
+        With ``stats_cols``, per-directory min/max for those columns is
+        FOLDED FROM THE PARQUET FOOTERS of the files just written (the
+        r10 'same numbers come for free from the footers' note, now the
+        implementation): the footer row-group stats already feed the
+        FILE-grain prune tier, so the directory tier folded from the
+        identical metadata skips a directory exactly when every one of
+        its files would be skipped — same superset guarantee, zero data
+        re-read. A column missing usable footer stats in ANY file of a
+        directory is dropped for that directory ("cannot skip", the
+        superset rule). Stats describe the FILES JUST WRITTEN, never a
+        re-evaluation of the input plan: a non-re-execution-stable df
         (sample(), rand(), a landing dir racing new files) could
         otherwise persist one evaluation while the stats describe
         another, and a too-narrow recorded range would make pruning
-        silently lose rows. At 100 TB the same numbers come for free
-        from the parquet footers. Stats columns must be numeric or
-        string (JSON-total-ordered the same way both sides of the prune
-        compare)."""
+        silently lose rows. Stats columns must be numeric or string
+        (JSON-total-ordered the same way both sides of the prune
+        compare). ``bloom_cols`` still needs one bounded read-back
+        aggregate over the written files (bloom words are data, not
+        footer metadata) — but that job now computes ONLY the bloom
+        words; commits without bloom columns schedule no read-back job
+        at all (r10 guide §1.2 step 1: the commit path ran up to three
+        Spark actions; stats-only commits now run exactly the write)."""
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.root, "data", commit_id)
         (
@@ -509,13 +518,62 @@ class VersionedTable:
             )
         stats: dict[str, dict[str, list]] = {}
         blooms: dict[str, dict[str, list[int]]] = {}
-        if (stats_cols or bloom_cols) and out:
+        fstats: dict[str, dict[str, list[list]]] = {}
+        if stats_cols and out:
+            # ROW-GROUP-GRAIN skipping metadata (the Iceberg file-stats
+            # idea one level below directories): per written FILE, every
+            # row group's [min, max] for each stats column, read from
+            # the parquet FOOTERS (pyarrow; a metadata-only pass over
+            # the commit's own files — never a data scan; driver-side
+            # below the file-count threshold, executor-side above).
+            # read(prune=...) uses it to skip individual files a
+            # directory-grain range cannot disprove; Spark's native
+            # parquet pushdown then skips row groups INSIDE kept files
+            # from the same footer stats.
+            by_dir = {
+                d: [
+                    os.path.join(d, f)
+                    for f in sorted(
+                        os.listdir(os.path.join(self.root, d))
+                    )
+                    if f.endswith(".parquet")
+                ]
+                for ds in out.values()
+                for d in ds
+            }
+            fstats = self._footer_rowgroup_stats(
+                df.sparkSession,
+                [f for fs in by_dir.values() for f in fs],
+                list(stats_cols),
+            )
+            # DIRECTORY-grain min/max folded from the same footers: a
+            # column is recorded only when EVERY file of the directory
+            # carries it (else "cannot skip"). Values are footer min/max
+            # (int/float/str — the same values and the same comparison
+            # the file tier already prunes with).
+            for d, fs in by_dir.items():
+                rec: dict[str, list] = {}
+                for c in stats_cols:
+                    lo = hi = None
+                    ok = bool(fs)
+                    for rel in fs:
+                        rgs = fstats.get(rel, {}).get(c)
+                        if not rgs:
+                            ok = False
+                            break
+                        for rlo, rhi in rgs:
+                            if lo is None or rlo < lo:
+                                lo = rlo
+                            if hi is None or rhi > hi:
+                                hi = rhi
+                    if ok:
+                        rec[c] = [lo, hi]
+                if rec:
+                    stats[d] = rec
+        if bloom_cols and out:
             # an all-empty batch writes no files at all
             aggs = []
-            for c in stats_cols or []:
-                aggs.append(F.min(c).alias(f"_lo_{c}"))
-                aggs.append(F.max(c).alias(f"_hi_{c}"))
-            for ci, c in enumerate(bloom_cols or []):
+            for ci, c in enumerate(bloom_cols):
                 for w in range(_BLOOM_WORDS):
                     aggs.append(
                         F.bit_or(F.expr(_bloom_word_expr(c, w))).alias(
@@ -534,40 +592,13 @@ class VersionedTable:
             for r in written.groupBy(partition_col).agg(*aggs).collect():
                 key = _partition_dir(r[partition_col])
                 for d in out.get(key, []):
-                    if stats_cols:
-                        stats[d] = {
-                            c: [r[f"_lo_{c}"], r[f"_hi_{c}"]]
-                            for c in stats_cols
-                        }
-                    if bloom_cols:
-                        blooms[d] = {
-                            c: [
-                                int(r[f"_bf_{ci}_{w}"] or 0)
-                                for w in range(_BLOOM_WORDS)
-                            ]
-                            for ci, c in enumerate(bloom_cols)
-                        }
-        fstats: dict[str, dict[str, list[list]]] = {}
-        if stats_cols and out:
-            # ROW-GROUP-GRAIN skipping metadata (the Iceberg file-stats
-            # idea one level below directories): per written FILE, every
-            # row group's [min, max] for each stats column, read from
-            # the parquet FOOTERS executor-side (pyarrow; a metadata-
-            # only pass over the commit's own files — never a data
-            # scan). read(prune=...) uses it to skip individual files a
-            # directory-grain range cannot disprove; Spark's native
-            # parquet pushdown then skips row groups INSIDE kept files
-            # from the same footer stats.
-            rel_files = [
-                os.path.join(d, f)
-                for ds in out.values()
-                for d in ds
-                for f in os.listdir(os.path.join(self.root, d))
-                if f.endswith(".parquet")
-            ]
-            fstats = self._footer_rowgroup_stats(
-                df.sparkSession, rel_files, list(stats_cols)
-            )
+                    blooms[d] = {
+                        c: [
+                            int(r[f"_bf_{ci}_{w}"] or 0)
+                            for w in range(_BLOOM_WORDS)
+                        ]
+                        for ci, c in enumerate(bloom_cols)
+                    }
         return out, stats, blooms, fstats, commit_dir
 
     @staticmethod
@@ -588,10 +619,16 @@ class VersionedTable:
         self, spark: SparkSession, rel_files: list[str], cols: list[str]
     ) -> dict[str, dict[str, list[list]]]:
         """{rel_file: {col: [[lo, hi] per row group]}} from parquet
-        footers, read in parallel on executors. A column is recorded
-        only when EVERY row group has usable min/max of a JSON-safe type
-        (int/float/str) — missing entries mean "cannot skip", the
-        superset rule."""
+        footers. A column is recorded only when EVERY row group has
+        usable min/max of a JSON-safe type (int/float/str) — missing
+        entries mean "cannot skip", the superset rule.
+
+        Below ``SCOPUS_FOOTER_DRIVER_FILES`` (default 64) the footers
+        are read DRIVER-SIDE (pyarrow metadata-only — the
+        row_count_estimate adjudication: a bench-scale commit writes a
+        handful of files and a Spark job costs more than the reads);
+        above it, in parallel on executors (a 100 TB commit writes
+        thousands of files and the driver must not serialize on them)."""
         if not rel_files:
             return {}
         root = self.root
@@ -626,6 +663,10 @@ class VersionedTable:
                         rec[c] = rgs
                 yield rel, rec
 
+        if len(rel_files) <= int(
+            os.environ.get("SCOPUS_FOOTER_DRIVER_FILES", "64")
+        ):
+            return dict(_footers(rel_files))
         rdd = spark.sparkContext.parallelize(
             rel_files, max(1, min(len(rel_files), 32))
         )

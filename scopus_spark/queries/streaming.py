@@ -782,28 +782,31 @@ def i16_versioned_table_stream_source(spark: SparkSession, sf_dir: str) -> DataF
     name = f"i16_agg_{uuid.uuid4().hex[:8]}"
 
     def run_pass() -> None:
+        from scopus_spark.streaming.harness import scaled_stream_shuffle
+
         path, upto = src.new_load_path()
         if path is None:
             return
-        q = (
-            spark.readStream.schema(vt.schema())
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(path)
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
-                .cast("long")
-                .alias("total_cents"),
+        with scaled_stream_shuffle(spark):
+            q = (
+                spark.readStream.schema(vt.schema())
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(path)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                    .cast("long")
+                    .alias("total_cents"),
+                )
+                .writeStream.outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .format("memory")
+                .queryName(name)
+                .start()
             )
-            .writeStream.outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
         src.mark_consumed(upto)
 
     run_pass()  # consumes commits 1-2

@@ -14,10 +14,40 @@ import shutil
 import tempfile
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def scaled_stream_shuffle(spark: SparkSession):
+    """Run an availableNow streaming pass at a REDUCED, scale-adaptive
+    shuffle-partition count (r10, guide §2 'make partitioning
+    scale-adaptive'): every stateful streaming operator instantiates one
+    state-store instance PER SHUFFLE PARTITION per micro-batch —
+    checkpoint dirs, commit files, task launches — so a bench-scale
+    trigger paid 32 state commits for a handful of state rows. cores/4
+    (floor 8) keeps the fan-out proportional to the session's
+    parallelism (on a cluster defaultParallelism tracks the executor
+    fleet, so state still scales out); override with
+    SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS where per-trigger volume
+    warrants more. Spark pins the count into the query's checkpoint at
+    first start (later passes reuse it); partition count changes state
+    LAYOUT only, never aggregate contents."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    n = int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS",
+            max(8, spark.sparkContext.defaultParallelism // 4),
+        )
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -83,15 +113,16 @@ class StreamRig:
             # via VersionedTable without any driver collect).
             collected.extend(batch_df.collect())
 
-        q = (
-            out.writeStream.outputMode(output_mode)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(sink if sink is not None else collect_sink)
-            .queryName(f"rig_{uuid.uuid4().hex[:8]}")
-            .start()
-        )
-        q.awaitTermination()
+        with scaled_stream_shuffle(self.spark):
+            q = (
+                out.writeStream.outputMode(output_mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .foreachBatch(sink if sink is not None else collect_sink)
+                .queryName(f"rig_{uuid.uuid4().hex[:8]}")
+                .start()
+            )
+            q.awaitTermination()
         return collected
 
     def cleanup(self) -> None:

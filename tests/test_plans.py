@@ -186,10 +186,21 @@ def test_j22_eval_grams_broadcast(spark, sf_dir):
 
 
 def test_j20_j21_zero_shuffle(spark, sf_dir):
-    """Chunking and repetition scoring are pure scan transforms."""
+    """Chunking and repetition scoring are pure scan transforms: no
+    DATA-DEPENDENT shuffle ever (no hash/range exchange). r10's
+    spread_scan adds one scale-adaptive ROUND-ROBIN repartition on j21
+    (guide §2.5: the bench corpus is a one-split file, so the heavy
+    per-row gram chain would serialize onto one core; at 100 TB the
+    scan has more splits than cores and the plan reverts to
+    exchange-free) — so the pin is: round-robin only, nothing keyed."""
+    import re
+
     for key in ("j20", "j21"):
         p = _plan(QUERIES[key](spark, sf_dir))
-        assert "Exchange" not in p, (key, p)
+        assert "hashpartitioning" not in p, (key, p)
+        assert "rangepartitioning" not in p, (key, p)
+        for kind in re.findall(r"Exchange (\w+)", p):
+            assert kind.startswith("RoundRobinPartitioning"), (key, p)
 
 
 def test_c13_salt_in_plan_and_result_identical_to_plain_join(spark, sf_dir):
