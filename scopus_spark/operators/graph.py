@@ -29,8 +29,25 @@ convergence counter.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _driver_edge_threshold() -> int:
+    """Edge-count bound below which the iterative graph operators run
+    their exact sequential algorithm DRIVER-SIDE instead of scheduling
+    the distributed loop (r10, guide §1.2 step 1: at bench scale the
+    dup/residual graphs are a few thousand nodes and the loop's cost is
+    pure per-job fixed overhead — 2 jobs x N iterations x ~0.2 s — while
+    the same exact answer is milliseconds of driver work; at 100 TB the
+    edge list blows past the bound and the distributed path runs
+    unchanged). The collect is bounded by this threshold by
+    construction: the switch only fires after a count() of the realized
+    edge list. Same pattern as SCOPUS_FOOTER_DRIVER_FILES (manifest.py)
+    and catalog.spread_scan."""
+    return int(os.environ.get("SCOPUS_GRAPH_DRIVER_EDGES", "200000"))
 
 
 def undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -51,18 +68,64 @@ def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     )
 
 
+def _cc_driver(und_rows, node_type: str, spark) -> DataFrame:
+    """Exact min-label connected components via union-find on a BOUNDED
+    collected edge list (caller guarantees len(und_rows) <= the
+    _driver_edge_threshold bound). Output is a pure function of the edge
+    SET — independent of row order, partitioning, or engine — because
+    comp_id = min member of each union-find set, computed after all
+    unions."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in und_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    rows = sorted((v, comp_min[find(v)]) for v in parent)
+    return spark.createDataFrame(
+        rows, f"node {node_type}, comp_id {node_type}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 30,
+    driver_edge_threshold: int | None = None,
 ) -> DataFrame:
     """(node, comp_id) where comp_id = min node id reachable from node.
 
     Deterministic (min-label), independent of partitioning. Nodes are those
     that appear in at least one edge; callers join back to the entity table
     to label isolated rows (comp = self).
+
+    Below ``driver_edge_threshold`` symmetrized edges (default
+    $SCOPUS_GRAPH_DRIVER_EDGES, see _driver_edge_threshold) the
+    components are solved by union-find on the collected edge list — the
+    min-label output is algorithm-independent, so both paths return the
+    identical relation. ``max_iterations`` only governs the distributed
+    loop (the driver path has no convergence failure mode).
     """
+    if driver_edge_threshold is None:
+        driver_edge_threshold = _driver_edge_threshold()
     # hash-partitioned on src BEFORE the persist: the cached partitioning
     # satisfies both the initial groupBy(src) and EVERY iteration's
     # neighbor join (InMemoryRelation preserves outputPartitioning), so
@@ -75,12 +138,40 @@ def connected_components(
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     und = fwd.union(rev).repartition(F.col("src")).distinct().persist()
     try:
+        n_edges = und.count()  # materializes the persist either way
+        if n_edges <= driver_edge_threshold:
+            # bounded: <= driver_edge_threshold symmetrized edge rows
+            node_t = dict(und.dtypes)["src"]
+            rows = [(r[0], r[1]) for r in und.collect()]
+            return _cc_driver(rows, node_t, edges.sparkSession)
         # comp starts as each node's min direct neighbor (or itself).
         labels = (
             und.groupBy(F.col("src").alias("node"))
             .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
             .localCheckpoint()
         )
+        # Convergence probe: per-node comp is MONOTONE NON-INCREASING
+        # (min-propagation, and the pointer jump replaces comp by its
+        # own — <= — label), and the node set is constant across rounds,
+        # so for numeric ids sum(comp) is strictly decreasing until the
+        # fixpoint and "sum unchanged == nothing changed" is EXACT
+        # (decimal(38,0) sum — no overflow, no float). That makes the
+        # probe one tiny aggregate over the just-checkpointed cached
+        # partitions instead of the r9 shape's full shuffle join of old
+        # vs new labels (guide §2.4: one fewer exchange per iteration).
+        # String-keyed graphs (n10's entity names) keep the join probe —
+        # min() is lexicographic there and sums don't exist.
+        numeric = dict(und.dtypes)["src"] in (
+            "bigint", "int", "smallint", "tinyint",
+        )
+
+        def label_sum(frame: DataFrame):
+            # bounded: 1-row aggregate (exact decimal label sum)
+            return frame.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)"))
+            ).collect()[0][0]
+
+        prev_sum = label_sum(labels) if numeric else None
         for _ in range(max_iterations):
             # neighbor step: comp(v) <- min over neighbors' comps (and own).
             nbr = (
@@ -105,13 +196,18 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
-            changed = (
-                jumped.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
+            if numeric:
+                new_sum = label_sum(jumped)
+                changed = 0 if new_sum == prev_sum else 1
+                prev_sum = new_sum
+            else:
+                changed = (
+                    jumped.alias("n")
+                    .join(labels.alias("o"), "node")
+                    .filter(F.col("n.comp") != F.col("o.comp"))
+                    .limit(1)
+                    .count()
+                )
             labels = jumped
             if changed == 0:
                 return labels.select("node", F.col("comp").alias("comp_id"))
@@ -127,6 +223,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 4,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(node, community) via SYNCHRONOUS label propagation (Raghavan et
     al. 2007) with a deterministic tie-break: every node starts labeled
@@ -141,10 +238,12 @@ def label_propagation(
     against the (node, label) table on the neighbor key, one hash
     aggregate to (node, label) counts, one node-partitioned window for
     the argmax — all shuffles keyed on node ids, no driver
-    materialization; labels are localCheckpoint-pinned each round so the
-    plan stays O(1) deep instead of O(rounds). Fixed `rounds` (not
-    convergence-tested) keeps the job count static — LPA oscillates on
-    bipartite structures, so production runs cap rounds anyway."""
+    materialization; labels are localCheckpoint-pinned every
+    ``checkpoint_every`` rounds so plan depth stays bounded without
+    paying a per-round stage materialization (r10 — see the pagerank
+    cadence note). Fixed `rounds` (not convergence-tested) keeps the
+    job count static — LPA oscillates on bipartite structures, so
+    production runs cap rounds anyway."""
     from pyspark.sql.window import Window
 
     und = undirected(edges, src, dst).persist()
@@ -155,7 +254,7 @@ def label_propagation(
         F.col("c").desc(), F.col("label")
     )
     try:
-        for _ in range(rounds):
+        for _rd in range(rounds):
             cand = (
                 und.join(labels, und.dst == labels.node)
                 .groupBy(F.col("src").alias("node"), "label")
@@ -165,8 +264,15 @@ def label_propagation(
                 cand.withColumn("rn", F.row_number().over(pick_w))
                 .filter(F.col("rn") == 1)
                 .select("node", "label")
-                .localCheckpoint(eager=False)
             )
+            # same cadence rationale as pagerank (r10): fixed small
+            # round counts never need a mid-loop lineage cut.
+            if (
+                checkpoint_every
+                and (_rd + 1) % checkpoint_every == 0
+                and (_rd + 1) < rounds
+            ):
+                labels = labels.localCheckpoint(eager=False)
         return labels.select("node", F.col("label").alias("community"))
     finally:
         und.unpersist()
@@ -262,6 +368,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     seeds: DataFrame | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank (damping 0.85, leak variant: dangling mass
     is not redistributed) — the canonical iterative graph ranking.
@@ -272,6 +379,19 @@ def pagerank(
     there, so ranks measure proximity TO THE SEED SET rather than global
     centrality. Same per-round plan, same decimal-exact contribution
     sums; the seed flag rides the roster as a broadcast-joined column.
+
+    ``checkpoint_every`` (r10, measured): the round-5 shape
+    localCheckpoint()ed EVERY round, and under AQE each checkpoint
+    materializes that round's shuffle stages as separate jobs — 71 jobs
+    and 13.6 s of eager construction for 5 rounds at sf0.1, against
+    0.6 s construct + 4.8 s execute and 22 jobs with no mid-loop
+    checkpoint, output BIT-IDENTICAL (checkpoint placement never touches
+    the value expression tree; the A/B equality run is recorded in
+    OPTIMIZATION_r10.md). Lineage still must not grow unboundedly — past
+    ~a dozen unrolled rounds Catalyst planning time explodes — so the
+    loop checkpoints every ``checkpoint_every`` rounds: the default 8
+    means the engine's fixed 5-round keys (n6/n16) never pay a mid-loop
+    checkpoint while long custom runs stay plan-depth-bounded.
 
     Determinism across engines (the reason this can be HASH-checked at
     all): every per-row step is double arithmetic with an identical
@@ -342,7 +462,7 @@ def pagerank(
         ).otherwise(F.lit(0.0))
         carry = ["n_docs", "s_n", "is_seed"]
     ranks = roster.select("node", *carry, r0.alias("r"))
-    for _ in range(iters):
+    for _it in range(iters):
         contrib = (
             e.join(ranks.select(F.col("node").alias("u"), "r"), "u")
             .join(outdeg, "u")
@@ -366,21 +486,28 @@ def pagerank(
                     ).cast("double")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (
+            checkpoint_every
+            and (_it + 1) % checkpoint_every == 0
+            and (_it + 1) < iters
+        ):
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("pagerank"))
 
 
-def _peel_component_pdf(pdf):
-    """Sequential Batagelj–Zaveršnik bucket peel over ONE component's edge
-    list (both directions present). O(E): process nodes in ascending
-    current-degree order; a node's degree at removal IS its coreness,
-    because decrements never drop a live node below the current peel
-    level. Runs inside applyInPandas — pure per-group map work."""
+def _peel_edges(srcs, dsts):
+    """Sequential Batagelj–Zaveršnik bucket peel over an edge list (both
+    directions present; any number of components — the ascending-degree
+    bucket order interleaves components without affecting labels).
+    O(E): process nodes in ascending current-degree order; a node's
+    degree at removal IS its coreness, because decrements never drop a
+    live node below the current peel level. Returns parallel
+    (nodes, coreness) lists."""
     from collections import defaultdict
 
     adj = defaultdict(list)
-    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+    for a, b in zip(srcs, dsts):
         if a != b:
             adj[a].append(b)
     deg = {v: len(ns) for v, ns in adj.items()}
@@ -403,8 +530,15 @@ def _peel_component_pdf(pdf):
                 buckets[deg[u]].discard(u)
                 deg[u] -= 1
                 buckets[deg[u]].add(u)
+    return out_nodes, out_core
+
+
+def _peel_component_pdf(pdf):
+    """applyInPandas wrapper over _peel_edges for ONE component's edge
+    list — pure per-group map work."""
     import pandas as pd
 
+    out_nodes, out_core = _peel_edges(pdf["src"].tolist(), pdf["dst"].tolist())
     return pd.DataFrame({"node": out_nodes, "coreness": out_core})
 
 
@@ -414,10 +548,14 @@ def coreness(
     dst: str = "dst",
     wave_rounds: int = 8,
     max_component_edges: int = 5_000_000,
+    driver_edge_threshold: int | None = None,
 ) -> DataFrame:
     """(node, coreness) — EXACT k-core number for every node that appears
-    in at least one edge. Hybrid two-phase peel with a DETERMINISTIC
-    round bound (no data-dependent failure mode):
+    in at least one edge. Below ``driver_edge_threshold`` symmetrized
+    edges (default $SCOPUS_GRAPH_DRIVER_EDGES) the whole graph takes the
+    exact sequential bucket peel driver-side (see the inline note); at
+    scale, a hybrid two-phase peel with a DETERMINISTIC round bound (no
+    data-dependent failure mode):
 
     Phase 1 — distributed ascending-k wave peel (Matula–Beck, batched):
     for k = 1, 2, ... repeatedly delete all nodes whose CURRENT degree is
@@ -466,13 +604,36 @@ def coreness(
         .localCheckpoint()
     )
     node_t = dict(live.dtypes)["src"]
+    spark = edges.sparkSession
+    if driver_edge_threshold is None:
+        driver_edge_threshold = _driver_edge_threshold()
+    # Coreness is a graph invariant: below the bound, run the SAME exact
+    # sequential bucket peel phase 2 already trusts — on the whole
+    # (collected) edge list, driver-side — instead of paying
+    # wave_rounds x 3 checkpoint jobs + CC + the applyInPandas splice in
+    # per-job fixed overhead (r10; n12 at sf0.1 was 144 Spark jobs for a
+    # 5k-node graph). _peel_component_pdf is component-agnostic (the
+    # bucket order interleaves components without affecting labels), so
+    # both paths return the identical relation.
+    n_live = live.count()  # cached partitions — cheap probe
+    if n_live <= driver_edge_threshold:
+        # bounded: <= driver_edge_threshold symmetrized edge rows
+        rows = live.collect()
+        if not rows:
+            return spark.createDataFrame([], f"node {node_t}, coreness long")
+        nodes_l, cores_l = _peel_edges(
+            [r[0] for r in rows], [r[1] for r in rows]
+        )
+        out_rows = sorted(zip(nodes_l, cores_l))
+        return spark.createDataFrame(
+            out_rows, f"node {node_t}, coreness long"
+        )
     # Track live NODES separately from live edges: a node whose last edge
     # was peeled away still exists (degree 0) and must receive a label —
     # reading degrees off the edge table alone would silently drop it.
     nodes = live.select("src").distinct().select(F.col("src").alias("node"))
     nodes = nodes.localCheckpoint()
     wave_labels: list[DataFrame] = []
-    spark = edges.sparkSession
     k = 1
     drained = False
     for _ in range(wave_rounds):

@@ -95,7 +95,12 @@ def test_finisher_path_long_chain(spark):
     phase-2 finish; result must still equal brute force exactly."""
     edges = [(i, i + 1) for i in range(60)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.coreness for r in coreness(df, wave_rounds=2).collect()}
+    got = {
+        r.node: r.coreness
+        for r in coreness(
+            df, wave_rounds=2, driver_edge_threshold=0
+        ).collect()
+    }
     assert got == _brute(edges)
 
 
@@ -111,7 +116,9 @@ def test_finisher_mixed_cores_mid_cascade(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {
             r.node: r.coreness
-            for r in coreness(df, wave_rounds=budget).collect()
+            for r in coreness(
+                df, wave_rounds=budget, driver_edge_threshold=0
+            ).collect()
         }
         assert got == _brute(edges), f"budget={budget}"
 
@@ -151,8 +158,32 @@ def test_giant_residual_component_guard(spark):
     clique = [(a, b) for a in range(20) for b in range(20) if a != b]
     df = spark.createDataFrame(clique, "src long, dst long")
     with pytest.raises(RuntimeError, match="wave_rounds"):
-        coreness(df, wave_rounds=1, max_component_edges=10).collect()
+        coreness(
+            df, wave_rounds=1, max_component_edges=10,
+            driver_edge_threshold=0,
+        ).collect()
     # same graph passes with the default budget (the guard is a bound,
     # not a behavior change)
-    got = {r.node: r.coreness for r in coreness(df, wave_rounds=1).collect()}
+    got = {
+        r.node: r.coreness
+        for r in coreness(
+            df, wave_rounds=1, driver_edge_threshold=0
+        ).collect()
+    }
     assert got == _brute([(a, b) for a, b in clique if a < b])
+
+
+def test_coreness_driver_equals_distributed(spark):
+    """r10: the bounded driver-side peel must return the identical
+    relation as the distributed wave/finisher machinery (coreness is a
+    graph invariant)."""
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    drv = {r.node: r.coreness
+           for r in coreness(df, driver_edge_threshold=10**6).collect()}
+    dist = {r.node: r.coreness
+            for r in coreness(df, driver_edge_threshold=0).collect()}
+    assert drv == dist == _brute(edges)

@@ -37,16 +37,48 @@ def test_cc_two_components_and_determinism(spark):
 
 def test_cc_long_path_converges_logarithmically(spark):
     # path 0-1-2-...-40: diameter 40 >> max_iterations=12 proves pointer
-    # jumping converges in O(log diameter), not O(diameter)
+    # jumping converges in O(log diameter), not O(diameter).
+    # driver_edge_threshold=0 pins the DISTRIBUTED loop (r10: small
+    # graphs otherwise take the exact driver-side union-find).
     e = _edges(spark, [(i, i + 1) for i in range(40)])
-    got = _cc_dict(graph.connected_components(e, max_iterations=12))
+    got = _cc_dict(
+        graph.connected_components(
+            e, max_iterations=12, driver_edge_threshold=0
+        )
+    )
     assert got == {i: 0 for i in range(41)}
 
 
 def test_cc_raises_if_not_converged(spark):
     e = _edges(spark, [(i, i + 1) for i in range(40)])
     with pytest.raises(RuntimeError, match="converge"):
-        graph.connected_components(e, max_iterations=1)
+        graph.connected_components(
+            e, max_iterations=1, driver_edge_threshold=0
+        )
+
+
+def test_cc_driver_path_equals_distributed(spark):
+    # r10: the union-find driver path (below the edge bound) must return
+    # the identical relation as the distributed pointer-jumping loop —
+    # min-label CC is algorithm-independent.
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    e = _edges(spark, pairs)
+    drv = _cc_dict(graph.connected_components(e, driver_edge_threshold=10**6))
+    dist = _cc_dict(graph.connected_components(e, driver_edge_threshold=0))
+    assert drv == dist
+
+
+def test_cc_string_nodes_distributed_probe(spark):
+    # string-keyed graphs take the join convergence probe (no numeric
+    # sum); pin both paths agree there too.
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    drv = _cc_dict(graph.connected_components(e, driver_edge_threshold=10**6))
+    dist = _cc_dict(graph.connected_components(e, driver_edge_threshold=0))
+    assert drv == dist == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_triangle_count_known_graph(spark):

@@ -80,6 +80,11 @@ ALLOW: dict[tuple[str, str], str] = {
     "stats for the CUSUM threshold)",
     ("n11", "BroadcastNestedLoopJoin"): _ONE_ROW + " (trade-graph scale-"
     "free edge threshold Σn)",
+    ("n6", "BroadcastNestedLoopJoin"): _ONE_ROW + " (pagerank roster × "
+    "1-row node count; visible in the plan since r10 dropped the "
+    "per-round eager checkpoints that used to hide it)",
+    ("n16", "BroadcastNestedLoopJoin"): _ONE_ROW + " (pagerank roster × "
+    "1-row node count and seed count — same shape as n6)",
     ("q11", "BroadcastNestedLoopJoin"): _ONE_ROW + " (TPC-H Q11 global "
     "value threshold)",
     ("q22", "BroadcastNestedLoopJoin"): _ONE_ROW + " (TPC-H Q22 global "
