@@ -461,6 +461,7 @@ class VersionedTable:
         partition_col: str,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        cluster: bool = True,
     ) -> tuple[
         dict[str, list[str]],
         dict[str, dict[str, list]],
@@ -498,9 +499,34 @@ class VersionedTable:
         Spark actions; stats-only commits now run exactly the write)."""
         commit_id = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.root, "data", commit_id)
+        staged = df.withColumn(_PART_DIR, F.col(partition_col))
+        if cluster:
+            # r10 (guide §6.2 / Iceberg hash distribution-mode): cluster
+            # rows by their target directory BEFORE partitionBy, so each
+            # dir gets one file per SCOPUS_COMMIT_FILE_ROWS rows instead
+            # of one per upstream task (an o4 merge wrote 30 dirs x 12
+            # tasks = ~360 files of ~70 rows: 360 driver-side commit
+            # renames, an executor-side footer pass, and 360 open costs
+            # on every later read; clustered it writes 30). Same
+            # exchange the compact() path always paid; results are
+            # file-layout-only. maxRecordsPerFile rolls oversized dirs
+            # into multiple files, so a skewed partition value costs one
+            # WRITE task (the documented hash-mode trade) but never one
+            # giant file. Measured trade at bench scale: write-heavy
+            # keys win big (o4 8.4->6.3 s; 360->30 files per merge),
+            # many-tiny-commit loops pay a small per-commit exchange
+            # (a33 ~+0.7 s) — accepted, because at 100 TB every commit
+            # is multi-task and unclustered writes fragment
+            # tasks x dirs. Callers whose input partitioning IS the
+            # declared file layout (a39's range-sliced staging) pass
+            # cluster=False.
+            staged = staged.repartition(F.col(_PART_DIR))
         (
-            df.withColumn(_PART_DIR, F.col(partition_col))
-            .write.partitionBy(_PART_DIR)
+            staged.write.option(
+                "maxRecordsPerFile",
+                int(os.environ.get("SCOPUS_COMMIT_FILE_ROWS", "5000000")),
+            )
+            .partitionBy(_PART_DIR)
             .parquet(commit_dir)
         )
         out: dict[str, list[str]] = {}
@@ -680,6 +706,7 @@ class VersionedTable:
         stats_cols: list[str] | None = None,
         commit_token: str | None = None,
         bloom_cols: list[str] | None = None,
+        cluster: bool = True,
     ) -> int:
         """Create the table (snapshot v1) from df. ``stats_cols`` and
         ``bloom_cols`` are TABLE properties: every later commit
@@ -691,7 +718,7 @@ class VersionedTable:
         recognized by the append/merge that follows."""
         _check_partition_type(df.schema, partition_col)
         parts, stats, blooms, fstats, commit_dir = self._write_commit_data(
-            df, partition_col, stats_cols, bloom_cols
+            df, partition_col, stats_cols, bloom_cols, cluster=cluster
         )
         with self.coordinator.exclusive(self):
             try:

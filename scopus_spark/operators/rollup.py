@@ -52,20 +52,32 @@ STATE_COLS = [
 ]
 
 
-def ohlc_state(events: DataFrame) -> DataFrame:
+def ohlc_state(
+    events: DataFrame, extra_group_exprs: dict | None = None
+) -> DataFrame:
     """Partial OHLC state per (user_id, daily bucket) from one batch.
 
     Unlike o2's public result, the state carries the boundary timestamps
     (open_ts/close_ts) — they are what make two partial states mergeable.
     Input is deduped to one row per (user, ts) with the highest event_id
     winning, mirroring the o2/G1 contract.
+
+    ``extra_group_exprs`` ({name: Column over the deduped (user_id, ts,
+    value) rows}) lets a caller build SEVERAL time-disjoint batch states
+    in one pass (r10): group additionally by a batch id that is a pure
+    function of the timestamp, slice afterwards — each slice equals
+    ohlc_state(filtered batch) bit-for-bit, because dedup keys (user, ts)
+    and aggregate groups both never straddle such batches.
     """
     from scopus_spark.queries.timeseries import _events_dedup_from
 
+    extra = extra_group_exprs or {}
     ev = _events_dedup_from(events)
     return (
         ev.groupBy(
-            "user_id", F.date_trunc("day", "ts").alias("bucket_ts")
+            "user_id",
+            F.date_trunc("day", "ts").alias("bucket_ts"),
+            *[c.alias(n) for n, c in extra.items()],
         )
         .agg(
             F.min_by("value", "ts").alias("open"),
@@ -77,7 +89,7 @@ def ohlc_state(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .withColumn("bucket_date", F.to_date("bucket_ts"))
-        .select(*STATE_COLS)
+        .select(*STATE_COLS, *extra.keys())
     )
 
 
@@ -104,19 +116,29 @@ def incremental_ohlc(target_path: str, new_events: DataFrame) -> None:
     """MERGE a batch of events into the materialized OHLC rollup at
     target_path, rewriting only the bucket_date partitions the batch
     touches."""
+    incremental_ohlc_state(target_path, ohlc_state(new_events))
+
+
+def incremental_ohlc_state(target_path: str, delta_state: DataFrame) -> None:
+    """MERGE a prebuilt partial-state table (the ohlc_state shape) into
+    the rollup — the entry for callers that derive several time-disjoint
+    batch states from ONE pass over the events (r10: o4's three batches
+    each re-scanned + re-deduped the events table; batch membership is a
+    pure function of the timestamp, so slicing one grouped state table
+    yields bit-identical per-batch deltas)."""
     # r10 (guide §1.2 step 1): pin the delta state — one merge otherwise
     # re-ran the whole upstream (events window-dedup + OHLC aggregate)
     # once for the touched-partition collect, again inside merge()'s own
     # touched collect, and a third time for the commit write. The state
     # is one row per (user, bucket) of ONE batch — bounded; unpersisted
     # before returning, so nothing outlives the merge.
-    delta = ohlc_state(new_events).persist()
+    delta = delta_state.persist()
     try:
         vt = VersionedTable(target_path)
         if not vt.exists():
             vt.write_initial(delta, "bucket_date")
             return
-        spark = new_events.sparkSession
+        spark = delta_state.sparkSession
         # bounded: distinct touched bucket-dates of ONE batch, never the table
         touched = [
             r[0] for r in delta.select("bucket_date").distinct().collect()
@@ -124,12 +146,21 @@ def incremental_ohlc(target_path: str, new_events: DataFrame) -> None:
         if not touched:
             return
         existing = vt.read(spark, partition_values=touched)
-        merged = merge_states(existing.select(*STATE_COLS), delta)
-        vt.merge(
-            merged,
-            key_cols=["user_id", "bucket_ts"],
-            partition_col="bucket_date",
-        )
+        # r10: pin the combined state too — vt.merge evaluates its delta
+        # argument three times (touched-partition collect, the survivors
+        # anti-join source, the commit write), and each evaluation would
+        # re-run the merge_states aggregate + the pruned existing read.
+        # Bounded like `delta`: one row per (user, bucket) of the
+        # touched partitions.
+        merged = merge_states(existing.select(*STATE_COLS), delta).persist()
+        try:
+            vt.merge(
+                merged,
+                key_cols=["user_id", "bucket_ts"],
+                partition_col="bucket_date",
+            )
+        finally:
+            merged.unpersist()
     finally:
         delta.unpersist()
 

@@ -1559,6 +1559,11 @@ def a39_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.repartitionByRange(8, "o_orderkey"),
         "bucket",
         stats_cols=["o_orderkey"],
+        # the range-sliced input partitioning IS the declared layout
+        # (each dir spans the key range as 8 narrow files) — clustering
+        # by dir would fold it into one file per dir and leave file-grain
+        # skipping nothing to prune (r10 cluster default)
+        cluster=False,
     )
     rep = vt.scan_paths(prune=("o_orderkey", 1000, 3000))
     assert rep["skipped_files"], (

@@ -290,7 +290,12 @@ def o4_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from scopus_spark.operators.rollup import incremental_ohlc, read_rollup
+    from scopus_spark.operators.rollup import (
+        STATE_COLS,
+        incremental_ohlc_state,
+        ohlc_state,
+        read_rollup,
+    )
 
     target = os.path.join(
         "/tmp/scopus_spark_stage",
@@ -300,11 +305,22 @@ def o4_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(target, ignore_errors=True)
     ev = table(spark, sf_dir, "events")
-    for b in range(3):
-        incremental_ohlc(
-            target,
-            ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) % 3 == b),
-        )
+    # r10: ONE scan+dedup+aggregate builds all three batch states (batch
+    # membership is a pure function of the µs timestamp, so grouping by
+    # (batch, user, bucket) and slicing equals three filtered passes
+    # bit-for-bit — dedup keys (user, ts) never straddle batches); the
+    # merges still run strictly one after another against the on-disk
+    # table, which is the declared incremental-maintenance behavior.
+    batch = F.unix_micros(F.col("ts").cast("timestamp")) % 3
+    states = ohlc_state(ev, extra_group_exprs={"_b": batch}).persist()
+    try:
+        for b in range(3):
+            incremental_ohlc_state(
+                target,
+                states.filter(F.col("_b") == b).select(*STATE_COLS),
+            )
+    finally:
+        states.unpersist()
     return read_rollup(spark, target)
 
 

@@ -154,11 +154,13 @@ def test_versioned_streaming_sink_replay_is_noop(spark, tmp_path):
 
 def test_compact_consolidates_fragmented_partitions(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "t"))
-    # a multi-task write fragments each partition dir into many files
+    # fragmentation staged deliberately: r10 commits cluster rows by
+    # dir unless the caller opts out, so a fragmented dir now needs
+    # cluster=False (the layout-deliberate escape hatch)
     wide = spark.createDataFrame(
         [(i, f"v{i}", i % 2) for i in range(40)], "k long, v string, b long"
     ).repartition(8)
-    t.write_initial(wide, "b")
+    t.write_initial(wide, "b", cluster=False)
     before = t._read_manifest()["partitions"]
     assert t._n_files(before["0"]) > 1
     want = _snap(t.read(spark))

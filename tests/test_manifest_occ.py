@@ -274,9 +274,18 @@ def test_write_initial_race_raises(spark, tmp_path):
 
 def test_history_lineage(spark, tmp_path):
     t = VersionedTable(str(tmp_path / "t"))
-    t.write_initial(_df(spark, [(1, "a", 0), (2, "b", 1)]), "b")
+    # cluster=False leaves per-task files so compact() below has
+    # fragmentation to consolidate (r10: clustered commits make a
+    # fresh small table already-compact, and compact() would no-op)
+    t.write_initial(
+        _df(spark, [(1, "a", 0), (2, "b", 1)]).repartition(4),
+        "b",
+        cluster=False,
+    )
     t.append(_df(spark, [(3, "c", 0)]))
-    t.merge(_df(spark, [(1, "A", 0)]), key_cols=["k"], partition_col="b")
+    # merge touches partition 1 only, so partition 0 still holds its
+    # create + append dirs (2 files) and compact() has work to do
+    t.merge(_df(spark, [(2, "B", 1)]), key_cols=["k"], partition_col="b")
     t.compact(spark)
     h = {r.version: r for r in t.history(spark).collect()}
     assert [h[v].op for v in sorted(h)] == [
@@ -338,8 +347,12 @@ def test_merge_rebases_across_concurrent_compact(spark, tmp_path):
     pre-compact snapshot may still commit: its rewrite derives from
     content equal to the compacted output."""
     t = VersionedTable(str(tmp_path / "t"))
+    # cluster=False keeps the repartition(4) fragmentation so compact()
+    # actually produces v2 (r10: clustered commits no-op it)
     t.write_initial(
-        _df(spark, [(1, "a", 0), (2, "b", 0)]).repartition(4), "b"
+        _df(spark, [(1, "a", 0), (2, "b", 0)]).repartition(4),
+        "b",
+        cluster=False,
     )
     m1 = t._read_manifest()
     t.compact(spark)  # v2 rewrites partition 0

@@ -46,6 +46,11 @@ def _table(spark, tmp_path):
         _docs(spark, 0, 800).repartitionByRange(8, "k"),
         "b",
         stats_cols=["k"],
+        # keep the deliberate range-sliced file layout (r10: commits
+        # cluster rows by dir unless the caller opts out — clustering
+        # would fold each dir into one file and leave file-grain
+        # skipping nothing to prune)
+        cluster=False,
     )
     return t
 
