@@ -2239,7 +2239,10 @@ def j44_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives, verified by exact intersection over the sorted shingle
     arrays. The oracle recomputes every pair by brute-force shingle
     self-join; at sf0.01 both sides agree pair-for-pair at 6dp."""
-    d = table(spark, sf_dir, "documents")
+    # r10: spread_scan — the shingle explode + rarity sort + verify
+    # intersections are per-row-heavy map work off the 1-split scan
+    # (guide §2.5; same fix as j2/j9/j25)
+    d = spread_scan(spark, sf_dir, "documents")
     return dedup.containment_pairs(d, threshold=0.8)
 
 
