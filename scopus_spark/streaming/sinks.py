@@ -64,16 +64,29 @@ def foreach_batch_upsert(
     way."""
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        delta = latest_per_key(batch_df, key_cols, order_col)
-        if op_col is None:
-            upsert_partitioned(target_path, delta, key_cols, partition_col)
-            return
-        dedup_cols = list(dict.fromkeys([*key_cols, partition_col]))
-        deletes = delta.filter(F.col(op_col) == delete_op).select(*dedup_cols)
-        upserts = delta.filter(F.col(op_col) != delete_op).drop(op_col)
-        upsert_partitioned(
-            target_path, upserts, key_cols, partition_col, deletes=deletes
-        )
+        # r10 (the o4/rollup lesson at the sink layer): the merge
+        # evaluates its delta three times (touched-partition collect,
+        # anti-join source, staging write), and each evaluation would
+        # re-read the batch's source files and re-run the latest-per-key
+        # shuffle aggregate. Pin the collapsed delta for the span of the
+        # merge — bounded: one row per key of ONE micro-batch.
+        delta = latest_per_key(batch_df, key_cols, order_col).persist()
+        try:
+            if op_col is None:
+                upsert_partitioned(
+                    target_path, delta, key_cols, partition_col
+                )
+                return
+            dedup_cols = list(dict.fromkeys([*key_cols, partition_col]))
+            deletes = delta.filter(F.col(op_col) == delete_op).select(
+                *dedup_cols
+            )
+            upserts = delta.filter(F.col(op_col) != delete_op).drop(op_col)
+            upsert_partitioned(
+                target_path, upserts, key_cols, partition_col, deletes=deletes
+            )
+        finally:
+            delta.unpersist()
 
     return sink
 
@@ -237,24 +250,32 @@ def foreach_batch_versioned_upsert(
     from scopus_spark.operators.manifest import VersionedTable
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        delta = latest_per_key(batch_df, key_cols, order_col)
-        vt = VersionedTable(target_path)
-        token = f"{stream_name}:{batch_id}"
-        if op_col is None:
-            vt.merge(
-                delta, key_cols, partition_col, commit_token=token
+        # r10: pin the collapsed delta across the merge's three
+        # evaluations (see foreach_batch_upsert) — bounded: one row per
+        # key of ONE micro-batch.
+        delta = latest_per_key(batch_df, key_cols, order_col).persist()
+        try:
+            vt = VersionedTable(target_path)
+            token = f"{stream_name}:{batch_id}"
+            if op_col is None:
+                vt.merge(
+                    delta, key_cols, partition_col, commit_token=token
+                )
+                return
+            dedup_cols = list(dict.fromkeys([*key_cols, partition_col]))
+            deletes = delta.filter(F.col(op_col) == delete_op).select(
+                *dedup_cols
             )
-            return
-        dedup_cols = list(dict.fromkeys([*key_cols, partition_col]))
-        deletes = delta.filter(F.col(op_col) == delete_op).select(*dedup_cols)
-        upserts = delta.filter(F.col(op_col) != delete_op).drop(op_col)
-        vt.merge(
-            upserts,
-            key_cols,
-            partition_col,
-            deletes=deletes,
-            commit_token=token,
-        )
+            upserts = delta.filter(F.col(op_col) != delete_op).drop(op_col)
+            vt.merge(
+                upserts,
+                key_cols,
+                partition_col,
+                deletes=deletes,
+                commit_token=token,
+            )
+        finally:
+            delta.unpersist()
 
     return sink
 
