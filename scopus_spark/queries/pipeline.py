@@ -1848,7 +1848,11 @@ def j39_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from scopus_spark.operators.text import winnow_fingerprints_df
 
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    # r10: spread_scan — per-row char-5-gram md5 chain + per-window
+    # argmin array exprs off the 1-split scan (guide §2.5)
+    d = spread_scan(spark, sf_dir, "documents").filter(
+        F.length("text") >= 8
+    )
     return winnow_fingerprints_df(d)
 
 
@@ -1917,7 +1921,9 @@ def j40_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 grams (never murmur) keep the DuckDB oracle bit-identical.
     """
     n = 5
-    d = table(spark, sf_dir, "documents")
+    # r10: spread_scan — per-row word-4-gram md5 explode off the
+    # 1-split scan (guide §2.5)
+    d = spread_scan(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         F.split("text", " ").alias("w"),
