@@ -51,6 +51,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parquet_parts(path: str) -> list[str]:
+    """A corpus table path is one parquet FILE at the test tiers and a
+    DIRECTORY of part files at scale (and in the bench's splittable
+    staged layout, r11) — the footer helpers below handle both."""
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return [path]
+
+
 def row_count_estimate(sf_dir: str, name: str) -> int:
     """Row count from the parquet FOOTER — driver-side metadata access,
     zero Spark jobs. This is the 'read it from the catalog' path a
@@ -61,7 +76,12 @@ def row_count_estimate(sf_dir: str, name: str) -> int:
     either (tests/test_exact_candidates.py pins this for j31)."""
     import pyarrow.parquet as pq
 
-    return int(pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows)
+    return int(
+        sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in _parquet_parts(f"{sf_dir}/{name}.parquet")
+        )
+    )
 
 
 # Tracks which sf_dir each live session currently has registered, so repeated
@@ -95,9 +115,11 @@ def scan_splits_estimate(sf_dir: str, name: str) -> int:
 
     import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/{name}.parquet"
-    by_bytes = max(1, os.path.getsize(path) // (128 << 20))
-    return int(min(by_bytes, pq.ParquetFile(path).metadata.num_row_groups) or 1)
+    total = 0
+    for p in _parquet_parts(f"{sf_dir}/{name}.parquet"):
+        by_bytes = max(1, os.path.getsize(p) // (128 << 20))
+        total += int(min(by_bytes, pq.ParquetFile(p).metadata.num_row_groups) or 1)
+    return max(1, total)
 
 
 def spread_scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

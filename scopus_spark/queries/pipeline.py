@@ -173,8 +173,9 @@ def j12_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     # r10 (guide §2.5): the pair join's left side inherits the one-split
     # corpus scan, so the whole n^2/2 scoring stream ran on 1-2 tasks
-    # under AQE byte-coalescing; pin scale-adaptive parallelism.
-    par = spark.sparkContext.defaultParallelism
+    # under AQE byte-coalescing; pin scale-adaptive parallelism
+    # (r11: bounded below by the configured shuffle width too).
+    par = similarity.pin_partitions(spark)
     return (
         a.repartition(par)
         .join(b, F.col("a.vec_id") < F.col("b.vec_id"))

@@ -533,9 +533,19 @@ def a21_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     if not _os.path.exists(path):
-        sample.repartition("doc_id").write.partitionBy("doc_id").mode(
-            "overwrite"
-        ).text(path)
+        # r11 (VERDICT r10 item 3, guide §2.5/§6): the keyless
+        # repartition("doc_id") is AQE-coalescable, and the sample is
+        # byte-tiny — the ~500 per-doc file creates (open + committer
+        # rename each) serialized onto 1-2 tasks (~5.9 s of a21's 8.4 s).
+        # An explicit partition count is exempt from AQE coalescing, so
+        # the blob creates spread across the session's cores (one doc_id
+        # still lands in exactly one task -> still one file per dir).
+        # Measured: a21 one-shot 8.37 -> 2.78 s (key_times, idle, noop).
+        from scopus_spark.operators.similarity import pin_partitions
+
+        sample.repartition(
+            pin_partitions(spark), "doc_id"
+        ).write.partitionBy("doc_id").mode("overwrite").text(path)
     back = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")

@@ -52,9 +52,15 @@ def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
-    """Assert the Spark DataFrame and the DuckDB result match (driver-style)."""
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    """Assert the Spark DataFrame and the DuckDB result match (driver-style).
+
+    ``spark_df`` may also be a pre-collected ``(columns, rows)`` pair from
+    the session result cache (r11) — the compare logic is identical."""
+    if isinstance(spark_df, tuple):
+        s_cols, s_rows = spark_df
+    else:
+        s_cols = spark_df.columns
+        s_rows = [tuple(r) for r in spark_df.collect()]
 
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]

@@ -17,13 +17,18 @@ HASH_KEYS = sorted(registry.all_oracles())
 
 
 @pytest.mark.parametrize("key", HASH_KEYS)
-def test_partition_invariance(spark, sf_dir, key):
-    def run():
-        df = QUERIES[key](spark, sf_dir)
-        return _rowset(df.columns, [tuple(r) for r in df.collect()])
+def test_partition_invariance(spark, sf_dir, spark_result, key):
+    # r11: the many-partitions side comes from the session result cache
+    # (executed once at the default 32 shuffle partitions); only the
+    # 1-partition run executes here. Same assertion as before.
+    cols, _dtypes, rows = spark_result(key)
+    many = _rowset(cols, rows)
 
+    old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
-    one = run()
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    many = run()
+    try:
+        df = QUERIES[key](spark, sf_dir)
+        one = _rowset(df.columns, [tuple(r) for r in df.collect()])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     assert one == many, f"{key}: result depends on shuffle partitioning"

@@ -25,16 +25,19 @@ def duck():
 
 
 @pytest.mark.parametrize("key", HASH_KEYS)
-def test_hash_parity(spark, sf_dir, duck, key):
-    compare(QUERIES[key](spark, sf_dir), duck, ORACLES[key])
+def test_hash_parity(spark_result, duck, key):
+    # r11: spark side comes from the session-scoped one-execution-per-key
+    # cache (tests/conftest.py) — the compare itself is unchanged.
+    cols, _dtypes, rows = spark_result(key)
+    compare((cols, rows), duck, ORACLES[key])
 
 
-def test_rows_only_keys_return_rows(spark, sf_dir):
+def test_rows_only_keys_return_rows(spark_result):
     """Keys without an oracle still must run and return a stable schema."""
     for key in sorted(set(QUERIES) - set(ORACLES)):
-        df = QUERIES[key](spark, sf_dir)
-        assert df.columns, key
-        assert df.count() >= 0, key
+        cols, _dtypes, rows = spark_result(key)
+        assert cols, key
+        assert len(rows) >= 0, key
 
 
 def test_entry_smoke(spark):

@@ -126,11 +126,25 @@ def test_cell_pair_pruning_bites_on_clustered_data(spark):
 
 
 def test_j37_plan_no_corpus_cartesian(spark, sf_dir):
+    # the returned frame filters a lazily-checkpointed scored stream
+    # (r11: single-compile cosine), so the visible plan stops at the
+    # LogicalRDD; assert no cartesian there…
     plan = _plan(QUERIES["j37"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+    # …and assert the join architecture on the TRANSPARENT plan the
+    # operator exposes for exactly this audit (checkpoint_scored=False).
+    from scopus_spark.catalog import table
+
+    base = similarity.prepare_vectors(table(spark, sf_dir, "embeddings"))
+    inner = _plan(
+        similarity.threshold_pair_join(
+            base, None, tau=0.99, checkpoint_scored=False
+        )
+    )
+    assert "CartesianProduct" not in inner, inner
     # corpus-scale joins are hash equi-joins on cell ids; the only
     # nested-loop joins are the broadcast centroid-row / cell-pair bounds.
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" in inner or "SortMergeJoin" in inner
 
 
 def test_j37_finds_exactly_the_planted_twins(spark, sf_dir):
